@@ -1,0 +1,18 @@
+"""ALORE-TPU: a TPU-native planning/control framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the
+ALORE legged-manipulator planning stack (`planning_ddr_opt` in the
+reference repo): MINCO spatiotemporal trajectory optimization, NMPC
+trajectory tracking for ICR (skid-steer / pushed-object) diff-drive
+dynamics, ICR-EKF state estimation, ESDF world modelling, kinodynamic
+front-end search, mission planning, and a closed-loop simulation
+runtime -- all designed batch-first for TPU (vmap/pjit over thousands
+of scenarios, XLA collectives over device meshes).
+
+This is NOT a port: the reference (C++/ROS1, single-scenario,
+CPU-sequential) defines *what* is computed; everything here is
+re-architected around functional transforms, static shapes, and
+batched linear algebra.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,70 @@
+"""ICR (instantaneous-center-of-rotation) diff-drive dynamics.
+
+The pushed object / skid-steer base behaves like a differential-drive
+robot whose ICR is offset from the geometric center by (xv) longitudinally
+and whose effective wheel tracks are yr (right) / yl (left).
+
+Continuous dynamics (reference: nmpc_controller/UAV_CAR_model/
+UAV_CAR_model.cpp:38-40):
+
+    xdot   = (vr*yl - vl*yr)/(yl - yr) * cos(psi) + (vr - vl)*xv/(yl - yr) * sin(psi)
+    ydot   = (vr*yl - vl*yr)/(yl - yr) * sin(psi) - (vr - vl)*xv/(yl - yr) * cos(psi)
+    psidot = (vr - vl)/(yl - yr)
+
+Flat-output relations used throughout the planner (optimizer.cpp:807-812,
+mpc.cpp:442-443, simulator.h:234-242):
+
+    v      = sdot                  (body forward speed)
+    omega  = yawdot
+    v_l    = v - omega * yl
+    v_r    = v - omega * yr
+    vy     = -omega * xv           (lateral slip velocity)
+
+world-frame flow of the flat trajectory sigma=(yaw, s):
+    xdot = sdot*cos(yaw) + yawdot*xv*sin(yaw)
+    ydot = sdot*sin(yaw) - yawdot*xv*cos(yaw)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class ICRParams(NamedTuple):
+    """ICR geometry; reference defaults from planner_sim.launch:204-206."""
+
+    yr: jnp.ndarray | float = -0.3
+    yl: jnp.ndarray | float = 0.3
+    xv: jnp.ndarray | float = 0.2
+
+
+def icr_dynamics(state, u, icr: ICRParams):
+    """Continuous-time xdot for state (x, y, psi) and wheels u = (vr, vl).
+
+    Exactly the ACADO OCP model (UAV_CAR_model.cpp:38-40).
+    """
+    psi = state[..., 2]
+    vr, vl = u[..., 0], u[..., 1]
+    yr, yl, xv = icr.yr, icr.yl, icr.xv
+    track = yl - yr
+    v = (vr * yl - vl * yr) / track
+    w = (vr - vl) / track
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    return jnp.stack(
+        [v * c + w * xv * s, v * s - w * xv * c, w], axis=-1
+    )
+
+
+def wheel_speeds_from_flat(omega, v, icr: ICRParams):
+    """(v_l, v_r) from body (omega, v); mpc.cpp:442-443."""
+    return v - omega * icr.yl, v - omega * icr.yr
+
+
+def body_vel_from_wheels(vl, vr, icr: ICRParams):
+    """(v, omega, vy) from wheel speeds; simulator.h:238-241."""
+    track = icr.yl - icr.yr
+    w = (vr - vl) / track
+    v = (vl + vr) / 2.0 - w * (icr.yl + icr.yr) / 2.0
+    vy = -w * icr.xv
+    return v, w, vy

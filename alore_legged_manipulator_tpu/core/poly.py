@@ -1,0 +1,102 @@
+"""Piecewise-polynomial flat trajectories sigma(t) = (yaw(t), s(t)).
+
+TPU-native analogue of the reference `Trajectory<5,2>` / `Piece<5,2>`
+containers (back_end/include/gcopter/trajectory.hpp:38-571).  Instead of a
+vector of piece objects, a trajectory is a single static-shape pytree:
+
+  coeffs : (N, 6, 2)  ascending-power coefficients per piece
+           sigma_i(s) = sum_k coeffs[i, k, :] * s**k,  s in [0, T_i]
+  times  : (N,)       piece durations
+
+Evaluation at a batch of global times is a gather + polynomial eval --
+fully vmap/jit friendly; no data-dependent control flow.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+DEGREE = 5
+NCOEF = DEGREE + 1
+
+
+class PolyTraj(NamedTuple):
+    """Static-shape piecewise quintic trajectory with 2 flat outputs."""
+
+    coeffs: jnp.ndarray  # (N, 6, 2) ascending powers
+    times: jnp.ndarray   # (N,)
+
+    @property
+    def num_pieces(self) -> int:
+        return self.coeffs.shape[0]
+
+    @property
+    def total_time(self):
+        return jnp.sum(self.times)
+
+
+def _basis(s, order: int):
+    """beta_order(s): derivative-of-monomial basis, shape (..., 6).
+
+    order 0: [1, s, s^2, s^3, s^4, s^5]
+    order 1: [0, 1, 2 s, 3 s^2, 4 s^3, 5 s^4], etc.
+    (matches optimizer.cpp:768-771 beta0..beta3)
+    """
+    s = jnp.asarray(s)
+    k = jnp.arange(NCOEF)
+    # falling factorial k! / (k-order)!
+    ff = jnp.ones((NCOEF,), dtype=s.dtype)
+    for d in range(order):
+        ff = ff * jnp.maximum(k - d, 0)
+    expo = jnp.maximum(k - order, 0)
+    powers = s[..., None] ** expo
+    powers = jnp.where(k >= order, powers, jnp.zeros_like(powers))
+    return ff * powers
+
+
+def eval_piece(coeffs, s, order: int = 0):
+    """Evaluate one piece (6,2) at local time(s) s; returns (..., 2)."""
+    return jnp.einsum("...k,kd->...d", _basis(s, order), coeffs)
+
+
+def locate(traj: PolyTraj, t):
+    """Map global time t -> (piece index, local time). Clamps to ends.
+
+    Mirrors trajectory.hpp locatePieceIdx semantics (t past the end maps
+    to the final piece at its duration).
+    """
+    cum = jnp.cumsum(traj.times)
+    t = jnp.clip(t, 0.0, cum[-1])
+    idx = jnp.clip(jnp.searchsorted(cum, t, side="right"), 0, traj.num_pieces - 1)
+    start = jnp.where(idx > 0, cum[idx - 1], 0.0)
+    return idx, t - start
+
+
+def eval_traj(traj: PolyTraj, t, order: int = 0):
+    """Evaluate trajectory at global time(s) t; returns (..., 2).
+
+    t may be a scalar or any-shape array (vectorized gather over pieces).
+    """
+    t = jnp.asarray(t)
+    idx, local = jax.vmap(lambda ti: locate(traj, ti))(t.reshape(-1))
+    c = traj.coeffs[idx]  # (M, 6, 2)
+    out = jax.vmap(lambda ci, si: eval_piece(ci, si, order))(c, local)
+    return out.reshape(t.shape + (2,))
+
+
+def pos(traj: PolyTraj, t):
+    return eval_traj(traj, t, 0)
+
+
+def vel(traj: PolyTraj, t):
+    return eval_traj(traj, t, 1)
+
+
+def acc(traj: PolyTraj, t):
+    return eval_traj(traj, t, 2)
+
+
+def jerk(traj: PolyTraj, t):
+    return eval_traj(traj, t, 3)

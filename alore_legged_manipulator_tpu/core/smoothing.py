@@ -1,0 +1,21 @@
+"""Smoothed penalty primitives (reference: optimizer.cpp:1069-1086)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def positive_smoothed_l1(x, eps: float = 0.01):
+    """C2-smooth hinge: ~x - eps/2 for x >= eps, cubic/quartic blend below.
+
+    Returns f(x) only (use autodiff for df).  For x <= 0 returns 0 -- callers
+    gate on x > 0 exactly as the reference does, but a branchless where()
+    keeps it jit/vmap friendly and gives f(x<=0)=0, f'(x<=0)=0 since the
+    blend polynomial is x^3-dominated.
+    """
+    pe = eps
+    f3c = 1.0 / (pe * pe)
+    f4c = -0.5 * f3c / pe
+    half = 0.5 * pe
+    xp = jnp.maximum(x, 0.0)
+    blend = (f4c * xp + f3c) * xp * xp * xp
+    return jnp.where(xp < pe, blend, xp - half)

@@ -1,0 +1,183 @@
+"""MINCO quintic (s=3) spline with non-uniform times -- TPU-native.
+
+Given head/tail (pos, vel, acc) boundary states, N-1 inner waypoints and N
+piece times, MINCO computes the unique minimum-control-effort piecewise
+quintic by solving one 6N x 6N banded linear system (reference:
+back_end/include/gcopter/minco.hpp:772-898 MINCO_S3NU::setParameters).
+
+TPU design notes (NOT a port):
+  * The reference factorizes a band matrix sequentially in double precision
+    (BandedSystem::factorizeLU, minco.hpp:99-131).  Here the system is
+    assembled as a dense (6N, 6N) matrix and solved with jnp.linalg.solve:
+    for the problem sizes of this stack (N <= ~32, so <= 192 unknowns) a
+    dense batched solve IS the speed-of-light choice on TPU -- it maps to
+    MXU-backed LAPACK kernels and vmaps cleanly over thousands of
+    scenarios, whereas a sequential band elimination would serialize 6N
+    tiny steps.  The banded structure only starts to pay off at horizon
+    lengths this stack never uses.
+  * Gradients w.r.t. inner points and times come from autodiff through the
+    solve (the built-in VJP of linalg.solve is exactly the adjoint-system
+    trick of minco.hpp:994-1209 propogateGrad/propogateArcYawLenghGrad).
+  * Energy and its gradients (minco.hpp:915-992) are closed-form in the
+    coefficients; autodiff again replaces the hand-written partials.
+
+The "relaxed tail arc length" variant used by the back-end optimizer
+(tail s is a decision variable) needs no special handling here: the tail
+state is simply an input, and jax.grad provides d(cost)/d(tail).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.poly import PolyTraj
+
+NCOEF = 6
+
+
+class MincoProblem(NamedTuple):
+    """Boundary conditions for a MINCO_S3NU spline (2 flat outputs)."""
+
+    head: jnp.ndarray  # (2, 3) columns: pos, vel, acc   (minco.hpp:772)
+    tail: jnp.ndarray  # (2, 3)
+    energy_weights: jnp.ndarray  # (2,) diag weights (theta, s)
+
+
+def _time_powers(times):
+    t1 = times
+    t2 = t1 * t1
+    t3 = t2 * t1
+    t4 = t2 * t2
+    t5 = t4 * t1
+    return t1, t2, t3, t4, t5
+
+
+def minco_system(head, tail, inner, times):
+    """Assemble the 6N x 6N MINCO linear system A c = b.
+
+    Row layout matches minco.hpp:829-892 exactly:
+      rows 0..2                 : head pos/vel/acc at t=0
+      per interior joint i (0..N-2), rows 6i+3..6i+8:
+        jerk continuity, snap continuity, waypoint position,
+        pos/vel/acc continuity
+      rows 6N-3..6N-1           : tail pos/vel/acc at t=T_{N-1}
+    """
+    n = times.shape[0]
+    dtype = times.dtype
+    t1, t2, t3, t4, t5 = _time_powers(times)
+    A = jnp.zeros((6 * n, 6 * n), dtype=dtype)
+    b = jnp.zeros((6 * n, 2), dtype=dtype)
+
+    one = jnp.ones((), dtype)
+
+    # head conditions
+    A = A.at[0, 0].set(1.0)
+    A = A.at[1, 1].set(1.0)
+    A = A.at[2, 2].set(2.0)
+    b = b.at[0].set(head[:, 0])
+    b = b.at[1].set(head[:, 1])
+    b = b.at[2].set(head[:, 2])
+
+    if n > 1:
+        i = jnp.arange(n - 1)
+        r = 6 * i
+        # jerk continuity: 6 c3 + 24 T c4 + 60 T^2 c5 - 6 c3'
+        A = A.at[r + 3, r + 3].set(6.0 * jnp.ones_like(t1[:-1]))
+        A = A.at[r + 3, r + 4].set(24.0 * t1[:-1])
+        A = A.at[r + 3, r + 5].set(60.0 * t2[:-1])
+        A = A.at[r + 3, r + 9].set(-6.0 * jnp.ones_like(t1[:-1]))
+        # snap continuity: 24 c4 + 120 T c5 - 24 c4'
+        A = A.at[r + 4, r + 4].set(24.0 * jnp.ones_like(t1[:-1]))
+        A = A.at[r + 4, r + 5].set(120.0 * t1[:-1])
+        A = A.at[r + 4, r + 10].set(-24.0 * jnp.ones_like(t1[:-1]))
+        # waypoint position
+        A = A.at[r + 5, r + 0].set(jnp.ones_like(t1[:-1]))
+        A = A.at[r + 5, r + 1].set(t1[:-1])
+        A = A.at[r + 5, r + 2].set(t2[:-1])
+        A = A.at[r + 5, r + 3].set(t3[:-1])
+        A = A.at[r + 5, r + 4].set(t4[:-1])
+        A = A.at[r + 5, r + 5].set(t5[:-1])
+        b = b.at[r + 5].set(inner.T)
+        # position continuity
+        A = A.at[r + 6, r + 0].set(jnp.ones_like(t1[:-1]))
+        A = A.at[r + 6, r + 1].set(t1[:-1])
+        A = A.at[r + 6, r + 2].set(t2[:-1])
+        A = A.at[r + 6, r + 3].set(t3[:-1])
+        A = A.at[r + 6, r + 4].set(t4[:-1])
+        A = A.at[r + 6, r + 5].set(t5[:-1])
+        A = A.at[r + 6, r + 6].set(-jnp.ones_like(t1[:-1]))
+        # velocity continuity
+        A = A.at[r + 7, r + 1].set(jnp.ones_like(t1[:-1]))
+        A = A.at[r + 7, r + 2].set(2.0 * t1[:-1])
+        A = A.at[r + 7, r + 3].set(3.0 * t2[:-1])
+        A = A.at[r + 7, r + 4].set(4.0 * t3[:-1])
+        A = A.at[r + 7, r + 5].set(5.0 * t4[:-1])
+        A = A.at[r + 7, r + 7].set(-jnp.ones_like(t1[:-1]))
+        # acceleration continuity
+        A = A.at[r + 8, r + 2].set(2.0 * jnp.ones_like(t1[:-1]))
+        A = A.at[r + 8, r + 3].set(6.0 * t1[:-1])
+        A = A.at[r + 8, r + 4].set(12.0 * t2[:-1])
+        A = A.at[r + 8, r + 5].set(20.0 * t3[:-1])
+        A = A.at[r + 8, r + 8].set(-2.0 * jnp.ones_like(t1[:-1]))
+
+    # tail conditions at T_{N-1}
+    m = 6 * n
+    A = A.at[m - 3, m - 6].set(one)
+    A = A.at[m - 3, m - 5].set(t1[-1])
+    A = A.at[m - 3, m - 4].set(t2[-1])
+    A = A.at[m - 3, m - 3].set(t3[-1])
+    A = A.at[m - 3, m - 2].set(t4[-1])
+    A = A.at[m - 3, m - 1].set(t5[-1])
+    A = A.at[m - 2, m - 5].set(one)
+    A = A.at[m - 2, m - 4].set(2.0 * t1[-1])
+    A = A.at[m - 2, m - 3].set(3.0 * t2[-1])
+    A = A.at[m - 2, m - 2].set(4.0 * t3[-1])
+    A = A.at[m - 2, m - 1].set(5.0 * t4[-1])
+    A = A.at[m - 1, m - 4].set(2.0 * one)
+    A = A.at[m - 1, m - 3].set(6.0 * t1[-1])
+    A = A.at[m - 1, m - 2].set(12.0 * t2[-1])
+    A = A.at[m - 1, m - 1].set(20.0 * t3[-1])
+    b = b.at[m - 3].set(tail[:, 0])
+    b = b.at[m - 2].set(tail[:, 1])
+    b = b.at[m - 1].set(tail[:, 2])
+    return A, b
+
+
+def minco_coeffs(head, tail, inner, times):
+    """Solve for piece coefficients, shape (N, 6, 2) ascending powers.
+
+    inner: (2, N-1) waypoints; times: (N,).
+    """
+    n = times.shape[0]
+    A, b = minco_system(head, tail, inner, times)
+    c = jnp.linalg.solve(A, b)            # (6N, 2)
+    return c.reshape(n, NCOEF, 2)
+
+
+def minco_traj(head, tail, inner, times) -> PolyTraj:
+    return PolyTraj(coeffs=minco_coeffs(head, tail, inner, times), times=times)
+
+
+def minco_energy(coeffs, times, weights):
+    """Weighted jerk energy integral; closed form of minco.hpp:915-932.
+
+    coeffs: (N, 6, 2); weights: (2,) diagonal (theta, s) weights.
+    """
+    c3 = coeffs[:, 3, :]
+    c4 = coeffs[:, 4, :]
+    c5 = coeffs[:, 5, :]
+    t1, t2, t3, t4, t5 = _time_powers(times)
+
+    def wdot(a, bb):
+        return jnp.sum(a * weights[None, :] * bb, axis=-1)
+
+    e = (
+        36.0 * wdot(c3, c3) * t1
+        + 144.0 * wdot(c4, c3) * t2
+        + 192.0 * wdot(c4, c4) * t3
+        + 240.0 * wdot(c5, c3) * t3
+        + 720.0 * wdot(c5, c4) * t4
+        + 720.0 * wdot(c5, c5) * t5
+    )
+    return jnp.sum(e)

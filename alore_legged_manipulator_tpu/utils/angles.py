@@ -1,0 +1,51 @@
+"""Angle utilities.
+
+Reference semantics:
+  - normalize_angle: nmpc_controller/src/mpc.cpp:243 (normlize_theta)
+  - unwrap_to: front_end jps_planner.cpp:368 (normalizeAngle: shift `angle`
+    by 2*pi until within pi of `ref`)
+  - smooth_yaw_sequence: nmpc_controller/src/mpc.cpp:248 (smooth_yaw --
+    unwraps a reference yaw sequence so consecutive deltas stay within
+    pi/2, anchored at the estimated state yaw)
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax
+
+
+def normalize_angle(theta):
+    """Wrap angle to (-pi, pi]."""
+    return jnp.arctan2(jnp.sin(theta), jnp.cos(theta))
+
+
+def unwrap_to(ref, angle):
+    """Shift `angle` by multiples of 2*pi so that |ref - angle| <= pi."""
+    return angle + 2.0 * jnp.pi * jnp.round((ref - angle) / (2.0 * jnp.pi))
+
+
+def smooth_yaw_sequence(yaw_est, yaw_ref_seq):
+    """Unwrap a yaw reference sequence against the current estimate.
+
+    First element is unwrapped so that (ref0 - est) in (-pi/2, pi/2] modulo
+    2*pi steps; each following element is unwrapped against its predecessor.
+    Mirrors mpc.cpp:248-277 which uses a pi/2 threshold (not pi) so that
+    near-reverse references keep their winding.
+    """
+
+    def shift_within(prev, cur, half_width):
+        # move cur by 2*pi steps until (cur - prev) in (-half_width, half_width)
+        k = jnp.ceil((cur - prev - half_width) / (2.0 * jnp.pi))
+        cur = cur - 2.0 * jnp.pi * jnp.maximum(k, 0.0)
+        k = jnp.ceil((prev - cur - half_width) / (2.0 * jnp.pi))
+        cur = cur + 2.0 * jnp.pi * jnp.maximum(k, 0.0)
+        return cur
+
+    y0 = shift_within(yaw_est, yaw_ref_seq[0], jnp.pi / 2)
+
+    def body(prev, cur):
+        new = shift_within(prev, cur, jnp.pi / 2)
+        return new, new
+
+    _, rest = jax.lax.scan(body, y0, yaw_ref_seq[1:])
+    return jnp.concatenate([jnp.array([y0], dtype=yaw_ref_seq.dtype), rest])

@@ -1,0 +1,22 @@
+"""Test configuration: run on a virtual 8-device CPU mesh in float64.
+
+Unit tests validate the math on CPU (f64 available, deterministic) and
+multi-chip sharding on 8 virtual devices; TPU-specific precision checks
+are marked and run separately.
+
+Note: the session environment pins JAX_PLATFORMS=axon (live TPU tunnel)
+and a sitecustomize imports jax at interpreter start, so we must override
+through jax.config, not os.environ.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)

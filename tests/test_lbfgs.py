@@ -1,0 +1,67 @@
+"""Batched L-BFGS tests: convex quadratics, Rosenbrock, nonsmooth, vmap."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alore_legged_manipulator_tpu.solvers.lbfgs import (
+    LbfgsParams, lbfgs_minimize, STATUS_CONVERGED, STATUS_STOP)
+
+
+def test_quadratic():
+    A = jnp.array([[3.0, 1.0], [1.0, 2.0]])
+    b = jnp.array([1.0, -2.0])
+
+    def fun(x):
+        f = 0.5 * x @ A @ x - b @ x
+        return f, A @ x - b
+
+    x0 = jnp.zeros(2)
+    x, f, status, k = jax.jit(lambda x0: lbfgs_minimize(fun, x0))(x0)
+    expected = jnp.linalg.solve(A, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(expected), atol=1e-4)
+    assert int(status) in (STATUS_CONVERGED, STATUS_STOP)
+
+
+def test_rosenbrock():
+    def fun(x):
+        return jax.value_and_grad(
+            lambda z: jnp.sum(100.0 * (z[1:] - z[:-1] ** 2) ** 2
+                              + (1.0 - z[:-1]) ** 2))(x)
+
+    x0 = jnp.full((6,), -1.2)
+    p = LbfgsParams(mem_size=16, g_epsilon=1e-8, past=0, delta=0.0,
+                    hard_iter_cap=2000)
+    x, f, status, k = jax.jit(lambda x0: lbfgs_minimize(fun, x0, p))(x0)
+    np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-5)
+
+
+def test_nonsmooth_l1():
+    """|x - c|_1 + quadratic -- exercises the weak-Wolfe nonsmooth path."""
+    c = jnp.array([0.3, -0.7, 1.5])
+
+    def fun(x):
+        return jax.value_and_grad(
+            lambda z: jnp.sum(jnp.abs(z)) + 2.0 * jnp.sum((z - c) ** 2))(x)
+
+    x0 = jnp.array([2.0, 2.0, 2.0])
+    p = LbfgsParams(mem_size=8, g_epsilon=0.0, past=3, delta=1e-10)
+    x, f, status, k = lbfgs_minimize(fun, x0, p)
+    # analytic soft-threshold solution: x = sign(c) * max(|c| - 1/4, 0)
+    expected = jnp.sign(c) * jnp.maximum(jnp.abs(c) - 0.25, 0.0)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(expected), atol=1e-4)
+
+
+def test_vmap_batch():
+    def make_fun(c):
+        def fun(x):
+            return jax.value_and_grad(lambda z: jnp.sum((z - c) ** 2 * jnp.arange(1, 5)))(x)
+        return fun
+
+    cs = jnp.stack([jnp.full((4,), v) for v in [-1.0, 0.5, 2.0]])
+    x0 = jnp.zeros((3, 4))
+
+    def solve(c, x0):
+        return lbfgs_minimize(make_fun(c), x0)
+
+    xs, fs, statuses, ks = jax.vmap(solve)(cs, x0)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(cs), atol=1e-4)

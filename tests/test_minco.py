@@ -1,0 +1,137 @@
+"""MINCO spline parity tests.
+
+The linear system of minco.hpp:817-898 fully determines the spline; we
+verify the solved coefficients satisfy every defining property (boundary
+conditions, waypoint interpolation, C4 continuity) and that the energy
+matches dense numerical quadrature -- i.e. golden-by-construction tests
+against the mathematical spec rather than against copied data.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.core import poly
+from alore_legged_manipulator_tpu.solvers import minco
+
+
+def _random_problem(key, n_pieces):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    head = jax.random.normal(k1, (2, 3))
+    tail = jax.random.normal(k2, (2, 3))
+    inner = jax.random.normal(k3, (2, n_pieces - 1)) * 2.0
+    times = 0.3 + jax.random.uniform(k4, (n_pieces,)) * 1.5
+    return head, tail, inner, times
+
+
+@pytest.mark.parametrize("n_pieces", [2, 3, 8, 16])
+def test_minco_interpolation_and_continuity(n_pieces):
+    key = jax.random.PRNGKey(n_pieces)
+    head, tail, inner, times = _random_problem(key, n_pieces)
+    coeffs = minco.minco_coeffs(head, tail, inner, times)
+
+    # boundary conditions
+    p0 = poly.eval_piece(coeffs[0], 0.0, 0)
+    v0 = poly.eval_piece(coeffs[0], 0.0, 1)
+    a0 = poly.eval_piece(coeffs[0], 0.0, 2)
+    np.testing.assert_allclose(p0, head[:, 0], atol=1e-9)
+    np.testing.assert_allclose(v0, head[:, 1], atol=1e-9)
+    np.testing.assert_allclose(a0, head[:, 2], atol=1e-9)
+
+    pT = poly.eval_piece(coeffs[-1], times[-1], 0)
+    vT = poly.eval_piece(coeffs[-1], times[-1], 1)
+    aT = poly.eval_piece(coeffs[-1], times[-1], 2)
+    np.testing.assert_allclose(pT, tail[:, 0], atol=1e-8)
+    np.testing.assert_allclose(vT, tail[:, 1], atol=1e-8)
+    np.testing.assert_allclose(aT, tail[:, 2], atol=1e-8)
+
+    # waypoints and C0..C4 continuity at the joints
+    for i in range(n_pieces - 1):
+        end_i = [poly.eval_piece(coeffs[i], times[i], o) for o in range(5)]
+        start_next = [poly.eval_piece(coeffs[i + 1], 0.0, o) for o in range(5)]
+        np.testing.assert_allclose(end_i[0], inner[:, i], atol=1e-8)
+        for o in range(5):
+            np.testing.assert_allclose(end_i[o], start_next[o], atol=1e-7,
+                                       err_msg=f"C{o} continuity joint {i}")
+
+
+def test_minco_energy_matches_quadrature():
+    key = jax.random.PRNGKey(0)
+    head, tail, inner, times = _random_problem(key, 4)
+    coeffs = minco.minco_coeffs(head, tail, inner, times)
+    w = jnp.array([0.33, 1.0])
+    e = minco.minco_energy(coeffs, times, w)
+
+    # dense numerical integration of weighted squared jerk
+    total = 0.0
+    for i in range(4):
+        s = jnp.linspace(0.0, times[i], 20001)
+        j = poly.eval_piece(coeffs[i], s, 3)  # (M, 2)
+        integrand = jnp.sum(j * w[None, :] * j, axis=-1)
+        total += jnp.trapezoid(integrand, s)
+    np.testing.assert_allclose(float(e), float(total), rtol=1e-6)
+
+
+def test_minco_is_energy_minimizer():
+    """Perturbing interior freedom (not the constraints) increases energy.
+
+    MINCO's defining property: among all piecewise quintics meeting the
+    boundary/waypoint/continuity constraints, it minimizes the control
+    effort.  We verify via a constrained random perturbation: resolve with a
+    perturbed waypoint -> energy of the true waypoint solution is smaller
+    when measured on its own constraint set; instead we check gradient
+    stationarity of energy w.r.t. the free derivatives at the joints by
+    comparing against a dense QP solve on a small case.
+    """
+    # 2 pieces, 1 joint: parametrize joint (vel, acc) freely, position fixed.
+    key = jax.random.PRNGKey(7)
+    head, tail, inner, times = _random_problem(key, 2)
+    coeffs = minco.minco_coeffs(head, tail, inner, times)
+    w = jnp.array([1.0, 1.0])
+
+    joint_v = poly.eval_piece(coeffs[0], times[0], 1)
+    joint_a = poly.eval_piece(coeffs[0], times[0], 2)
+
+    def energy_of(jv, ja):
+        mid = jnp.stack([inner[:, 0], jv, ja], axis=1)  # (2,3)
+        c1 = minco.minco_coeffs(head, mid, jnp.zeros((2, 0)), times[:1])
+        c2 = minco.minco_coeffs(mid, tail, jnp.zeros((2, 0)), times[1:])
+        return (minco.minco_energy(c1, times[:1], w)
+                + minco.minco_energy(c2, times[1:], w))
+
+    g = jax.grad(lambda v: energy_of(v[0], v[1]))(jnp.stack([joint_v, joint_a]))
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-5)
+
+
+def test_minco_grads_flow():
+    """Autodiff through the solve yields finite, FD-consistent gradients."""
+    key = jax.random.PRNGKey(3)
+    head, tail, inner, times = _random_problem(key, 5)
+    w = jnp.array([0.33, 1.0])
+
+    def obj(inner, times):
+        c = minco.minco_coeffs(head, tail, inner, times)
+        return minco.minco_energy(c, times, w)
+
+    gi, gt = jax.grad(obj, argnums=(0, 1))(inner, times)
+    # finite differences
+    eps = 1e-6
+    for idx in [(0, 0), (1, 2)]:
+        ip = inner.at[idx].add(eps)
+        im = inner.at[idx].add(-eps)
+        fd = (obj(ip, times) - obj(im, times)) / (2 * eps)
+        np.testing.assert_allclose(float(gi[idx]), float(fd), rtol=1e-4)
+    for i in [0, 3]:
+        tp = times.at[i].add(eps)
+        tm = times.at[i].add(-eps)
+        fd = (obj(inner, tp) - obj(inner, tm)) / (2 * eps)
+        np.testing.assert_allclose(float(gt[i]), float(fd), rtol=1e-4)
+
+
+def test_minco_vmap_batch():
+    keys = jax.random.split(jax.random.PRNGKey(11), 16)
+    probs = jax.vmap(lambda k: _random_problem(k, 6))(keys)
+    coeffs = jax.vmap(minco.minco_coeffs)(*probs)
+    assert coeffs.shape == (16, 6, 6, 2)
+    c0 = minco.minco_coeffs(*[p[0] for p in probs])
+    np.testing.assert_allclose(np.asarray(coeffs[0]), np.asarray(c0), atol=1e-9)
