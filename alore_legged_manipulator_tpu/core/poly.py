@@ -58,7 +58,8 @@ def _basis(s, order: int):
 
 def eval_piece(coeffs, s, order: int = 0):
     """Evaluate one piece (6,2) at local time(s) s; returns (..., 2)."""
-    return jnp.einsum("...k,kd->...d", _basis(s, order), coeffs)
+    return jnp.einsum("...k,kd->...d", _basis(s, order), coeffs,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def locate(traj: PolyTraj, t):

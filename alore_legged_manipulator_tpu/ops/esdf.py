@@ -1,0 +1,150 @@
+"""Euclidean signed distance fields on TPU.
+
+Replaces the reference's incremental Felzenszwalb distance transform
+(utils/plan_env/src/sdf_map.cpp:618-715 updateESDF2d/fillESDF) and the
+bilinear distance+gradient query (:760-830 getDistWithGradBilinear).
+
+TPU design (NOT a port): Felzenszwalb's lower-envelope sweep is an O(n)
+*sequential* per-scanline recurrence -- the worst possible shape for a
+vector machine.  The exact same result d(x) = min_y ((x-y)^2 + f(y)) is
+computed here as a dense separable min-reduction: one (rows, n, n)
+broadcast per axis, i.e. two big fused VPU reductions.  For the planning
+maps of this stack (<= ~1k cells per side) this is bandwidth-trivial and
+compiles to a single fused kernel; larger maps tile along the broadcast
+axis (`block` parameter).
+
+Distance convention matches the reference exactly:
+  d_all = d_outside            where cell is free
+        = -d_inside + h        where cell is occupied  (h = grid interval)
+with d_outside/inside the Euclidean distances to the nearest
+occupied/free cell center, in meters (sdf_map.cpp:670-679).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sq_dist_transform_1d(f, block: int = 256):
+    """Exact 1-D squared distance transform along the last axis.
+
+    f: (..., n) squared-distance costs (0 at sources, +inf elsewhere).
+    Returns D with D[..., x] = min_y ((x - y)^2 + f[..., y]).
+    """
+    n = f.shape[-1]
+    y = jnp.arange(n)
+    out = jnp.full_like(f, jnp.inf)
+    # tile over x to bound the (..., x, y) broadcast
+    pieces = []
+    for x0 in range(0, n, block):
+        x = jnp.arange(x0, min(x0 + block, n))
+        d2 = (x[:, None] - y[None, :]).astype(f.dtype) ** 2  # (bx, n)
+        # (..., bx, n) -> min over y
+        pieces.append(jnp.min(f[..., None, :] + d2, axis=-1))
+    return jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else pieces[0]
+
+
+def _edt(source_mask, res, block: int = 256):
+    """Euclidean distance (meters) from each cell center to the nearest
+    cell with source_mask True.  source_mask: (H, W) bool."""
+    big = jnp.asarray(jnp.inf, jnp.float32)
+    f = jnp.where(source_mask, 0.0, big).astype(jnp.float32)
+    # pass over axis 1 (W), then axis 0 (H)
+    d1 = _sq_dist_transform_1d(f, block)          # (H, W)
+    d2 = _sq_dist_transform_1d(d1.T, block).T     # (H, W)
+    return res * jnp.sqrt(d2)
+
+
+class ESDF(NamedTuple):
+    """Signed distance field + sampling metadata.
+
+    dist: (H, W) signed distance in meters (reference convention)
+    lower: (2,) world coordinates of the map lower corner
+    res: grid interval (meters)
+    """
+
+    dist: jnp.ndarray
+    lower: jnp.ndarray
+    res: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.dist.shape
+
+
+def esdf_from_occupancy(occ, lower, res, block: int = 256) -> ESDF:
+    """occ: (H, W) bool occupancy (True = occupied).
+
+    Combination rule per sdf_map.cpp:670-679: outside distance everywhere,
+    minus inside distance plus one grid interval inside obstacles.
+    """
+    occ = jnp.asarray(occ, bool)
+    d_pos = _edt(occ, res, block)
+    d_neg = _edt(jnp.logical_not(occ), res, block)
+    dist = jnp.where(d_neg > 0.0, d_pos - d_neg + res, d_pos)
+    return ESDF(dist=dist.astype(jnp.float32),
+                lower=jnp.asarray(lower, jnp.float32),
+                res=jnp.asarray(res, jnp.float32))
+
+
+def sample_dist_grad_bilinear(esdf: ESDF, pos, out_value: float = 1e10):
+    """Bilinear distance + gradient at world pos (..., 2).
+
+    Exact reference semantics (sdf_map.cpp:796-830):
+      * cell centers at lower + (idx + 0.5) * res
+      * base index = clip(int((p - lower)/res - 0.5), 0, n-1); if the base
+        index reaches the last row/col the query returns (out_value, 0)
+      * outside the map bounds returns (out_value, 0)
+    Returns (dist, grad) with shapes (...,), (..., 2).
+    """
+    dist_grid = esdf.dist
+    H, W = dist_grid.shape
+    res = esdf.res
+    inv = 1.0 / res
+    p = (pos - esdf.lower) * inv - 0.5          # in cell-center units
+    idx = jnp.floor(p).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, jnp.array([H - 1, W - 1]))
+    frac = p - idx.astype(p.dtype)
+
+    ix, iy = idx[..., 0], idx[..., 1]
+    ix1 = jnp.minimum(ix + 1, H - 1)
+    iy1 = jnp.minimum(iy + 1, W - 1)
+    v00 = dist_grid[ix, iy]
+    v10 = dist_grid[ix1, iy]
+    v01 = dist_grid[ix, iy1]
+    v11 = dist_grid[ix1, iy1]
+
+    fx, fy = frac[..., 0], frac[..., 1]
+    v0 = (1 - fx) * v00 + fx * v10
+    v1 = (1 - fx) * v01 + fx * v11
+    d = (1 - fy) * v0 + fy * v1
+
+    gy = (v1 - v0) * inv
+    gx = ((1 - fy) * (v10 - v00) + fy * (v11 - v01)) * inv
+
+    upper = esdf.lower + jnp.array([H, W], pos.dtype) * res
+    inside = jnp.all((pos >= esdf.lower) & (pos <= upper), axis=-1)
+    interior = (ix < H - 1) & (iy < W - 1)
+    valid = inside & interior
+
+    d = jnp.where(valid, d, out_value)
+    g = jnp.where(valid[..., None], jnp.stack([gx, gy], axis=-1), 0.0)
+    return d, g
+
+
+def sample_dist_bilinear(esdf: ESDF, pos, out_value: float = 1e10):
+    d, _ = sample_dist_grad_bilinear(esdf, pos, out_value)
+    return d
+
+
+def dist_at_cell(esdf: ESDF, pos, out_value: float = 10000.0):
+    """Nearest-cell distance lookup; sdf_map.cpp getDistanceReal."""
+    idx = jnp.clip(
+        jnp.floor((pos - esdf.lower) / esdf.res).astype(jnp.int32),
+        0, jnp.array([esdf.shape[0] - 1, esdf.shape[1] - 1]))
+    d = esdf.dist[idx[..., 0], idx[..., 1]]
+    upper = esdf.lower + jnp.array(esdf.shape, pos.dtype) * esdf.res
+    inside = jnp.all((pos >= esdf.lower) & (pos <= upper), axis=-1)
+    return jnp.where(inside, d, out_value)

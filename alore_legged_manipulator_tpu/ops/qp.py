@@ -1,0 +1,97 @@
+"""Dense box-constrained QP solvers, batched for TPU.
+
+    minimize   0.5 z' H z + g' z     s.t.  lb <= z <= ub
+
+This fills the role of qpOASES' dense active-set `QProblemB` in the
+reference NMPC (nmpc_controller/externals/qpoases, used via
+acado_qpoases_interface.cpp:39-55 on a 100-variable box QP).
+
+TPU design (NOT a port): qpOASES' hot-started active-set pivoting is an
+inherently sequential scalar algorithm.  Here we use fixed-iteration
+matrix-shaped methods that batch over thousands of scenarios:
+
+  * box_qp_projected_newton -- Bertsekas-style projected Newton: each
+    iteration solves the free-variable KKT system via a masked dense
+    solve (one batched linalg.solve on the MXU) and projects onto the
+    box.  Converges in a handful of iterations for strictly convex H and
+    is exact on the active set at convergence.
+  * box_qp_admm -- operator-splitting fallback (OSQP-flavored) with a
+    single Cholesky factorization of H + rho*I; robust for
+    ill-conditioned H, linear convergence.
+
+Both are jit/vmap friendly with static iteration counts (masked
+convergence), and warm-startable (pass z0) to mirror RTI hot-starting.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.precision import hdot, hmatvec
+
+
+def box_qp_kkt_residual(H, g, lb, ub, z):
+    """Projected-gradient KKT residual: || z - clip(z - (Hz+g)) ||_inf."""
+    grad = hmatvec(H, z) + g
+    return jnp.max(jnp.abs(z - jnp.clip(z - grad, lb, ub)))
+
+
+def box_qp_projected_newton(H, g, lb, ub, z0=None, iters: int = 12,
+                            reg: float = 1e-8):
+    """Projected Newton for strictly convex box QPs.
+
+    Returns z. All shapes (n,)/(n,n); vmap for batches.
+    """
+    n = g.shape[0]
+    dtype = g.dtype
+    z = jnp.clip(jnp.zeros_like(g) if z0 is None else z0, lb, ub)
+    I = jnp.eye(n, dtype=dtype)
+
+    def body(_, z):
+        grad = hmatvec(H, z) + g
+        at_lb = (z <= lb) & (grad > 0)
+        at_ub = (z >= ub) & (grad < 0)
+        active = at_lb | at_ub
+        free = jnp.logical_not(active).astype(dtype)
+        # masked KKT: rows/cols of active vars replaced by identity
+        M = H * (free[:, None] * free[None, :]) + jnp.diag(1.0 - free) + reg * I
+        rhs = -grad * free
+        dz = jnp.linalg.solve(M, rhs)
+        # projected line search: try full step, backtrack by halves (fixed 8)
+        def try_step(alpha):
+            zt = jnp.clip(z + alpha * dz, lb, ub)
+            f = 0.5 * hdot(zt, hmatvec(H, zt)) + hdot(g, zt)
+            return zt, f
+        f0 = 0.5 * hdot(z, hmatvec(H, z)) + hdot(g, z)
+        alphas = 2.0 ** -jnp.arange(8, dtype=dtype)
+        zts, fs = jax.vmap(try_step)(alphas)
+        best = jnp.argmin(fs)
+        improved = fs[best] < f0
+        return jnp.where(improved, zts[best], z)
+
+    return jax.lax.fori_loop(0, iters, body, z)
+
+
+def box_qp_admm(H, g, lb, ub, z0=None, rho: float = 1.0, iters: int = 100,
+                over_relax: float = 1.6):
+    """ADMM (OSQP-style splitting) for box QPs; one factorization total."""
+    n = g.shape[0]
+    dtype = g.dtype
+    z = jnp.clip(jnp.zeros_like(g) if z0 is None else z0, lb, ub)
+    u = jnp.zeros_like(g)
+    L = jnp.linalg.cholesky(H + rho * jnp.eye(n, dtype=dtype))
+
+    def solve_chol(rhs):
+        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+    def body(_, carry):
+        z, u = carry
+        x = solve_chol(-g + rho * (z - u))
+        x_r = over_relax * x + (1.0 - over_relax) * z
+        z_new = jnp.clip(x_r + u, lb, ub)
+        u = u + x_r - z_new
+        return z_new, u
+
+    z, u = jax.lax.fori_loop(0, iters, body, (z, u))
+    return z

@@ -1,0 +1,456 @@
+"""MINCO back-end trajectory optimizer (TPU-native).
+
+Rebuild of the reference `MSPlanner` (back_end/src/optimizer.cpp):
+
+  stage 1  "path pre-process"  -- pull the spline onto the front-end path
+           (costFunctionCallbackPath :1272-1591)
+  stage 2  "formal optimization" -- energy + kinodynamic + collision
+           penalties with an augmented-Lagrangian loop on the final-XY
+           equality constraint (costFunctionCallback :631-692,
+           attachPenaltyFunctional :694-1067, ALM update :376-418)
+  outer    collision re-check with annealed time weight
+           (minco_plan :169-220, check_final_collision :474-571)
+
+Decision variables (optimizer.cpp:263-287): the 2(N-1) inner points in
+flat space (yaw, s), the relaxed tail arc length S, and N virtual times
+tau (unconstrained; mapped to positive durations by a smooth bijection,
+optimizer.cpp:573-591).
+
+TPU design (NOT a port): the reference hand-derives ~700 lines of chain
+rule through the Simpson position integrals (VecSingleXGradCS etc.).
+Here the entire cost is one pure JAX function of the decision vector;
+jax.value_and_grad supplies exact gradients through the spline solve,
+the flow integral and the ESDF bilinear samples.  The L-BFGS + ALM +
+anneal loops are lax.while/fori loops, so a whole plan compiles to one
+XLA program and vmaps over scenario batches.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.flow import simpson_flow_positions
+from ..core.smoothing import positive_smoothed_l1
+from ..ops.esdf import ESDF, sample_dist_bilinear, dist_at_cell
+from ..solvers.lbfgs import LbfgsParams, lbfgs_minimize
+from ..solvers.minco import minco_coeffs, minco_energy
+from .flat_traj import FlatTraj
+
+INF = 1e30
+
+
+# ---------------------------------------------------------------------------
+# configuration (defaults = the "3ms" profile,
+# back_end/config/global_planning3ms.yaml + plan_manager/config/car3ms.yaml)
+# ---------------------------------------------------------------------------
+
+class BackendWeights(NamedTuple):
+    time_weight: float = 50.0
+    acc_weight: float = 300.0
+    domega_weight: float = 300.0
+    collision_weight: float = 500000.0
+    moment_weight: float = 300.0
+    mean_time_weight: float = 300.0
+    cen_acc_weight: float = 300.0
+
+
+class PathWeights(NamedTuple):
+    time_weight: float = 20.0
+    bigpath_weight: float = 200000.0
+    mean_time_weight: float = 100.0
+    moment_weight: float = 1000.0
+    acc_weight: float = 100.0
+    domega_weight: float = 100.0
+
+
+class AlmConfig(NamedTuple):
+    """ALM schedule; (normal, cut) variants from global_planning3ms.yaml."""
+
+    lambda0: tuple = (0.0, 0.0)
+    rho0: tuple = (10000.0, 10000.0)
+    rho_max: tuple = (1e10, 1e10)
+    gamma: tuple = (9.0, 9.0)
+    tolerance: float = 0.01
+    max_outer: int = 10
+
+
+CUT_ALM = AlmConfig(rho0=(1000.0, 1000.0), gamma=(5.0, 5.0), tolerance=0.5)
+
+
+class BackendConfig(NamedTuple):
+    # physical limits (car3ms.yaml)
+    max_vel: float = 3.0
+    min_vel: float = 0.0
+    max_acc: float = 2.0
+    max_omega: float = 3.0
+    max_domega: float = 4.0
+    max_cen_acc: float = 50.0
+    directly_constrain_v_omega: bool = False
+    # smoothing / sampling
+    smooth_eps: float = 0.01
+    sparse_resolution: int = 8
+    # collision
+    safe_dis: float = 0.6
+    final_min_safe_dis: float = 0.10
+    final_check_resolution: int = 16
+    max_collision_replans: int = 3
+    # checkpoints on the body, (K, 2) -- car3ms.yaml `checkpoint`
+    checkpoints: tuple = ((0.3, 0.0), (-0.3, 0.0))
+    # ICR xv for the position flow (planner side uses launch ICR)
+    icr_xv: float = 0.2
+    standard_diff: bool = False
+    # energy weights (theta, s)
+    energy_weights: tuple = (0.33, 1.0)
+    weights: BackendWeights = BackendWeights()
+    path_weights: PathWeights = PathWeights()
+    alm: AlmConfig = AlmConfig()
+    cut_alm: AlmConfig = CUT_ALM
+    # L-BFGS settings (lbfgs_params / path_lbfgs_params)
+    lbfgs: LbfgsParams = LbfgsParams(mem_size=64, past=3, g_epsilon=0.0,
+                                     min_step=1e-32, delta=5e-4,
+                                     max_iterations=0, hard_iter_cap=600)
+    path_lbfgs: LbfgsParams = LbfgsParams(mem_size=64, past=2, g_epsilon=0.0,
+                                          min_step=0.0, delta=5e-2,
+                                          max_iterations=0, hard_iter_cap=300)
+    shot_path_past: int = 8
+    shot_path_horizon: float = 0.5
+
+
+# ---------------------------------------------------------------------------
+# virtual <-> real time maps (optimizer.cpp:573-591)
+# ---------------------------------------------------------------------------
+
+def virtual_to_real_time(tau):
+    return jnp.where(tau > 0.0,
+                     (0.5 * tau + 1.0) * tau + 1.0,
+                     1.0 / ((0.5 * tau - 1.0) * tau + 1.0))
+
+
+def real_to_virtual_time(T):
+    return jnp.where(T > 1.0,
+                     jnp.sqrt(2.0 * T - 1.0) - 1.0,
+                     1.0 - jnp.sqrt(2.0 / jnp.maximum(T, 1e-12) - 1.0))
+
+
+# ---------------------------------------------------------------------------
+# decision-vector packing
+# ---------------------------------------------------------------------------
+
+def pack_vars(inner, tail_s, tau):
+    return jnp.concatenate([inner.reshape(-1, order="F"),
+                            tail_s[None], tau])
+
+
+def unpack_vars(x, n_pieces):
+    n_inner = 2 * (n_pieces - 1)
+    inner = x[:n_inner].reshape(2, n_pieces - 1, order="F")
+    tail_s = x[n_inner]
+    tau = x[n_inner + 1:]
+    return inner, tail_s, tau
+
+
+# ---------------------------------------------------------------------------
+# penalty functional (attachPenaltyFunctional, optimizer.cpp:694-1067)
+# ---------------------------------------------------------------------------
+
+def _even_node_weights(times, n_sub, dtype):
+    """Quadrature weights for per-node penalties: omega * step.
+
+    omega is 0.5 at piece endpoints, 1.0 elsewhere (optimizer.cpp:775);
+    step = T_i / n_sub.  Shape (N, n_sub + 1).
+    """
+    w = jnp.ones((n_sub + 1,), dtype).at[0].set(0.5).at[-1].set(0.5)
+    step = times / n_sub
+    return w[None, :] * step[:, None]
+
+
+def kinodynamic_penalties(samples, times, cfg: BackendConfig,
+                          acc_w, domega_w, moment_w, cen_acc_w):
+    """Inequality penalties at the even Simpson nodes of every piece.
+
+    samples: (sig, dsig, ddsig, dddsig) of shape (N, 2*n_sub+1, 2).
+    Returns scalar cost.  Exactly the terms of optimizer.cpp:829-910.
+    """
+    _, dsig, ddsig, _ = samples
+    n_sub = cfg.sparse_resolution
+    even = slice(0, 2 * n_sub + 1, 2)
+    dth = dsig[:, even, 0]
+    ds = dsig[:, even, 1]
+    ddth = ddsig[:, even, 0]
+    dds = ddsig[:, even, 1]
+    wq = _even_node_weights(times, n_sub, ds.dtype)
+
+    sl1 = partial(positive_smoothed_l1, eps=cfg.smooth_eps)
+    cost = 0.0
+
+    viola = dds * dds - cfg.max_acc ** 2
+    cost += acc_w * jnp.sum(wq * sl1(viola))
+
+    viola = ddth * ddth - cfg.max_domega ** 2
+    cost += domega_w * jnp.sum(wq * sl1(viola))
+
+    if cfg.directly_constrain_v_omega:
+        viola = ds * ds - cfg.max_vel ** 2
+        cost += moment_w * jnp.sum(wq * sl1(viola))
+        viola = dth * dth - cfg.max_omega ** 2
+        cost += moment_w * jnp.sum(wq * sl1(viola))
+    else:
+        # four hyperplanes of the (v, omega) torque quadrilateral
+        for sym in (-1.0, 1.0):
+            viola = (sym * cfg.max_vel * dth + cfg.max_omega * ds
+                     - cfg.max_vel * cfg.max_omega)
+            cost += moment_w * jnp.sum(wq * sl1(viola))
+        for sym in (-1.0, 1.0):
+            viola = (sym * (-cfg.min_vel) * dth - cfg.max_omega * ds
+                     + cfg.min_vel * cfg.max_omega)
+            cost += moment_w * jnp.sum(wq * sl1(viola))
+
+    viola = dth * dth * ds * ds - cfg.max_cen_acc ** 2
+    cost += cen_acc_w * jnp.sum(wq * sl1(viola))
+    return cost
+
+
+def collision_penalty(node_xy, samples, times, esdf: ESDF, safe_dis,
+                      cfg: BackendConfig):
+    """ESDF clearance penalty at even nodes x body checkpoints.
+
+    node_xy: (N, n_sub+1, 2) flow positions at even nodes.
+    optimizer.cpp:912-947.
+    """
+    sig = samples[0]
+    n_sub = cfg.sparse_resolution
+    yaw = sig[:, 0::2, 0]                       # (N, n_sub+1)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    cps = jnp.asarray(cfg.checkpoints, node_xy.dtype)  # (K, 2)
+    # body points: pos + R(yaw) @ cp
+    bx = node_xy[..., 0:1] + c[..., None] * cps[None, None, :, 0] \
+        - s[..., None] * cps[None, None, :, 1]
+    by = node_xy[..., 1:2] + s[..., None] * cps[None, None, :, 0] \
+        + c[..., None] * cps[None, None, :, 1]
+    pts = jnp.stack([bx, by], axis=-1)          # (N, n_sub+1, K, 2)
+    d = sample_dist_bilinear(esdf, pts)         # (N, n_sub+1, K)
+    viola = safe_dis - d
+    pena = positive_smoothed_l1(viola, cfg.smooth_eps)
+    wq = _even_node_weights(times, n_sub, d.dtype)[:, :, None]
+    return cfg.weights.collision_weight * jnp.sum(wq * pena)
+
+
+# ---------------------------------------------------------------------------
+# stage costs
+# ---------------------------------------------------------------------------
+
+def _spline(flat: FlatTraj, inner, tail_s, tau):
+    times = virtual_to_real_time(tau)
+    tail = flat.final_state.at[1, 0].set(tail_s)
+    coeffs = minco_coeffs(flat.start_state, tail, inner, times)
+    return coeffs, times
+
+
+def stage1_cost(x, flat: FlatTraj, cfg: BackendConfig):
+    """Path pre-process cost (costFunctionCallbackPath :1272-1591).
+
+    Energy + moment/acc/domega penalties + waypoint-attraction ("bigpath")
+    + time.  No collision, no ALM.
+    """
+    n = flat.num_pieces
+    inner, tail_s, tau = unpack_vars(x, n)
+    coeffs, times = _spline(flat, inner, tail_s, tau)
+    pw = cfg.path_weights
+    ew = jnp.asarray(cfg.energy_weights, x.dtype)
+
+    cost = minco_energy(coeffs, times, ew)
+    node_xy, final_xy, samples = simpson_flow_positions(
+        coeffs, times, flat.start_xytheta[:2],
+        0.0 if cfg.standard_diff else cfg.icr_xv, cfg.sparse_resolution)
+    cost += kinodynamic_penalties(samples, times, cfg, pw.acc_weight,
+                                  pw.domega_weight, pw.moment_weight, 0.0)
+    # waypoint attraction: flow end of piece i vs front-end position i
+    ends = node_xy[:, -1, :]                    # (N, 2)
+    err = ends - flat.inner_positions[:, :2]
+    cost += pw.bigpath_weight * jnp.sum(err * err)
+    cost += pw.time_weight * jnp.sum(times)
+
+    guard = jnp.linalg.norm(x) > 1e4
+    return jnp.where(guard, INF, cost)
+
+
+def stage2_cost(x, flat: FlatTraj, esdf: ESDF, safe_dis, lam, rho,
+                cfg: BackendConfig):
+    """Formal optimization cost (costFunctionCallback :631-692 +
+    attachPenaltyFunctional :694-1067)."""
+    n = flat.num_pieces
+    inner, tail_s, tau = unpack_vars(x, n)
+    coeffs, times = _spline(flat, inner, tail_s, tau)
+    w = cfg.weights
+    ew = jnp.asarray(cfg.energy_weights, x.dtype)
+
+    cost = minco_energy(coeffs, times, ew)
+    node_xy, final_xy, samples = simpson_flow_positions(
+        coeffs, times, flat.start_xytheta[:2],
+        0.0 if cfg.standard_diff else cfg.icr_xv, cfg.sparse_resolution)
+    cost += kinodynamic_penalties(samples, times, cfg, w.acc_weight,
+                                  w.domega_weight, w.moment_weight,
+                                  w.cen_acc_weight)
+    cost += collision_penalty(node_xy, samples, times, esdf, safe_dis, cfg)
+    cost += w.time_weight * jnp.sum(times)
+    # ALM on the final position equality (optimizer.cpp:1028-1037)
+    h = final_xy - flat.final_xytheta[:2]
+    cost += 0.5 * (rho[0] * (h[0] + lam[0] / rho[0]) ** 2
+                   + rho[1] * (h[1] + lam[1] / rho[1]) ** 2)
+
+    guard = jnp.linalg.norm(x) > 1e4
+    return jnp.where(guard, INF, cost)
+
+
+def final_xy_error(x, flat: FlatTraj, cfg: BackendConfig):
+    n = flat.num_pieces
+    inner, tail_s, tau = unpack_vars(x, n)
+    coeffs, times = _spline(flat, inner, tail_s, tau)
+    _, final_xy, _ = simpson_flow_positions(
+        coeffs, times, flat.start_xytheta[:2],
+        0.0 if cfg.standard_diff else cfg.icr_xv, cfg.sparse_resolution)
+    return final_xy - flat.final_xytheta[:2]
+
+
+# ---------------------------------------------------------------------------
+# final collision check (check_final_collision, optimizer.cpp:474-571)
+# ---------------------------------------------------------------------------
+
+def check_final_collision(coeffs, times, start_xytheta, esdf: ESDF,
+                          cfg: BackendConfig):
+    """True if any fine-resolution flow sample dips below final_min_safe_dis."""
+    node_xy, _, _ = simpson_flow_positions(
+        coeffs, times, start_xytheta[:2],
+        0.0 if cfg.standard_diff else cfg.icr_xv, cfg.final_check_resolution)
+    pts = node_xy.reshape(-1, 2)
+    d = sample_dist_bilinear(esdf, pts)
+    return jnp.min(d) < cfg.final_min_safe_dis
+
+
+# ---------------------------------------------------------------------------
+# the full planner (minco_plan + optimizer, optimizer.cpp:169-472)
+# ---------------------------------------------------------------------------
+
+class BackendResult(NamedTuple):
+    coeffs: jnp.ndarray       # (N, 6, 2)
+    times: jnp.ndarray        # (N,)
+    inner: jnp.ndarray        # (2, N-1)
+    tail_state: jnp.ndarray   # (2, 3)
+    final_xy_err: jnp.ndarray  # (2,)
+    collision: jnp.ndarray    # bool -- still colliding after anneal loop
+    replans: jnp.ndarray      # int
+    stage2_iters: jnp.ndarray
+
+
+def _alm_stage(x0, flat, esdf, safe_dis, cfg: BackendConfig, alm: AlmConfig,
+               time_weight):
+    """Stage-2 L-BFGS under an ALM outer loop (optimizer.cpp:376-418)."""
+    cfg_tw = cfg._replace(weights=cfg.weights._replace(time_weight=0.0))
+
+    def run_lbfgs(x, lam, rho):
+        def fun(z):
+            def cost_with_tw(z):
+                c = stage2_cost(z, flat, esdf, safe_dis, lam, rho, cfg_tw)
+                _, _, tau = unpack_vars(z, flat.num_pieces)
+                return c + time_weight * jnp.sum(virtual_to_real_time(tau))
+            return jax.value_and_grad(cost_with_tw)(z)
+        xs, f, status, k = lbfgs_minimize(fun, x, cfg.lbfgs)
+        return xs, k
+
+    lam0 = jnp.asarray(alm.lambda0, x0.dtype)
+    rho0 = jnp.asarray(alm.rho0, x0.dtype)
+    rho_max = jnp.asarray(alm.rho_max, x0.dtype)
+    gamma = jnp.asarray(alm.gamma, x0.dtype)
+
+    def cond(carry):
+        _, _, _, it, done, _ = carry
+        return jnp.logical_and(it < alm.max_outer, jnp.logical_not(done))
+
+    def body(carry):
+        x, lam, rho, it, _, iters = carry
+        x, k = run_lbfgs(x, lam, rho)
+        h = final_xy_error(x, flat, cfg)
+        done = jnp.linalg.norm(h) < alm.tolerance
+        lam = lam + rho * h
+        rho = jnp.minimum((1.0 + gamma) * rho, rho_max)
+        return x, lam, rho, it + 1, done, iters + k
+
+    x, lam, rho, it, done, iters = jax.lax.while_loop(
+        cond, body,
+        (x0, lam0, rho0, jnp.zeros((), jnp.int32), jnp.asarray(False),
+         jnp.zeros((), jnp.int32)))
+    return x, iters
+
+
+def plan_backend(flat: FlatTraj, esdf: ESDF, cfg: BackendConfig = BackendConfig()):
+    """Full back-end plan: stage-1 pre-process, stage-2 + ALM, collision
+    anneal loop.  jit/vmap friendly (N static)."""
+    n = flat.num_pieces
+    dtype = flat.start_state.dtype
+
+    # safe distance shrink near start (optimizer.cpp:176-177)
+    start_d = dist_at_cell(esdf, flat.start_xytheta[:2]) * 0.85
+    safe_dis = jnp.minimum(start_d, cfg.safe_dis)
+
+    inner0 = flat.inner_yaw_s
+    tail_s0 = flat.final_state[1, 0]
+    tau0 = real_to_virtual_time(jnp.full((n,), flat.init_piece_time, dtype))
+    x0 = pack_vars(inner0, tail_s0, tau0)
+
+    # ----- stage 1: path pre-process -----
+    # short-path tweak (optimizer.cpp:296-300): larger `past` window
+    short = jnp.abs(flat.final_state[1, 0]) < cfg.shot_path_horizon
+    p_norm = cfg.path_lbfgs
+    p_short = cfg.path_lbfgs._replace(past=cfg.shot_path_past)
+
+    def s1(params):
+        def fun(z):
+            return jax.value_and_grad(lambda q: stage1_cost(q, flat, cfg))(z)
+        xs, _, _, _ = lbfgs_minimize(fun, x0, params)
+        return xs
+
+    # `past` is a static int -> pick branch with lax.cond over two jitted fns
+    x1 = jax.lax.cond(short, lambda _: s1(p_short), lambda _: s1(p_norm),
+                      operand=None)
+
+    # ----- stage 2 + ALM, wrapped in the collision anneal loop -----
+    alm_n = cfg.alm
+    alm_c = cfg.cut_alm
+
+    def one_attempt(x_init, time_weight):
+        return jax.lax.cond(
+            flat.if_cut,
+            lambda op: _alm_stage(op[0], flat, esdf, safe_dis, cfg, alm_c, op[1]),
+            lambda op: _alm_stage(op[0], flat, esdf, safe_dis, cfg, alm_n, op[1]),
+            (x_init, time_weight))
+
+    def coll_cond(carry):
+        _, _, attempt, colliding, _ = carry
+        return jnp.logical_and(colliding, attempt < cfg.max_collision_replans)
+
+    def coll_body(carry):
+        _, tw, attempt, _, _ = carry
+        x2, iters = one_attempt(x1, tw)
+        inner, tail_s, tau = unpack_vars(x2, n)
+        coeffs, times = _spline(flat, inner, tail_s, tau)
+        colliding = check_final_collision(coeffs, times, flat.start_xytheta,
+                                          esdf, cfg)
+        return x2, tw * 0.75, attempt + 1, colliding, iters
+
+    x2, _, replans, colliding, iters = jax.lax.while_loop(
+        coll_cond, coll_body,
+        (x1, jnp.asarray(cfg.weights.time_weight, dtype),
+         jnp.zeros((), jnp.int32), jnp.asarray(True),
+         jnp.zeros((), jnp.int32)))
+
+    inner, tail_s, tau = unpack_vars(x2, n)
+    coeffs, times = _spline(flat, inner, tail_s, tau)
+    tail_state = flat.final_state.at[1, 0].set(tail_s)
+    h = final_xy_error(x2, flat, cfg)
+    return BackendResult(coeffs=coeffs, times=times, inner=inner,
+                         tail_state=tail_state, final_xy_err=h,
+                         collision=colliding, replans=replans,
+                         stage2_iters=iters)

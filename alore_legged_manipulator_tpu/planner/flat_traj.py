@@ -1,0 +1,58 @@
+"""Flat-trajectory planner <-> controller contracts.
+
+`FlatTraj` is the front-end -> back-end handoff (reference FlatTrajData,
+front_end/include/front_end/traj_representation.h:46-75): uniformly
+time-sampled (yaw, s) states along the searched path plus boundary flat
+states.
+
+`Polynome` is the back-end -> NMPC handoff (reference
+utils/carstatemsgs/msg/Polynome.msg, published by
+plan_manager.hpp:784-831 MPCPathPub): MINCO inner points + piece times +
+boundary states + world start pose + ICR -- everything the controller
+needs to rebuild the trajectory and its world-frame position flow.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class FlatTraj(NamedTuple):
+    """Front-end output, fixed piece count N (static shape).
+
+    inner_yaw_s : (2, N-1)  initial inner points (yaw, s)
+    init_piece_time : ()    uniform initial piece duration
+    inner_positions : (N, 3) world (x, y, yaw) targets per piece end
+                      (N-1 sampled waypoints + the final state)
+    start_state : (2, 3)    flat head state (pos, vel, acc) x (yaw, s)
+    final_state : (2, 3)    flat tail state
+    start_xytheta : (3,)    world start pose
+    final_xytheta : (3,)    world goal pose
+    if_cut : ()             bool -- trajectory truncated by the front end
+    """
+
+    inner_yaw_s: jnp.ndarray
+    init_piece_time: jnp.ndarray
+    inner_positions: jnp.ndarray
+    start_state: jnp.ndarray
+    final_state: jnp.ndarray
+    start_xytheta: jnp.ndarray
+    final_xytheta: jnp.ndarray
+    if_cut: jnp.ndarray
+
+    @property
+    def num_pieces(self) -> int:
+        return self.inner_yaw_s.shape[1] + 1
+
+
+class Polynome(NamedTuple):
+    """Planner -> controller message (Polynome.msg analogue)."""
+
+    traj_start_time: jnp.ndarray  # ()
+    inner_points: jnp.ndarray     # (2, N-1)
+    piece_times: jnp.ndarray      # (N,)
+    init_state: jnp.ndarray       # (2, 3)
+    tail_state: jnp.ndarray       # (2, 3)
+    start_position: jnp.ndarray   # (3,) world x, y, theta
+    icr: jnp.ndarray              # (3,) (yr, yl, xv)

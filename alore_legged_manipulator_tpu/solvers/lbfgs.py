@@ -30,6 +30,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import hdot
+
 
 class LbfgsParams(NamedTuple):
     mem_size: int = 8
@@ -60,7 +62,7 @@ def _line_search(fun, xp, fp, gp, d, step0, p: LbfgsParams):
     Returns (x, f, g, step, ok, fast_exit).
     `ok` False means the search errored (caller reverts), matching ls < 0.
     """
-    dginit = jnp.vdot(gp, d)
+    dginit = hdot(gp, d)
     dgtest = p.f_dec_coeff * dginit
     dstest = p.s_curv_coeff * dginit
 
@@ -80,7 +82,7 @@ def _line_search(fun, xp, fp, gp, d, step0, p: LbfgsParams):
         # fast exit (lbfgs.hpp:327-330)
         fast = jnp.abs(fp - f_new) / (jnp.abs(fp) + 1.0) < (p.delta / max(p.past, 1))
         armijo_fail = f_new > fp + step * dgtest
-        wolfe_fail = jnp.vdot(g_new, d) < dstest
+        wolfe_fail = hdot(g_new, d) < dstest
 
         accept = jnp.logical_and(jnp.logical_not(armijo_fail),
                                  jnp.logical_not(wolfe_fail))
@@ -207,9 +209,9 @@ def lbfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams()):
         # memory update
         s_new = x - xp
         y_new = g - gp
-        ys = jnp.vdot(y_new, s_new)
-        yy = jnp.vdot(y_new, y_new)
-        cau = jnp.vdot(s_new, s_new) * jnp.linalg.norm(gp) * p.cautious_factor
+        ys = hdot(y_new, s_new)
+        yy = hdot(y_new, y_new)
+        cau = hdot(s_new, s_new) * jnp.linalg.norm(gp) * p.cautious_factor
         use = jnp.logical_and(ys > cau, jnp.logical_not(done))
 
         lm_s = jnp.where(use, c.lm_s.at[c.end].set(s_new), c.lm_s)
@@ -225,7 +227,7 @@ def lbfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams()):
             d, alpha = carry
             j = (end - 1 - i) % m
             valid = i < bound
-            a = jnp.where(valid, jnp.vdot(lm_s[j], d) / lm_ys[j], 0.0)
+            a = jnp.where(valid, hdot(lm_s[j], d) / lm_ys[j], 0.0)
             d = d - a * lm_y[j]
             alpha = alpha.at[j].set(a)
             return d, alpha
@@ -241,7 +243,7 @@ def lbfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams()):
         def loop2(i, d):
             j = (end - bound + i) % m
             valid = i < bound
-            beta = jnp.where(valid, jnp.vdot(lm_y[j], d) / lm_ys[j], 0.0)
+            beta = jnp.where(valid, hdot(lm_y[j], d) / lm_ys[j], 0.0)
             return d + (alpha[j] - beta) * lm_s[j]
 
         d = jax.lax.fori_loop(0, m, loop2, d)

@@ -1,0 +1,30 @@
+"""Numerical-precision policy.
+
+This is an optimization framework, not a neural net: the hot contractions
+are tiny (6-term polynomial bases, L-BFGS inner products, <=200-variable
+solves) and their *accuracy* gates convergence, while their FLOPs are
+negligible.  TPU's default matmul precision lowers f32 dot inputs to
+bfloat16, which measurably breaks the planner (observed: 1e-2 polynomial
+eval error -> L-BFGS line searches stall -> paths through obstacles).
+
+Policy: every contraction in the numeric core pins
+`jax.lax.Precision.HIGHEST` (full f32 accumulation).  Batch throughput
+comes from vmap width, not from degrading the 6-wide dots.  Future Pallas
+kernels may opt into mixed precision deliberately, with tests.
+"""
+import jax
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def hdot(a, b):
+    """Full-precision vdot."""
+    return jax.numpy.vdot(a, b, precision=HIGHEST)
+
+
+def hmatvec(A, x):
+    return jax.numpy.matmul(A, x, precision=HIGHEST)
+
+
+def heinsum(spec, *args):
+    return jax.numpy.einsum(spec, *args, precision=HIGHEST)

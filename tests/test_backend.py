@@ -1,0 +1,135 @@
+"""Back-end trajectory optimizer tests on synthetic scenarios."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.core.flow import simpson_flow_positions
+from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+from alore_legged_manipulator_tpu.planner import (BackendConfig, FlatTraj,
+                                                  plan_backend, stage2_cost,
+                                                  virtual_to_real_time,
+                                                  real_to_virtual_time)
+from alore_legged_manipulator_tpu.planner.backend import pack_vars
+
+
+def _straight_flat_traj(start_xy, goal_xy, n_pieces, dtype=jnp.float64):
+    """Straight push: constant yaw toward the goal, s ramps 0 -> L."""
+    start_xy = np.asarray(start_xy, float)
+    goal_xy = np.asarray(goal_xy, float)
+    d = goal_xy - start_xy
+    L = float(np.hypot(*d))
+    yaw = float(np.arctan2(d[1], d[0]))
+    fracs = np.arange(1, n_pieces) / n_pieces
+    inner = np.stack([np.full(n_pieces - 1, yaw), L * fracs])  # (2, N-1)
+    positions = np.concatenate(
+        [start_xy[None] + fracs[:, None] * d[None], goal_xy[None]], 0)
+    positions = np.concatenate(
+        [positions, np.full((n_pieces, 1), yaw)], 1)           # (N, 3)
+    start_state = np.array([[yaw, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    final_state = np.array([[yaw, 0.0, 0.0], [L, 0.0, 0.0]])
+    total_t = max(L / 3.0 * 2.0, 1.0)
+    return FlatTraj(
+        inner_yaw_s=jnp.asarray(inner, dtype),
+        init_piece_time=jnp.asarray(total_t / n_pieces, dtype),
+        inner_positions=jnp.asarray(positions, dtype),
+        start_state=jnp.asarray(start_state, dtype),
+        final_state=jnp.asarray(final_state, dtype),
+        start_xytheta=jnp.asarray([*start_xy, yaw], dtype),
+        final_xytheta=jnp.asarray([*goal_xy, yaw], dtype),
+        if_cut=jnp.asarray(False),
+    )
+
+
+def _map_with_block(h=80, w=80, res=0.1, block=None):
+    occ = np.zeros((h, w), bool)
+    if block is not None:
+        x0, x1, y0, y1 = block
+        occ[x0:x1, y0:y1] = True
+    return esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), res)
+
+
+CFG = BackendConfig()
+
+
+def test_time_map_roundtrip():
+    T = jnp.array([0.1, 0.5, 1.0, 2.0, 7.3])
+    tau = real_to_virtual_time(T)
+    np.testing.assert_allclose(np.asarray(virtual_to_real_time(tau)),
+                               np.asarray(T), rtol=1e-12)
+    assert np.all(np.asarray(virtual_to_real_time(jnp.linspace(-5, 5, 50))) > 0)
+
+
+def test_stage2_cost_grad_finite_diff():
+    flat = _straight_flat_traj([1.0, 4.0], [6.0, 4.0], 4)
+    esdf = _map_with_block(block=(30, 40, 30, 36))
+    n = flat.num_pieces
+    tau0 = real_to_virtual_time(jnp.full((n,), flat.init_piece_time))
+    x0 = pack_vars(flat.inner_yaw_s, flat.final_state[1, 0], tau0)
+    lam = jnp.zeros(2)
+    rho = jnp.full((2,), 1e4)
+
+    f = lambda x: stage2_cost(x, flat, esdf, 0.6, lam, rho, CFG)
+    g = jax.grad(f)(x0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # directional-derivative checks: FD noise floor is ~|f| * 1e-16 / eps
+    eps = 1e-6
+    rng = np.random.default_rng(0)
+    fmag = abs(float(f(x0)))
+    noise = fmag * 1e-16 / eps * 10.0
+    for seed in range(4):
+        v = rng.standard_normal(x0.shape[0])
+        v /= np.linalg.norm(v)
+        v = jnp.asarray(v)
+        fd = (f(x0 + eps * v) - f(x0 - eps * v)) / (2 * eps)
+        dd = float(jnp.vdot(g, v))
+        assert abs(dd - float(fd)) < max(2e-4 * abs(float(fd)), noise), \
+            f"dir-deriv {dd} vs FD {float(fd)}"
+
+
+@pytest.mark.slow
+def test_plan_backend_free_space():
+    """In free space the plan must hit the goal XY within ALM tolerance."""
+    flat = _straight_flat_traj([1.0, 4.0], [6.0, 4.0], 4)
+    esdf = _map_with_block()  # empty map
+    res = jax.jit(lambda f: plan_backend(f, esdf, CFG))(flat)
+    err = float(jnp.linalg.norm(res.final_xy_err))
+    assert err < CFG.alm.tolerance * 1.5, f"final XY err {err}"
+    assert not bool(res.collision)
+    assert np.all(np.asarray(res.times) > 0)
+
+
+@pytest.mark.slow
+def test_plan_backend_avoids_obstacle():
+    """A block straddling the straight line forces a detour; the optimized
+    flow path must keep final_min_safe_dis clearance."""
+    flat = _straight_flat_traj([1.0, 4.0], [7.0, 4.0], 6)
+    # block across the corridor at x ~ [3.5, 4.5], y ~ [3.6, 4.4]
+    esdf = _map_with_block(block=(35, 45, 36, 44))
+    res = jax.jit(lambda f: plan_backend(f, esdf, CFG))(flat)
+    assert not bool(res.collision), "plan still colliding after anneal loop"
+    err = float(jnp.linalg.norm(res.final_xy_err))
+    assert err < CFG.alm.tolerance * 1.5
+
+    # sample the flow densely and check true clearance
+    from alore_legged_manipulator_tpu.ops.esdf import sample_dist_bilinear
+    node_xy, _, _ = simpson_flow_positions(
+        res.coeffs, res.times, flat.start_xytheta[:2], CFG.icr_xv, 32)
+    d = sample_dist_bilinear(esdf, node_xy.reshape(-1, 2))
+    assert float(jnp.min(d)) > CFG.final_min_safe_dis * 0.99
+
+
+@pytest.mark.slow
+def test_plan_backend_respects_limits():
+    flat = _straight_flat_traj([1.0, 4.0], [6.5, 4.0], 5)
+    esdf = _map_with_block(block=(30, 40, 34, 42))
+    res = jax.jit(lambda f: plan_backend(f, esdf, CFG))(flat)
+    from alore_legged_manipulator_tpu.core.flow import piece_samples
+    _, dsig, ddsig, _, _ = piece_samples(res.coeffs, res.times, 16)
+    # moment constraint: |v|*max_omega + |omega|*max_vel <= max_vel*max_omega
+    v = dsig[..., 1]
+    om = dsig[..., 0]
+    moment = np.abs(np.asarray(v)) * CFG.max_omega + np.abs(np.asarray(om)) * CFG.max_vel
+    # smoothed penalties allow small overshoot
+    assert moment.max() < CFG.max_vel * CFG.max_omega * 1.15
+    assert np.abs(np.asarray(ddsig[..., 1])).max() < CFG.max_acc * 1.3

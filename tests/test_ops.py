@@ -1,0 +1,109 @@
+"""ESDF and box-QP operator tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.ops import (
+    esdf_from_occupancy, sample_dist_grad_bilinear,
+    box_qp_admm, box_qp_projected_newton, box_qp_kkt_residual)
+from alore_legged_manipulator_tpu.ops.esdf import dist_at_cell
+
+
+def _brute_force_edt(occ, res):
+    """O(n^2) oracle: exact Euclidean distances between cell centers."""
+    H, W = occ.shape
+    ys, xs = np.meshgrid(np.arange(W), np.arange(H))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(float)
+    occ_pts = pts[occ.ravel()]
+    free_pts = pts[~occ.ravel()]
+
+    def dists_to(sources):
+        if len(sources) == 0:
+            return np.full(H * W, np.inf)
+        d = np.sqrt(((pts[:, None, :] - sources[None, :, :]) ** 2).sum(-1)).min(1)
+        return d
+
+    d_pos = dists_to(occ_pts) * res
+    d_neg = dists_to(free_pts) * res
+    d = np.where(d_neg > 0, d_pos - d_neg + res, d_pos)
+    return d.reshape(H, W)
+
+
+def test_esdf_matches_brute_force():
+    rng = np.random.default_rng(0)
+    occ = rng.random((24, 31)) < 0.15
+    res = 0.1
+    e = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), res)
+    oracle = _brute_force_edt(occ, res)
+    np.testing.assert_allclose(np.asarray(e.dist), oracle, atol=1e-5)
+
+
+def test_esdf_bilinear_sample_and_grad():
+    # single obstacle cell at (5, 5); distance field is radial-ish
+    occ = np.zeros((32, 32), bool)
+    occ[5, 5] = True
+    res = 0.1
+    e = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), res)
+
+    # at a cell center the bilinear value equals the grid value
+    pos = jnp.array([(10 + 0.5) * res, (5 + 0.5) * res])
+    d, g = sample_dist_grad_bilinear(e, pos)
+    np.testing.assert_allclose(float(d), float(e.dist[10, 5]), rtol=1e-6)
+    # moving away from the obstacle increases distance: grad points away
+    assert float(g[0]) > 0.9  # d(dist)/dx ~ +1 north of the obstacle
+
+    # autodiff through the sampler matches the returned analytic gradient
+    f = lambda p: sample_dist_grad_bilinear(e, p)[0]
+    g_ad = jax.grad(f)(pos + 0.013)
+    _, g_an = sample_dist_grad_bilinear(e, pos + 0.013)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_an), atol=1e-6)
+
+
+def test_esdf_out_of_map():
+    occ = np.zeros((8, 8), bool)
+    occ[4, 4] = True
+    e = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    d, g = sample_dist_grad_bilinear(e, jnp.array([-1.0, 0.5]))
+    assert float(d) == 1e10 and np.all(np.asarray(g) == 0)
+    assert float(dist_at_cell(e, jnp.array([99.0, 0.0]))) == 10000.0
+
+
+def _rand_qp(key, n):
+    k1, k2 = jax.random.split(key)
+    A = jax.random.normal(k1, (n, n))
+    H = A @ A.T + 0.5 * jnp.eye(n)
+    g = jax.random.normal(k2, (n,)) * 3.0
+    lb = jnp.full((n,), -0.8)
+    ub = jnp.full((n,), 0.8)
+    return H, g, lb, ub
+
+
+@pytest.mark.parametrize("solver,iters,tol", [
+    (box_qp_projected_newton, 12, 1e-6),
+    (box_qp_admm, 400, 1e-3),
+])
+def test_box_qp_kkt(solver, iters, tol):
+    H, g, lb, ub = _rand_qp(jax.random.PRNGKey(1), 20)
+    z = solver(H, g, lb, ub, iters=iters)
+    assert float(box_qp_kkt_residual(H, g, lb, ub, z)) < tol
+    assert np.all(np.asarray(z) >= np.asarray(lb) - 1e-9)
+    assert np.all(np.asarray(z) <= np.asarray(ub) + 1e-9)
+
+
+def test_box_qp_matches_unconstrained_when_inactive():
+    n = 10
+    H, g, _, _ = _rand_qp(jax.random.PRNGKey(2), n)
+    z_free = -jnp.linalg.solve(H, g)
+    big = jnp.abs(z_free).max() * 2.0
+    z = box_qp_projected_newton(H, g, -big * jnp.ones(n), big * jnp.ones(n))
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_free), atol=1e-6)
+
+
+def test_box_qp_batched():
+    keys = jax.random.split(jax.random.PRNGKey(3), 32)
+    Hs, gs, lbs, ubs = jax.vmap(lambda k: _rand_qp(k, 16))(keys)
+    zs = jax.vmap(lambda H, g, lb, ub: box_qp_projected_newton(H, g, lb, ub))(
+        Hs, gs, lbs, ubs)
+    res = jax.vmap(box_qp_kkt_residual)(Hs, gs, lbs, ubs, zs)
+    assert float(jnp.max(res)) < 1e-5
