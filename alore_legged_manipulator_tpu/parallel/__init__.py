@@ -1,0 +1,1 @@
+from .mesh import make_mesh, shard_scenarios, batched_tracking_step  # noqa: F401

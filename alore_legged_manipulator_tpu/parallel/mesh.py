@@ -1,0 +1,85 @@
+"""Device-mesh scaling utilities.
+
+The reference stack is a single-machine ROS graph with no data or model
+parallelism (SURVEY.md section 2.5).  The TPU framework's scaling axis is
+the *scenario fleet*: thousands of independent (object x start pose x
+corridor) closed-loop scenarios, sharded over a device mesh:
+
+  * axis "scenario" -- data parallelism over ICI/DCN: every field of the
+    batched pytrees carries a leading scenario dimension sharded on this
+    axis.  No cross-scenario communication is needed in the steady state,
+    so scaling efficiency is gated only by dispatch overhead.
+  * global reductions (fleet statistics, convergence counters, line-search
+    norms for globally-coupled solves) ride jnp aggregations which XLA
+    lowers to psum over ICI.
+
+With one process this works identically over `jax.devices()` (including
+the 8-way virtual CPU mesh used in tests); on a multi-host pod the same
+code spans hosts via jax.distributed.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..control.nmpc import NmpcConfig, nmpc_rti_step
+from ..control.tracked_traj import TrackedTraj, ref_points
+from ..core.dynamics import ICRParams
+from ..estimator.icr_ekf import EkfConfig, ekf_predict, ekf_update
+from ..world.plant import PlantConfig, plant_step
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "scenario") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_scenarios(mesh: Mesh, tree, axis: str = "scenario"):
+    """Place a batched pytree with leading scenario dim onto the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def batched_tracking_step(tt: TrackedTraj, true_icr: ICRParams,
+                          nmpc_cfg: NmpcConfig = NmpcConfig(),
+                          ekf_cfg: EkfConfig = EkfConfig(),
+                          plant_cfg: PlantConfig = PlantConfig(),
+                          substeps: int = 5):
+    """One full closed-loop control tick for a scenario batch.
+
+    Returns a function (plants, ekfs, carries, u_prevs, keys, t) -> same,
+    where every argument has a leading scenario axis.  jit it with sharded
+    inputs to scale over the mesh.
+    """
+
+    def one(plant, ekf, carry, u_prev, key, t):
+        est_pose = ekf.x[:3]
+        icr_est = ICRParams(yr=ekf.x[3], yl=ekf.x[4], xv=ekf.x[5])
+        ref_x, ref_u = ref_points(tt, t, nmpc_cfg.horizon, nmpc_cfg.dt,
+                                  est_pose[2])
+        carry, u_cmd, _, _ = nmpc_rti_step(carry, est_pose, ref_x, ref_u,
+                                           icr_est, nmpc_cfg)
+        ekf = ekf_predict(ekf, jnp.stack([u_prev[1], u_prev[0]]),
+                          nmpc_cfg.dt, ekf_cfg)
+
+        def sub(pk, _):
+            pl, key = pk
+            key, sk = jax.random.split(key)
+            pl = plant_step(pl, jnp.stack([u_prev[1], u_prev[0]]), true_icr,
+                            nmpc_cfg.dt / substeps, plant_cfg, sk)
+            return (pl, key), None
+
+        (plant, key), _ = jax.lax.scan(sub, (plant, key), None,
+                                       length=substeps)
+        ekf = ekf_update(ekf, plant.xytheta, ekf_cfg)
+        return plant, ekf, carry, u_cmd, key
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None))

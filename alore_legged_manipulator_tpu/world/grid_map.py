@@ -1,0 +1,71 @@
+"""Occupancy-grid construction and map painting.
+
+Covers the reference's GlobalMap yaml-obstacle path
+(utils/simulator/src/global_map.cpp get_grid_from_yaml) and the TAMP
+layer's object painting (plan_manager.hpp:470-496 paintSquare): missions
+temporarily stamp object footprints into the grid before planning.
+
+Grids are (H, W) bool arrays with x along axis 0; world coordinates
+follow the SDFmap convention (cell centers at lower + (idx + 0.5) * res).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def make_occupancy(h: int, w: int):
+    return jnp.zeros((h, w), bool)
+
+
+def _cell_centers(h, w, lower, res):
+    xs = lower[0] + (jnp.arange(h) + 0.5) * res
+    ys = lower[1] + (jnp.arange(w) + 0.5) * res
+    return xs[:, None], ys[None, :]
+
+
+def paint_rect(occ, lower, res, center, size, yaw=0.0, value=True):
+    """Stamp a (possibly rotated) rectangle footprint into the grid.
+
+    center: (2,) world; size: (2,) full extents; yaw: rotation.
+    value=True paints obstacles, False clears (setFree analogue).
+    """
+    h, w = occ.shape
+    xs, ys = _cell_centers(h, w, lower, res)
+    dx = xs - center[0]
+    dy = ys - center[1]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    u = c * dx + s * dy
+    v = -s * dx + c * dy
+    inside = (jnp.abs(u) <= size[0] / 2.0) & (jnp.abs(v) <= size[1] / 2.0)
+    return jnp.where(inside, value, occ)
+
+
+def paint_circle(occ, lower, res, center, radius, value=True):
+    h, w = occ.shape
+    xs, ys = _cell_centers(h, w, lower, res)
+    inside = (xs - center[0]) ** 2 + (ys - center[1]) ** 2 <= radius ** 2
+    return jnp.where(inside, value, occ)
+
+
+def random_boxes(key, occ, lower, res, n_boxes: int, size_range=(0.4, 1.2),
+                 margin: float = 1.0):
+    """Random rectangular obstacles (global_map method 2 analogue)."""
+    import jax
+
+    h, w = occ.shape
+    upper = (lower[0] + h * res, lower[1] + w * res)
+    keys = jax.random.split(key, n_boxes)
+    for k in keys:
+        kc, ks, ky = jax.random.split(k, 3)
+        cx = jax.random.uniform(kc, (), minval=lower[0] + margin,
+                                maxval=upper[0] - margin)
+        cy = jax.random.uniform(jax.random.fold_in(kc, 1), (),
+                                minval=lower[1] + margin,
+                                maxval=upper[1] - margin)
+        sx = jax.random.uniform(ks, (), minval=size_range[0],
+                                maxval=size_range[1])
+        sy = jax.random.uniform(jax.random.fold_in(ks, 1), (),
+                                minval=size_range[0], maxval=size_range[1])
+        yaw = jax.random.uniform(ky, (), minval=0.0, maxval=3.14159)
+        occ = paint_rect(occ, lower, res, (cx, cy), (sx, sy), yaw)
+    return occ

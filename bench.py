@@ -1,0 +1,76 @@
+"""Benchmark: NMPC solves/s/chip at the reference horizon (N=50, dt=0.01).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference C++ NMPC must finish one solve inside its 100 Hz
+real-time budget (max_mpc_time 0.0097 s, mpc3ms.yaml) on one CPU --
+i.e. ~103 solves/s.  vs_baseline = our solves/s/chip / 103.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from alore_legged_manipulator_tpu.control.nmpc import (
+        NmpcCarry, NmpcConfig, nmpc_rti_step)
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+
+    cfg = NmpcConfig()  # N=50, dt=0.01 -- the reference horizon
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+    dtype = jnp.float32
+    n = cfg.horizon
+
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    rng = np.random.default_rng(0)
+
+    x_traj = jnp.asarray(rng.standard_normal((B, n + 1, 3)) * 0.1, dtype)
+    u_traj = jnp.asarray(rng.standard_normal((B, n, 2)) * 0.1, dtype)
+    x_est = jnp.asarray(rng.standard_normal((B, 3)) * 0.1, dtype)
+    ts = 0.01 * np.arange(1, n + 2)
+    circle = np.stack([2 * np.sin(ts), 2 * (1 - np.cos(ts)), ts])
+    ref_x = jnp.asarray(np.broadcast_to(circle, (B, 3, n + 1)), dtype)
+    ref_u = jnp.asarray(np.ones((B, 2, n + 1)), dtype)
+
+    @jax.jit
+    def step(x_traj, u_traj, x_est, ref_x, ref_u):
+        f = jax.vmap(lambda xt, ut, xe, rx, ru: nmpc_rti_step(
+            NmpcCarry(x_traj=xt, u_traj=ut), xe, rx, ru, icr, cfg))
+        carry, u_cmd, _, _ = f(x_traj, u_traj, x_est, ref_x, ref_u)
+        # checksum forces full materialization; a host read of it is the
+        # only reliable sync under the remote-dispatch TPU platform
+        return carry.x_traj, carry.u_traj, jnp.sum(u_cmd)
+
+    # warmup / compile
+    xt, ut, s = step(x_traj, u_traj, x_est, ref_x, ref_u)
+    float(s)
+
+    iters = 20
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        xt, ut, s = step(xt, ut, x_est, ref_x, ref_u)
+        float(s)  # host sync
+        times.append(time.perf_counter() - t0)
+
+    med = float(np.median(times))
+    solves_per_s = B / med
+    baseline = 1.0 / 0.0097  # reference real-time budget, one CPU
+    print(json.dumps({
+        "metric": "nmpc_rti_solves_per_s_per_chip_N50",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Integration: plan with the back-end, track closed-loop with EKF in the
+loop -- the JAX twin of the reference planner_sim harness."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.control.tracked_traj import (
+    build_tracked_traj, pstate, ref_points)
+from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+from alore_legged_manipulator_tpu.estimator.icr_ekf import (
+    EkfConfig, ekf_init, ekf_predict, ekf_update)
+from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+from alore_legged_manipulator_tpu.planner import BackendConfig, plan_backend
+from alore_legged_manipulator_tpu.planner.flat_traj import Polynome
+from alore_legged_manipulator_tpu.runtime import LoopConfig, simulate_tracking
+from tests.test_backend import _straight_flat_traj, _map_with_block
+
+TRUE_ICR = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+
+
+def _plan_polynome(flat, esdf, cfg):
+    res = jax.jit(lambda f: plan_backend(f, esdf, cfg))(flat)
+    assert not bool(res.collision)
+    return Polynome(
+        traj_start_time=jnp.zeros(()),
+        inner_points=res.inner, piece_times=res.times,
+        init_state=flat.start_state, tail_state=res.tail_state,
+        start_position=flat.start_xytheta,
+        icr=jnp.array([TRUE_ICR.yr, TRUE_ICR.yl, TRUE_ICR.xv]))
+
+
+def test_ekf_converges_to_true_icr():
+    """Drive the exact ICR kinematics open-loop; the EKF ICR estimate must
+    converge within 1% (the reference's own convergence oracle,
+    icrekf.cpp:272-303)."""
+    cfg = EkfConfig()
+    ekf = ekf_init(jnp.zeros(3), jnp.array([-0.2, 0.2, 0.1]), cfg,
+                   dtype=jnp.float64)
+    from alore_legged_manipulator_tpu.estimator.icr_ekf import _dynamics
+
+    truth = jnp.array([0.0, 0.0, 0.0, TRUE_ICR.yr, TRUE_ICR.yl, TRUE_ICR.xv])
+    dt = 0.01
+
+    def step(state, k):
+        ekf, truth = state
+        # excite both wheels differently (turning needed for observability)
+        u = jnp.array([1.0 + 0.9 * jnp.sin(0.02 * k),
+                       1.0 - 0.9 * jnp.sin(0.02 * k)])
+        truth = _dynamics(truth, u, dt)
+        ekf = ekf_predict(ekf, u, dt, cfg)
+        ekf = ekf_update(ekf, truth[:3], cfg)
+        return (ekf, truth), ekf.x[3:6]
+
+    (ekf, truth), icr_hist = jax.lax.scan(step, (ekf, truth),
+                                          jnp.arange(3000))
+    final = np.asarray(icr_hist[-1])
+    target = np.array([TRUE_ICR.yr, TRUE_ICR.yl, TRUE_ICR.xv])
+    rel = np.abs(final - target) / np.abs(target)
+    assert rel.max() < 0.01, f"ICR rel err {rel}"
+
+
+@pytest.mark.slow
+def test_full_stack_plan_and_track():
+    """Back-end plan -> Polynome -> closed-loop NMPC tracking with the EKF
+    estimating pose AND ICR online, rate-limited noisy plant."""
+    cfg_b = BackendConfig()
+    flat = _straight_flat_traj([1.0, 4.0], [6.0, 4.2], 5)
+    esdf = _map_with_block(block=(30, 40, 34, 40))
+    msg = _plan_polynome(flat, esdf, cfg_b)
+
+    tt = build_tracked_traj(msg, n_grid=1024)
+    duration = float(tt.duration)
+    n_ticks = int(duration / 0.01) + 100
+
+    loop_cfg = LoopConfig()
+    res = jax.jit(lambda t: simulate_tracking(t, TRUE_ICR, n_ticks,
+                                              loop_cfg, seed=3))(tt)
+
+    perr = np.asarray(res.pos_err)
+    # transient from imperfect initial ICR guess, then tight tracking
+    assert perr[200:].max() < 0.15, f"tracking err {perr[200:].max():.3f}"
+    assert perr[-1] < 0.08
+    # the goal is reached
+    final_pose = np.asarray(res.xytheta[-1])
+    goal = np.asarray(flat.final_xytheta)
+    assert np.linalg.norm(final_pose[:2] - goal[:2]) < 0.1
+    # EKF ICR estimate improved over the initial guess
+    # (a ~4 s mostly-straight push only weakly excites the ICR params;
+    # dedicated convergence is covered by test_ekf_converges_to_true_icr)
+    icr0 = np.linalg.norm(np.array(loop_cfg.icr_guess)
+                          - np.array([TRUE_ICR.yr, TRUE_ICR.yl, TRUE_ICR.xv]))
+    assert np.asarray(res.icr_err)[-1] < icr0 * 0.75
+
+
+@pytest.mark.slow
+def test_batched_closed_loop():
+    """vmap the full closed loop over scenarios (the TPU scaling story)."""
+    cfg_b = BackendConfig()
+    flat = _straight_flat_traj([1.0, 4.0], [6.0, 4.2], 5)
+    esdf = _map_with_block(block=(30, 40, 34, 40))
+    msg = _plan_polynome(flat, esdf, cfg_b)
+    tt = build_tracked_traj(msg, n_grid=512)
+
+    B = 4
+    seeds = jnp.arange(B)
+    sim = jax.vmap(lambda s: simulate_tracking(tt, TRUE_ICR, 300,
+                                               LoopConfig(), seed=0, x0=None))
+    # vary by seed through fold_in on x0 perturbations instead
+    def one(s):
+        x0 = tt.seq[0] + jnp.array([0.02, -0.02, 0.05]) * s
+        return simulate_tracking(tt, TRUE_ICR, 300, LoopConfig(), 0, x0)
+
+    res = jax.vmap(one)(seeds.astype(tt.seq.dtype))
+    assert res.pos_err.shape == (B, 300)
+    assert float(res.pos_err[:, -1].max()) < 0.2

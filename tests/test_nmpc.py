@@ -1,0 +1,158 @@
+"""NMPC RTI tests: QP optimality, open-loop consistency, closed-loop tracking."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.control.nmpc import (
+    NmpcConfig, nmpc_init, nmpc_rti_step, prepare, feedback, rk4_step,
+    stage_weights)
+from alore_legged_manipulator_tpu.core.dynamics import (ICRParams,
+                                                        icr_dynamics,
+                                                        wheel_speeds_from_flat)
+
+ICR = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+CFG = NmpcConfig()
+
+
+def _circle_refs(t0, cfg, dtype=jnp.float64):
+    """ICR-feasible circle: exact integral of the ICR dynamics under
+    constant (v, w).  The naive kinematic circle is infeasible for this
+    model (it drops the lateral w*xv flow term)."""
+    R, v = 2.0, 1.0
+    w = v / R
+    xv = ICR.xv
+    ts = t0 + cfg.dt * jnp.arange(1, cfg.horizon + 2, dtype=dtype)
+    yaw = w * ts
+    x = v / w * jnp.sin(yaw) - xv * (jnp.cos(yaw) - 1.0)
+    y = -v / w * (jnp.cos(yaw) - 1.0) - xv * jnp.sin(yaw)
+    ref_x = jnp.stack([x, y, yaw])
+    vl, vr = wheel_speeds_from_flat(w, v, ICR)
+    ref_u = jnp.stack([jnp.full_like(ts, vr), jnp.full_like(ts, vl)])
+    return ref_x, ref_u
+
+
+def test_rk4_matches_dense_euler():
+    x = jnp.array([0.1, -0.2, 0.7])
+    u = jnp.array([1.0, 0.4])
+    big = rk4_step(x, u, ICR, 0.01)
+    fine = x
+    for _ in range(1000):
+        fine = fine + 1e-5 * icr_dynamics(fine, u, ICR)
+    np.testing.assert_allclose(np.asarray(big), np.asarray(fine), atol=1e-6)
+
+
+def test_prepare_sensitivities_match_fd():
+    carry = nmpc_init(CFG, jnp.array([0.0, 0.0, 0.3]), jnp.float64)
+    carry = carry._replace(u_traj=carry.u_traj + 0.5)
+    x_int, A, B = prepare(carry, ICR, CFG)
+    eps = 1e-7
+    x0, u0 = carry.x_traj[3], carry.u_traj[3]
+    for k in range(3):
+        dx = jnp.zeros(3).at[k].set(eps)
+        fd = (rk4_step(x0 + dx, u0, ICR, CFG.dt)
+              - rk4_step(x0 - dx, u0, ICR, CFG.dt)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(A[3][:, k]), np.asarray(fd),
+                                   atol=1e-7)
+
+
+def test_feedback_solves_the_condensed_qp():
+    """The RTI step's du must satisfy box-QP optimality for the condensed
+    quadratic model (the defining property of acado_feedbackStep)."""
+    dtype = jnp.float64
+    carry = nmpc_init(CFG, jnp.array([0.05, -0.03, 0.1], dtype), dtype)
+    ref_x, ref_u = _circle_refs(0.0, CFG, dtype)
+    x_est = jnp.array([0.02, 0.01, 0.05], dtype)
+
+    prep = prepare(carry, ICR, CFG)
+    new_carry, x_pred, u_pred = feedback(carry, prep, x_est, ref_x, ref_u,
+                                         ICR, CFG)
+    du = (new_carry.u_traj - carry.u_traj).reshape(-1)
+
+    # rebuild the QP explicitly and check the projected-gradient residual
+    from alore_legged_manipulator_tpu.control.nmpc import _condense
+    from alore_legged_manipulator_tpu.ops.qp import box_qp_kkt_residual
+    n = CFG.horizon
+    x_int, A, B = prep
+    C, a_off = _condense(carry.x_traj, x_int, A, B, x_est - carry.x_traj[0], n)
+    Qs, Rs, QN = stage_weights(CFG, dtype)
+    a = carry.x_traj + a_off
+    rx = a - ref_x.T
+    ru = carry.u_traj - ref_u.T[:n]
+    H = jnp.einsum("iax,iab,iby->xy", C[1:n], Qs[1:], C[1:n]) \
+        + jnp.einsum("ax,ab,by->xy", C[n], QN, C[n])
+    idx = jnp.arange(n * 2).reshape(n, 2)
+    H = H.at[idx[:, :, None], idx[:, None, :]].add(Rs)
+    g = jnp.einsum("iax,iab,ib->x", C[1:n], Qs[1:], rx[1:n]) \
+        + jnp.einsum("ax,ab,b->x", C[n], QN, rx[n]) \
+        + jnp.einsum("iab,ib->ia", Rs, ru).reshape(-1)
+    lb = -3.0 - carry.u_traj.reshape(-1)
+    ub = 3.0 - carry.u_traj.reshape(-1)
+    res = float(box_qp_kkt_residual(H, g, lb, ub, du))
+    assert res < 1e-6, f"KKT residual {res}"
+    # wheel bounds respected
+    assert float(jnp.max(jnp.abs(u_pred))) <= 3.0 + 1e-9
+
+
+def test_closed_loop_tracking_circle():
+    """Plant = true ICR dynamics; NMPC must track a feasible circle to cm."""
+    dtype = jnp.float64
+    cfg = CFG
+    x = jnp.array([0.0, 0.0, 0.0], dtype)
+    carry = nmpc_init(cfg, x, dtype)
+
+    n_ticks = 200  # 2 s at 100 Hz
+
+    def tick(state, k):
+        x, carry = state
+        t = k * cfg.dt
+        ref_x, ref_u = _circle_refs(t, cfg, dtype)
+        carry, u_cmd, _, _ = nmpc_rti_step(carry, x, ref_x, ref_u, ICR, cfg)
+        # plant: integrate true dynamics for one tick with the command
+        x = rk4_step(x, u_cmd, ICR, cfg.dt)
+        # tracking error vs reference pose at t+dt
+        err = jnp.linalg.norm(x[:2] - ref_x[:2, 0])
+        return (x, carry), err
+
+    (_, _), errs = jax.lax.scan(tick, (x, carry), jnp.arange(n_ticks))
+    errs = np.asarray(errs)
+    # after the 0.5 s transient, stay within 3 cm of the reference circle
+    assert errs[50:].max() < 0.03, f"max tracking err {errs[50:].max():.4f}"
+    assert errs[-1] < 0.02
+
+
+def test_closed_loop_with_wrong_initial_heading():
+    """Start 60 degrees off-heading 30 cm away; NMPC must converge."""
+    dtype = jnp.float64
+    cfg = CFG
+    x = jnp.array([-0.2, 0.2, 1.0], dtype)
+    carry = nmpc_init(cfg, x, dtype)
+
+    def tick(state, k):
+        x, carry = state
+        t = k * cfg.dt
+        ref_x, ref_u = _circle_refs(t, cfg, dtype)
+        carry, u_cmd, _, _ = nmpc_rti_step(carry, x, ref_x, ref_u, ICR, cfg)
+        x = rk4_step(x, u_cmd, ICR, cfg.dt)
+        err = jnp.linalg.norm(x[:2] - ref_x[:2, 0])
+        return (x, carry), err
+
+    (_, _), errs = jax.lax.scan(tick, (x, carry), jnp.arange(300))
+    errs = np.asarray(errs)
+    assert errs[-1] < 0.05, f"did not converge: final err {errs[-1]:.3f}"
+    assert errs[250:].max() < 0.08
+
+
+def test_batched_rti_step():
+    dtype = jnp.float64
+    cfg = CFG
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    x0 = jax.vmap(lambda k: jax.random.normal(k, (3,), dtype) * 0.1)(keys)
+    carries = jax.vmap(lambda x: nmpc_init(cfg, x, dtype))(x0)
+    ref_x, ref_u = _circle_refs(0.0, cfg, dtype)
+
+    step = jax.vmap(lambda c, x: nmpc_rti_step(c, x, ref_x, ref_u, ICR, cfg))
+    carries2, u_cmd, x_pred, u_pred = step(carries, x0)
+    assert u_cmd.shape == (B, 2)
+    assert np.all(np.abs(np.asarray(u_pred)) <= 3.0 + 1e-9)

@@ -107,3 +107,13 @@ def test_box_qp_batched():
         Hs, gs, lbs, ubs)
     res = jax.vmap(box_qp_kkt_residual)(Hs, gs, lbs, ubs, zs)
     assert float(jnp.max(res)) < 1e-5
+
+
+def test_box_qp_pncg_matches_direct():
+    from alore_legged_manipulator_tpu.ops import box_qp_pncg
+    H, g, lb, ub = _rand_qp(jax.random.PRNGKey(5), 40)
+    z_direct = box_qp_projected_newton(H, g, lb, ub, iters=15)
+    z_cg = box_qp_pncg(H, g, lb, ub, iters=8, cg_iters=60)
+    np.testing.assert_allclose(np.asarray(z_cg), np.asarray(z_direct),
+                               atol=2e-5)
+    assert float(box_qp_kkt_residual(H, g, lb, ub, z_cg)) < 1e-5
