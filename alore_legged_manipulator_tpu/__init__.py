@@ -16,3 +16,20 @@ batched linear algebra.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: whole-plan programs take minutes to
+# compile; caching them across processes makes replanning usable.  Opt
+# out with ALORE_TPU_NO_CACHE=1.
+import os as _os
+
+if not _os.environ.get("ALORE_TPU_NO_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache = _os.path.join(_os.path.dirname(__file__), _os.pardir,
+                               ".jax_cache")
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.path.abspath(_cache))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -1,0 +1,223 @@
+"""LTV-MPC for the standard diff-drive (v, omega inputs).
+
+Rebuild of the reference mpc_controller (mpc_controller/src/mpc.cpp):
+SQP-flavored linear time-varying MPC -- roll the unicycle model out along
+the current control sequence, linearize about that rollout
+(getLinearModel :217-232), assemble a QP over stacked states+inputs with
+
+  * cost      Q[0,1] on (x, y), Q[3] on yaw, Q[2] on (v - v_ref),
+              R on (v, omega), Rd on input rates (:317-368)
+  * equality  linearized dynamics (:370-432)
+  * bounds    |v| <= max_speed, |omega| <= max_omega, rate limits
+              |dv| <= max_acc*dt, |domega| <= max_domega*dt (:435-493)
+  * input-delay compensation: the first delay_num inputs are frozen to
+    the already-sent commands (:524-536, :613-616)
+
+and solve it with an OSQP-style ADMM (ops/qp.qp_admm_general), iterating
+rollout -> QP until the control change is small (getCmd :569-593).
+
+TPU design: the QP keeps the reference's sparse (x, u) variable layout
+but is assembled densely -- at T=30 that is 150 variables, where one
+batched dense Cholesky beats any sparse path, and everything vmaps over
+scenario fleets.  Defaults are the mpc3ms.yaml profile.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.qp import qp_admm_general
+
+NX = 3  # x, y, theta
+NU = 2  # v, omega
+
+
+class LtvMpcConfig(NamedTuple):
+    horizon: int = 30                  # predict_steps
+    dt: float = 0.01
+    q_diag: tuple = (15.0, 15.0, 0.0, 1.0)   # x, y, (v), yaw
+    r_diag: tuple = (0.0, 0.0)
+    rd_diag: tuple = (1.0, 0.05)
+    max_speed: float = 3.0
+    min_speed: float = 0.0
+    max_omega: float = 3.0
+    max_acc: float = 2.0
+    max_domega: float = 4.0
+    delay_num: int = 1
+    sqp_iters: int = 3                 # rollout->QP passes per tick
+    admm_iters: int = 150
+    admm_rho: float = 0.4
+
+
+class LtvMpcCarry(NamedTuple):
+    output: jnp.ndarray       # (2, T) planned (v, omega) sequence
+    delay_buff: jnp.ndarray   # (delay_num, 2) already-sent commands
+
+
+def ltv_mpc_init(cfg: LtvMpcConfig, dtype=jnp.float32) -> LtvMpcCarry:
+    return LtvMpcCarry(
+        output=jnp.zeros((2, cfg.horizon), dtype),
+        delay_buff=jnp.zeros((max(cfg.delay_num, 1), 2), dtype))
+
+
+def _rollout(x0, output, cfg: LtvMpcConfig):
+    """predictMotion (:259-268): unicycle rollout with clipped inputs.
+
+    Returns xbar (T+1, 4): (x, y, theta, v)."""
+    def step(s, u):
+        x, y, th, _ = s
+        v = jnp.clip(u[0], cfg.min_speed, cfg.max_speed)
+        w = jnp.clip(u[1], -cfg.max_omega, cfg.max_omega)
+        # reference order: position advances with the *commanded* v at the
+        # old heading, then heading integrates (stateTrans :233-256)
+        x = x + u[0] * jnp.cos(th) * cfg.dt
+        y = y + u[0] * jnp.sin(th) * cfg.dt
+        th = th + w * cfg.dt
+        nxt = jnp.stack([x, y, th, u[0]])
+        return nxt, nxt
+
+    x0v = jnp.concatenate([x0, jnp.zeros((1,), x0.dtype)])
+    _, xs = jax.lax.scan(step, x0v, output.T)
+    return jnp.concatenate([x0v[None], xs], axis=0)
+
+
+def _build_qp(xbar, xref, dref, carry: LtvMpcCarry, cfg: LtvMpcConfig):
+    """Assemble the dense (x,u) QP exactly as solveMPCV (:304-532)."""
+    T = cfg.horizon
+    d = cfg.delay_num
+    n_st = T - d
+    dimx = NX * n_st
+    dimu = NU * n_st
+    nx = dimx + dimu
+    dtype = xbar.dtype
+    Q = jnp.asarray(cfg.q_diag, dtype)
+    R = jnp.asarray(cfg.r_diag, dtype)
+    Rd = jnp.asarray(cfg.rd_diag, dtype)
+
+    # ---- Hessian (diagonal + Rd off-diagonals) ----
+    H = jnp.zeros((nx, nx), dtype)
+    ix = jnp.arange(n_st) * NX
+    H = H.at[ix, ix].set(2.0 * Q[0])
+    H = H.at[ix + 1, ix + 1].set(2.0 * Q[1])
+    H = H.at[ix + 2, ix + 2].set(2.0 * Q[3])
+    iu = dimx + jnp.arange(n_st) * NU
+    # interior inputs get 2*Rd from both neighboring rate terms
+    mid = jnp.arange(1, n_st - 1)
+    H = H.at[iu[0], iu[0]].set(2.0 * (R[0] + Rd[0] + Q[2]))
+    H = H.at[iu[0] + 1, iu[0] + 1].set(2.0 * (R[1] + Rd[1]))
+    H = H.at[iu[-1], iu[-1]].set(2.0 * (R[0] + Rd[0] + Q[2]))
+    H = H.at[iu[-1] + 1, iu[-1] + 1].set(2.0 * (R[1] + Rd[1]))
+    H = H.at[iu[mid], iu[mid]].set(2.0 * (R[0] + 2.0 * Rd[0] + Q[2]))
+    H = H.at[iu[mid] + 1, iu[mid] + 1].set(2.0 * (R[1] + 2.0 * Rd[1]))
+    # rate cross terms -Rd between consecutive inputs
+    j = jnp.arange(n_st - 1)
+    H = H.at[iu[j] + NU, iu[j]].set(-2.0 * Rd[0])
+    H = H.at[iu[j], iu[j] + NU].set(-2.0 * Rd[0])
+    H = H.at[iu[j] + NU + 1, iu[j] + 1].set(-2.0 * Rd[1])
+    H = H.at[iu[j] + 1, iu[j] + NU + 1].set(-2.0 * Rd[1])
+
+    # ---- gradient ----
+    g = jnp.zeros((nx,), dtype)
+    g = g.at[ix].set(-2.0 * Q[0] * xref[0, d:])
+    g = g.at[ix + 1].set(-2.0 * Q[1] * xref[1, d:])
+    g = g.at[ix + 2].set(-2.0 * Q[3] * xref[3, d:])
+    g = g.at[iu].set(-2.0 * Q[2] * dref[0, d:])
+
+    # ---- linearized dynamics equalities ----
+    # stage k (k = 0..n_st-1) relates state var k to state var k-1 and
+    # input var k, linearized at xbar[d + k]
+    th = xbar[d:d + n_st, 2]
+    v = xbar[d:d + n_st, 3]
+    sB00 = jnp.cos(th) * cfg.dt
+    sB10 = jnp.sin(th) * cfg.dt
+    sA02 = -sB10 * v
+    sA12 = sB00 * v
+    sC0 = -sA02 * th
+    sC1 = -sA12 * th
+
+    Aeq = jnp.zeros((dimx, nx), dtype)
+    beq = jnp.zeros((dimx,), dtype)
+    r = jnp.arange(n_st) * NX
+    Aeq = Aeq.at[r, r].set(1.0)
+    Aeq = Aeq.at[r + 1, r + 1].set(1.0)
+    Aeq = Aeq.at[r + 2, r + 2].set(1.0)
+    # input couplings -B
+    Aeq = Aeq.at[r, iu].set(-sB00)
+    Aeq = Aeq.at[r + 1, iu].set(-sB10)
+    Aeq = Aeq.at[r + 2, iu + 1].set(-cfg.dt)
+    # state couplings -A for k >= 1
+    k = jnp.arange(1, n_st)
+    Aeq = Aeq.at[r[k], r[k] - NX].set(-1.0)
+    Aeq = Aeq.at[r[k] + 1, r[k] + 1 - NX].set(-1.0)
+    Aeq = Aeq.at[r[k] + 2, r[k] + 2 - NX].set(-1.0)
+    Aeq = Aeq.at[r[k], r[k] - 1].set(-sA02[k])
+    Aeq = Aeq.at[r[k] + 1, r[k] - 1].set(-sA12[k])
+    beq = beq.at[r[k]].set(sC0[k])
+    beq = beq.at[r[k] + 1].set(sC1[k])
+    # k = 0 row absorbs the known previous state xbar[d]
+    x_prev = xbar[d, :3]
+    b0 = jnp.stack([
+        x_prev[0] + sA02[0] * x_prev[2] + sC0[0],
+        x_prev[1] + sA12[0] * x_prev[2] + sC1[0],
+        x_prev[2],
+    ])
+    beq = beq.at[0:3].set(b0)
+
+    # ---- input bounds + rate bounds ----
+    Abox = jnp.zeros((dimu, nx), dtype).at[jnp.arange(dimu),
+                                           dimx + jnp.arange(dimu)].set(1.0)
+    lb_box = jnp.tile(jnp.asarray([-cfg.max_speed, -cfg.max_omega], dtype),
+                      n_st)
+    ub_box = -lb_box
+
+    n_rate = n_st - 1
+    Arate = jnp.zeros((NU * n_rate, nx), dtype)
+    rr = jnp.arange(n_rate)
+    Arate = Arate.at[rr * NU, iu[rr]].set(-1.0)
+    Arate = Arate.at[rr * NU, iu[rr] + NU].set(1.0)
+    Arate = Arate.at[rr * NU + 1, iu[rr] + 1].set(-1.0)
+    Arate = Arate.at[rr * NU + 1, iu[rr] + 1 + NU].set(1.0)
+    max_cv = cfg.max_acc * cfg.dt
+    max_cw = cfg.max_domega * cfg.dt
+    lb_rate = jnp.tile(jnp.asarray([-max_cv, -max_cw], dtype), n_rate)
+    ub_rate = -lb_rate
+
+    A = jnp.concatenate([Abox, Aeq, Arate], axis=0)
+    lb = jnp.concatenate([lb_box, beq, lb_rate])
+    ub = jnp.concatenate([ub_box, beq, ub_rate])
+    return H, g, A, lb, ub
+
+
+def ltv_mpc_tick(carry: LtvMpcCarry, x_est, xref, dref, cfg: LtvMpcConfig):
+    """One 100 Hz control tick.
+
+    xref: (4, T) reference (x, y, v_unused, yaw); dref: (2, T) reference
+    (v, omega).  Returns (new_carry, cmd (v, omega)).
+    """
+    T = cfg.horizon
+    d = cfg.delay_num
+    n_st = T - d
+    dimx = NX * n_st
+
+    def sqp_iter(_, carry_out):
+        output = carry_out
+        xbar = _rollout(x_est, output, cfg)
+        H, g, A, lb, ub = _build_qp(xbar, xref, dref, carry, cfg)
+        sol, _ = qp_admm_general(H, g, A, lb, ub, iters=cfg.admm_iters,
+                                 rho=cfg.admm_rho)
+        u = sol[dimx:].reshape(n_st, NU).T      # (2, n_st)
+        new_output = jnp.concatenate(
+            [carry.delay_buff[:d].T, u], axis=1) if d > 0 else u
+        return new_output
+
+    output = jax.lax.fori_loop(0, cfg.sqp_iters, sqp_iter, carry.output)
+
+    cmd = output[:, d]
+    if d > 0:
+        delay_buff = jnp.concatenate(
+            [carry.delay_buff[1:], cmd[None]], axis=0)
+    else:
+        delay_buff = carry.delay_buff
+    return LtvMpcCarry(output=output, delay_buff=delay_buff), cmd

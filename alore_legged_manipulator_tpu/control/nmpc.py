@@ -120,28 +120,48 @@ def prepare(carry: NmpcCarry, icr: ICRParams, cfg: NmpcConfig):
 
 
 def _condense(x_traj, x_int, A, B, dx0, n: int):
-    """Build delta_x_i = C_i du + a_off_i via one scan.
+    """Build delta_x_i = C_i du + a_off_i  (N^2 condensing).
 
-    Returns C (N+1, NX, N*NU) and a_off (N+1, NX)."""
+    Returns C (N+1, NX, N*NU) and a_off (N+1, NX).
+
+    TPU note: the recurrence (C, e)_{i+1} = (A_i C_i + [B_i at col i],
+    A_i e_i + d_i) is an affine-map composition, which is associative --
+    lax.associative_scan evaluates all N prefixes in log2(N) parallel
+    rounds of small batched matmuls instead of N sequential steps.  This
+    cuts single-solve latency ~N/log(N)-fold on the condensing stage
+    (ACADO's condensePrep is the same O(N^2) math, fully sequential).
+    """
     nu_tot = n * NU
     d = x_int - x_traj[1:]                       # defects (N, 3)
 
-    def step(carry, inp):
-        Crow, e = carry                          # (NX, nu_tot), (NX,)
-        Ai, Bi, di, i = inp
-        Crow_next = heinsum("ab,bk->ak", Ai, Crow)
-        Crow_next = jax.lax.dynamic_update_slice(
-            Crow_next, Bi, (0, i * NU))
-        e_next = Ai @ e + di
-        return (Crow_next, e_next), (Crow_next, e_next)
+    # per-stage affine elements: G_i = [B_i at block i | d_i] (NX, nu+1)
+    G = jnp.zeros((n, NX, nu_tot + 1), x_traj.dtype)
+    idx = jnp.arange(n)
+    G = G.at[idx[:, None, None],
+             jnp.arange(NX)[None, :, None],
+             (idx[:, None, None] * NU
+              + jnp.arange(NU)[None, None, :])].set(B)
+    G = G.at[:, :, nu_tot].set(d)
 
-    C0 = jnp.zeros((NX, nu_tot), x_traj.dtype)
-    e0 = dx0
-    (_, _), (Cs, es) = jax.lax.scan(
-        step, (C0, e0),
-        (A, B, d, jnp.arange(n)))
-    C = jnp.concatenate([C0[None], Cs], axis=0)           # (N+1, NX, nu_tot)
-    a_off = jnp.concatenate([e0[None], es], axis=0)       # (N+1, NX)
+    def combine(left, right):
+        A1, G1 = left
+        A2, G2 = right
+        return (jnp.matmul(A2, A1, precision=jax.lax.Precision.HIGHEST),
+                jnp.matmul(A2, G1, precision=jax.lax.Precision.HIGHEST)
+                + G2)
+
+    _, Gpref = jax.lax.associative_scan(combine, (A, G), axis=0)
+    # prefix i covers stages 0..i: delta_x_{i+1} = Phi dx0 + Gpref_i [du; 1]
+    Apref = jax.lax.associative_scan(
+        lambda a, b: jnp.matmul(b, a, precision=jax.lax.Precision.HIGHEST),
+        A, axis=0)
+
+    C_rows = Gpref[:, :, :nu_tot]                         # (N, NX, nu_tot)
+    e_rows = Gpref[:, :, nu_tot] + heinsum("iab,b->ia", Apref, dx0)
+
+    C = jnp.concatenate([jnp.zeros((1, NX, nu_tot), x_traj.dtype), C_rows],
+                        axis=0)
+    a_off = jnp.concatenate([dx0[None], e_rows], axis=0)
     return C, a_off
 
 

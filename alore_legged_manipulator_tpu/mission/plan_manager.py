@@ -1,0 +1,185 @@
+"""Replanning orchestrator: the plan_manager rebuild.
+
+Host-level mission layer driving the TPU planners, mirroring
+plan_manager/include/plan_manager/plan_manager.hpp:
+
+  * FSM {IDLE, PLANNING, REPLAN, GOINGTOGOAL, EMERGENCY_STOP}
+    (MainThread :556-712)
+  * replanning from the *predicted* state at t + max_replan_time, computed
+    by integrating the current trajectory's ICR flow
+    (get_the_predicted_state, optimizer.cpp:1108-1189)
+  * front-end search + back-end optimize + Polynome handoff
+    (findJPSRoad :714-782, MPCPathPub :784-831)
+  * object painting into the map with ESDF refresh (paintSquare :470-496)
+
+The manager is deliberately host-side Python: it sequences jitted TPU
+programs (the backend plan) and native search (JPS) on wall-clock-scale
+events, exactly the role the ROS node played -- but it is also usable
+inside a stepped simulation where `t_now` is logical time.
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..control.tracked_traj import build_tracked_traj, pstate, vstate, astate
+from ..core import poly
+from ..ops.esdf import ESDF, esdf_from_occupancy
+from ..planner.backend import BackendConfig, BackendResult, plan_backend
+from ..planner.flat_traj import Polynome
+from ..planner.frontend import FrontendConfig, plan_frontend
+from ..world.grid_map import paint_rect
+
+
+class PlanState(enum.Enum):
+    IDLE = 0
+    PLANNING = 1
+    REPLAN = 2
+    GOING_TO_GOAL = 3
+    EMERGENCY_STOP = 4
+
+
+@dataclass
+class PlanManagerConfig:
+    replan_period: float = 1.0       # launch `replan_time` (5000 = one-shot)
+    max_replan_time: float = 0.05    # expected plan compute budget
+    goal_reach_dist_sq: float = 1.0  # MainThread :579 distance gate
+    backend: BackendConfig = field(default_factory=BackendConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    icr: tuple = (-0.3, 0.3, 0.2)    # (yr, yl, xv) published in Polynome
+    dtype: object = jnp.float32
+
+
+@dataclass
+class PlanManager:
+    occ: np.ndarray                  # (H, W) bool occupancy (mutable)
+    lower: tuple
+    res: float
+    cfg: PlanManagerConfig = field(default_factory=PlanManagerConfig)
+
+    state: PlanState = PlanState.IDLE
+    goal: Optional[np.ndarray] = None
+    esdf: Optional[ESDF] = None
+    polynome: Optional[Polynome] = None
+    tracked = None
+    plan_start_time: float = -1.0
+    traj_total_time: float = 0.0
+    last_loop_time: float = -1e30
+    _backend_jit: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.update_esdf()
+
+    # ---- map maintenance -------------------------------------------------
+    def update_esdf(self):
+        self.esdf = esdf_from_occupancy(jnp.asarray(self.occ),
+                                        jnp.asarray(self.lower,
+                                                    self.cfg.dtype),
+                                        self.res)
+
+    def paint_square(self, center, half_size=0.4, make_obs=True):
+        self.occ = np.asarray(paint_rect(
+            jnp.asarray(self.occ), jnp.asarray(self.lower, jnp.float32),
+            self.res, np.asarray(center, float),
+            (2 * half_size, 2 * half_size), 0.0, make_obs))
+        self.update_esdf()
+
+    # ---- mission ---------------------------------------------------------
+    def set_goal(self, goal_xyt):
+        self.goal = np.asarray(goal_xyt, float)
+        self.state = PlanState.IDLE if self.state != PlanState.EMERGENCY_STOP \
+            else self.state
+
+    def predicted_state(self, t_rel):
+        """Pose + flat (V, A, J) / (O, A, J) on the current trajectory at
+        trajectory-relative time t_rel (get_the_predicted_state)."""
+        tt = self.tracked
+        t = jnp.clip(jnp.asarray(t_rel, self.cfg.dtype), 0.0, tt.duration)
+        pose = pstate(tt, t)
+        v = poly.eval_traj(tt.traj, t, 1)
+        a = poly.eval_traj(tt.traj, t, 2)
+        j = poly.eval_traj(tt.traj, t, 3)
+        vaj = np.array([float(v[1]), float(a[1]), float(j[1])])
+        oaj = np.array([float(v[0]), float(a[0]), float(j[0])])
+        return np.asarray(pose, float), vaj, oaj
+
+    def _plan(self, start_xyt, start_vaj, start_oaj, t_now):
+        flat = plan_frontend(np.asarray(self.esdf.dist),
+                             self.lower, self.res, start_xyt, self.goal,
+                             self.cfg.frontend, start_vaj, start_oaj,
+                             self.cfg.dtype)
+        if flat is None:
+            self.state = PlanState.EMERGENCY_STOP
+            return None
+
+        n = flat.num_pieces
+        if n not in self._backend_jit:
+            self._backend_jit[n] = jax.jit(
+                lambda f, e: plan_backend(f, e, self.cfg.backend))
+        res: BackendResult = self._backend_jit[n](flat, self.esdf)
+        if bool(res.collision):
+            self.state = PlanState.EMERGENCY_STOP
+            return None
+
+        if self.plan_start_time < 0:
+            traj_start = t_now
+        else:
+            traj_start = t_now + self.cfg.max_replan_time
+        self.plan_start_time = traj_start
+
+        msg = Polynome(
+            traj_start_time=jnp.asarray(traj_start, self.cfg.dtype),
+            inner_points=res.inner, piece_times=res.times,
+            init_state=flat.start_state, tail_state=res.tail_state,
+            start_position=flat.start_xytheta,
+            icr=jnp.asarray(self.cfg.icr, self.cfg.dtype))
+        self.polynome = msg
+        self.tracked = build_tracked_traj(msg, n_grid=1024)
+        self.traj_total_time = float(self.tracked.duration)
+        return msg
+
+    def tick(self, t_now: float, robot_pose) -> Optional[Polynome]:
+        """Advance the FSM; returns a new Polynome when a plan was made."""
+        if self.goal is None or self.state == PlanState.EMERGENCY_STOP:
+            return None
+
+        robot_pose = np.asarray(robot_pose, float)
+        new_msg = None
+
+        due = (t_now - self.last_loop_time) > self.cfg.replan_period
+        if self.state == PlanState.IDLE or \
+                (self.state in (PlanState.PLANNING, PlanState.REPLAN) and due):
+            self.last_loop_time = t_now
+            if self.state == PlanState.IDLE:
+                self.state = PlanState.PLANNING
+                self.plan_start_time = -1.0
+                new_msg = self._plan(robot_pose, np.zeros(3), np.zeros(3),
+                                     t_now)
+            else:
+                near_goal = (np.sum((robot_pose[:2] - self.goal[:2]) ** 2)
+                             + abs((robot_pose[2] - self.goal[2])
+                                   % (2 * np.pi)) * 0.02
+                             < self.cfg.goal_reach_dist_sq)
+                short_left = self.traj_total_time < self.cfg.max_replan_time
+                if near_goal or short_left:
+                    self.state = PlanState.GOING_TO_GOAL
+                    return None
+                self.state = PlanState.REPLAN
+                t_pred = (t_now + self.cfg.max_replan_time
+                          - self.plan_start_time)
+                pose, vaj, oaj = self.predicted_state(t_pred)
+                new_msg = self._plan(pose, vaj, oaj, t_now)
+
+        # trajectory finished?
+        if (self.plan_start_time >= 0
+                and t_now - self.plan_start_time >= self.traj_total_time
+                and self.state != PlanState.EMERGENCY_STOP):
+            self.state = PlanState.IDLE
+            self.goal = None
+
+        return new_msg

@@ -1,0 +1,67 @@
+"""High-level object-velocity policy (actor-critic).
+
+Rebuild of rsl_rl/actor_critic_physic.py (PhysicActorCritic): the actor
+consumes the 11-step observation history augmented per-step with the
+(stop-gradient) LSTM velocity estimate, concatenated with the 128-d
+interaction-GNN embedding, through a shared MLP with separate base (3)
+and arm (6) heads; Gaussian policy with a learned state-independent std.
+The critic is a plain MLP on privileged observations.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .estimator import PhysicEstimator
+from .gnn import GraphBatch, InteractiveGNN
+from .nets import MLP
+
+N_BASE_ACTIONS = 3
+N_ARM_ACTIONS = 6
+
+
+class PhysicActorCritic(nn.Module):
+    history_length: int = 11
+    actor_hidden: Sequence[int] = (512, 256, 128)
+    init_noise_std: float = 1.0
+
+    @nn.compact
+    def __call__(self, obs_history, graph: GraphBatch
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """obs_history (B, T, D), graph built from privileged state.
+
+        Returns (mean (B, 9), std (9,), vel_estimate (B, 3)).
+        """
+        B, T, D = obs_history.shape
+
+        vel_est = PhysicEstimator(name="physic_estimator")(obs_history)
+        vel_tiled = jnp.broadcast_to(
+            jax.lax.stop_gradient(vel_est)[:, None, :], (B, T, 3))
+        obs_aug = jnp.concatenate([obs_history, vel_tiled], axis=-1)
+
+        z = InteractiveGNN(name="interactive_gnn")(graph)   # (B, 128)
+
+        actor_in = jnp.concatenate([obs_aug.reshape(B, -1), z], axis=-1)
+        feat = MLP(hidden=self.actor_hidden[:-1], out=self.actor_hidden[-1],
+                   act="elu", final_act=True, name="shared_mlp")(actor_in)
+        base_mean = nn.Dense(N_BASE_ACTIONS, name="base_head")(feat)
+        arm_mean = nn.Dense(N_ARM_ACTIONS, name="arm_head")(feat)
+        mean = jnp.concatenate([base_mean, arm_mean], axis=-1)
+
+        std = self.param(
+            "std", lambda k: jnp.full((N_BASE_ACTIONS + N_ARM_ACTIONS,),
+                                      self.init_noise_std))
+        return mean, std, vel_est
+
+
+class Critic(nn.Module):
+    hidden: Sequence[int] = (512, 256, 128)
+
+    @nn.compact
+    def __call__(self, critic_obs):
+        x = MLP(hidden=self.hidden[:-1], out=self.hidden[-1], act="elu",
+                final_act=True)(critic_obs)
+        return nn.Dense(1)(x)[..., 0]

@@ -1,0 +1,40 @@
+"""LSTM physics estimator: object (vx, vy, omega) from obs history.
+
+Rebuild of rsl_rl/physic_estimator.py: single-layer LSTM(128) over the
+11-step observation history, MLP(64) head to 3 outputs, trained by MSE
+against privileged object velocities.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .nets import MLP
+
+
+class PhysicEstimator(nn.Module):
+    lstm_hidden: int = 128
+    mlp_hidden: int = 64
+    out_dim: int = 3
+
+    @nn.compact
+    def __call__(self, obs_history):
+        """obs_history: (B, T, D) -> (B, out_dim)."""
+        B = obs_history.shape[0]
+        cell = nn.OptimizedLSTMCell(self.lstm_hidden,
+                                    dtype=obs_history.dtype,
+                                    param_dtype=obs_history.dtype)
+        carry = cell.initialize_carry(jax.random.PRNGKey(0),
+                                      obs_history[:, 0].shape)
+        carry = jax.tree_util.tree_map(
+            lambda c: c.astype(obs_history.dtype), carry)
+
+        scan = nn.scan(
+            lambda c, carry, x: c(carry, x),
+            variable_broadcast="params", split_rngs={"params": False},
+            in_axes=1, out_axes=1)
+        carry, _ = scan(cell, carry, obs_history)
+        last_hidden = carry[1]  # (B, H) -- the h state
+        x = nn.relu(nn.Dense(self.mlp_hidden)(last_hidden))
+        return nn.Dense(self.out_dim)(x)

@@ -1,0 +1,139 @@
+"""Interaction GNN: edge-conditioned message passing over the
+robot-base / joints / end-effector / object graph.
+
+Rebuild of Training/b2z1_multiobj_wbc_gnn_plan/rsl_rl/interactive_gnn.py:
+two EdgeConv layers with edge attributes (max aggregation), global mean
+pool, MLP readout to a 128-d embedding.
+
+TPU design (NOT a port): the reference routes a *fixed* 9-node topology
+through torch_geometric's sparse scatter machinery.  The graph never
+changes, so here it is dense tensors: node features (B, 9, node_dim),
+a static (E, 2) edge list, gather + segment-max as one masked reduction.
+No sparse ops, no batch index vectors -- the whole thing is three einsums
+and vmaps trivially.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .nets import MLP
+
+N_NODES = 9  # base, 6 joints, ee, object
+
+
+def _edge_list():
+    """interactive_gnn.py:204-210: base->joints star, joint chain,
+    joint6->ee, ee->object, plus reverses."""
+    edges = [(0, j) for j in range(1, 7)]
+    edges += [(j, j + 1) for j in range(1, 6)]
+    edges.append((6, 7))
+    edges.append((7, 8))
+    edges += [(d, s) for (s, d) in edges]
+    return np.asarray(edges, np.int32)  # (E, 2)
+
+
+EDGES = _edge_list()
+N_EDGES = EDGES.shape[0]
+
+
+class GraphBatch(NamedTuple):
+    nodes: jnp.ndarray      # (B, 9, node_dim)
+    edge_attr: jnp.ndarray  # (B, E, edge_dim)
+
+
+def quat_inverse(q):
+    return q * jnp.asarray([-1.0, -1.0, -1.0, 1.0], q.dtype)
+
+
+def quat_mul(q1, q2):
+    x1, y1, z1, w1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    x2, y2, z2, w2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return jnp.stack([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ], axis=-1)
+
+
+def build_interaction_graph(base_feat, joint_feats, ee_feat, object_feat,
+                            joint_poses, ee_pose, object_pose) -> GraphBatch:
+    """Assemble ONE graph's node features + edge attributes (vmap for
+    batches).
+
+    base_feat (5,), joint_feats (6, 11), ee_feat (8,), object_feat (10,);
+    poses are (.., 7) (xyz + xyzw quaternion) in the base frame.  Mirrors
+    interactive_gnn.py:100-249: zero-pad every node to 11 dims, append a
+    4-d type one-hot, edge attrs = relative position and relative
+    quaternion between endpoint poses.  Returns nodes (9, 15) and
+    edge_attr (E, 7).
+    """
+    dtype = base_feat.dtype
+
+    def pad_to(x, width):
+        return jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (width - x.shape[-1],), dtype)],
+            axis=-1)
+
+    nodes = jnp.concatenate([
+        pad_to(base_feat, 11)[None],
+        joint_feats,
+        pad_to(ee_feat, 11)[None],
+        pad_to(object_feat, 11)[None],
+    ], axis=0)                                     # (9, 11)
+
+    onehot = jnp.zeros((N_NODES, 4), dtype)
+    onehot = onehot.at[0, 0].set(1.0)
+    onehot = onehot.at[1:7, 1].set(1.0)
+    onehot = onehot.at[7, 2].set(1.0)
+    onehot = onehot.at[8, 3].set(1.0)
+    nodes = jnp.concatenate([nodes, onehot], axis=-1)   # (9, 15)
+
+    base_pose = jnp.asarray([0, 0, 0, 0, 0, 0, 1], dtype)[None]
+    poses = jnp.concatenate([base_pose, joint_poses, ee_pose[None],
+                             object_pose[None]], axis=0)  # (9, 7)
+
+    src, dst = EDGES[:, 0], EDGES[:, 1]
+    p_src = poses[src]
+    p_dst = poses[dst]
+    rel_pos = p_dst[..., :3] - p_src[..., :3]
+    rel_quat = quat_mul(p_dst[..., 3:], quat_inverse(p_src[..., 3:]))
+    edge_attr = jnp.concatenate([rel_pos, rel_quat], axis=-1)  # (E, 7)
+    return GraphBatch(nodes=nodes, edge_attr=edge_attr)
+
+
+class _EdgeConv(nn.Module):
+    """EdgeConv with edge attrs, max aggregation (EdgeConvWithEdgeAttr)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, edge_attr):
+        # x: (B, 9, D); messages on the static edge list
+        src, dst = EDGES[:, 0], EDGES[:, 1]
+        x_i = x[:, dst]          # central node (receives)
+        x_j = x[:, src]          # neighbor
+        msg_in = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
+        msg = MLP(hidden=(64,), out=self.hidden, act="relu")(msg_in)
+        # segment-max over incoming edges per node
+        big_neg = jnp.asarray(-1e30, msg.dtype)
+        out = jnp.full((x.shape[0], N_NODES, self.hidden), big_neg,
+                       msg.dtype)
+        out = out.at[:, dst].max(msg)
+        return jnp.where(out <= -1e29, 0.0, out)
+
+
+class InteractiveGNN(nn.Module):
+    hidden_dim: int = 64
+    out_dim: int = 128
+
+    @nn.compact
+    def __call__(self, g: GraphBatch):
+        x = nn.relu(_EdgeConv(self.hidden_dim)(g.nodes, g.edge_attr))
+        x = nn.relu(_EdgeConv(self.hidden_dim)(x, g.edge_attr))
+        pooled = jnp.mean(x, axis=1)               # global mean pool
+        return MLP(hidden=(64,), out=self.out_dim, act="relu")(pooled)

@@ -1,0 +1,95 @@
+"""Low-level whole-body-control policy architecture.
+
+Rebuild of Training/b2z1_multiobj_wbc_gnn_plan/low_level_model.py: the
+frozen visual-wholebody policy that turns proprioception + commands into
+18 joint targets.  Components:
+
+  * StateHistoryEncoder (:40-86): per-step linear projection to 30
+    channels, 1-D convolutions over the 10-step history, linear output.
+  * ActorCriticLow (:88-235): proprio + scan + privileged-latent
+    (either encoded from history or from the privileged observation
+    encoder), backbone MLP, separate leg (12) / arm (6) heads.
+
+In the full system this network is loaded from a trained checkpoint and
+run frozen inside the environment step (env_train.py:524-530); here the
+architecture exists so checkpoints can be converted and the hierarchical
+env runs end-to-end on TPU.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .nets import MLP
+
+
+class StateHistoryEncoder(nn.Module):
+    tsteps: int = 10
+    output_size: int = 20
+    channels: int = 10
+
+    @nn.compact
+    def __call__(self, obs_hist):
+        """obs_hist: (B, T, n_prop) -> (B, output_size)."""
+        B, T, _ = obs_hist.shape
+        x = nn.elu(nn.Dense(3 * self.channels)(obs_hist))   # (B, T, 30)
+        if T == 10:
+            x = nn.elu(nn.Conv(2 * self.channels, (4,), strides=(2,),
+                               padding="VALID")(x))
+            x = nn.elu(nn.Conv(self.channels, (2,), strides=(1,),
+                               padding="VALID")(x))
+        elif T == 20:
+            x = nn.elu(nn.Conv(2 * self.channels, (6,), strides=(2,),
+                               padding="VALID")(x))
+            x = nn.elu(nn.Conv(self.channels, (4,), strides=(2,),
+                               padding="VALID")(x))
+        elif T == 50:
+            x = nn.elu(nn.Conv(2 * self.channels, (8,), strides=(4,),
+                               padding="VALID")(x))
+            x = nn.elu(nn.Conv(self.channels, (5,), strides=(1,),
+                               padding="VALID")(x))
+            x = nn.elu(nn.Conv(self.channels, (5,), strides=(1,),
+                               padding="VALID")(x))
+        else:
+            raise ValueError("tsteps must be 10, 20 or 50")
+        x = x.reshape(B, -1)
+        return nn.elu(nn.Dense(self.output_size)(x))
+
+
+class ActorCriticLow(nn.Module):
+    """Dual-head low-level policy: 12 leg + 6 arm joint targets."""
+
+    num_prop: int = 33
+    num_hist: int = 10
+    num_priv: int = 9
+    priv_latent: int = 20
+    backbone_hidden: Sequence[int] = (256, 256, 256)
+    leg_head_hidden: Sequence[int] = (128,)
+    arm_head_hidden: Sequence[int] = (128,)
+    num_leg_actions: int = 12
+    num_arm_actions: int = 6
+
+    @nn.compact
+    def __call__(self, prop, prop_hist, priv=None):
+        """prop (B, num_prop) current proprioception; prop_hist
+        (B, num_hist, num_prop); priv (B, num_priv) privileged state
+        (training) or None (deployment: use the history encoder)."""
+        if priv is not None:
+            latent = MLP(hidden=(64,), out=self.priv_latent, act="elu",
+                         final_act=True, name="priv_encoder")(priv)
+        else:
+            latent = StateHistoryEncoder(
+                tsteps=self.num_hist, output_size=self.priv_latent,
+                name="history_encoder")(prop_hist)
+
+        x = jnp.concatenate([prop, latent], axis=-1)
+        feat = MLP(hidden=self.backbone_hidden[:-1],
+                   out=self.backbone_hidden[-1], act="elu", final_act=True,
+                   name="backbone")(x)
+        leg = MLP(hidden=self.leg_head_hidden, out=self.num_leg_actions,
+                  act="elu", name="leg_head")(feat)
+        arm = MLP(hidden=self.arm_head_hidden, out=self.num_arm_actions,
+                  act="elu", name="arm_head")(feat)
+        return jnp.concatenate([leg, arm], axis=-1)

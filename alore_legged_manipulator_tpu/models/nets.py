@@ -1,0 +1,30 @@
+"""Small shared network blocks (flax.linen)."""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MLP(nn.Module):
+    """Linear stack with an activation between layers.
+
+    hidden: hidden widths; out: output width; final_act: apply the
+    activation after the last layer too (the reference uses both styles).
+    """
+
+    hidden: Sequence[int]
+    out: int
+    act: str = "elu"
+    final_act: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        a = getattr(nn, self.act)
+        for h in self.hidden:
+            x = a(nn.Dense(h)(x))
+        x = nn.Dense(self.out)(x)
+        if self.final_act:
+            x = a(x)
+        return x

@@ -1,0 +1,50 @@
+"""Native (C++) components, built on demand and loaded via ctypes.
+
+The reference's front-end graph search is C++
+(front_end/src/jps_planner/graph_search.cpp); search is irregular
+host-side work that does not belong on the TPU, so it stays native here
+too.  The library is compiled once per environment into this package
+directory.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libjps.so")
+_SRC_PATH = os.path.join(_DIR, "jps.cpp")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC_PATH],
+        check=True, capture_output=True)
+
+
+def load_jps():
+    """Load (building if needed) the native JPS library; returns the
+    ctypes handle or raises RuntimeError."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+            try:
+                _build()
+            except (subprocess.CalledProcessError, FileNotFoundError) as e:
+                raise RuntimeError(f"native jps build failed: {e}") from e
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.jps_plan.restype = ctypes.c_int
+        lib.jps_plan.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib

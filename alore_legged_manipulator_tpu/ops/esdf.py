@@ -48,13 +48,17 @@ def _sq_dist_transform_1d(f, block: int = 256):
 
 def _edt(source_mask, res, block: int = 256):
     """Euclidean distance (meters) from each cell center to the nearest
-    cell with source_mask True.  source_mask: (H, W) bool."""
-    big = jnp.asarray(jnp.inf, jnp.float32)
-    f = jnp.where(source_mask, 0.0, big).astype(jnp.float32)
+    cell with source_mask True.  source_mask: (H, W) bool.
+
+    A source-free mask yields the finite cap (map diagonal) instead of
+    inf -- infs poison autodiff through downstream penalty terms."""
+    H, W = source_mask.shape
+    cap = jnp.asarray(float(H * H + W * W), jnp.float32)
+    f = jnp.where(source_mask, 0.0, cap).astype(jnp.float32)
     # pass over axis 1 (W), then axis 0 (H)
     d1 = _sq_dist_transform_1d(f, block)          # (H, W)
     d2 = _sq_dist_transform_1d(d1.T, block).T     # (H, W)
-    return res * jnp.sqrt(d2)
+    return res * jnp.sqrt(jnp.minimum(d2, cap))
 
 
 class ESDF(NamedTuple):

@@ -61,6 +61,9 @@ def batched_tracking_step(tt: TrackedTraj, true_icr: ICRParams,
     """
 
     def one(plant, ekf, carry, u_prev, key, t):
+        dtype = plant.xytheta.dtype
+        t = jnp.asarray(t, dtype)
+        u_prev = jnp.asarray(u_prev, dtype)
         est_pose = ekf.x[:3]
         icr_est = ICRParams(yr=ekf.x[3], yl=ekf.x[4], xv=ekf.x[5])
         ref_x, ref_u = ref_points(tt, t, nmpc_cfg.horizon, nmpc_cfg.dt,

@@ -1,0 +1,97 @@
+"""Scenario-fleet scaling measurement over a device mesh.
+
+The BASELINE.md north-star asks for >= 80% scaling efficiency from 1 to
+N >= 2 hosts at 10k+ batched scenarios.  The framework's steady-state
+closed loop needs *no* cross-scenario communication, so weak scaling is
+gated purely by dispatch + any fleet-level reductions (psum over ICI).
+
+`measure_scaling` runs the full closed-loop control tick (NMPC + EKF +
+plant) with the scenario axis sharded over growing sub-meshes and
+reports throughput and efficiency.  On the single-chip dev environment
+this runs on the virtual CPU mesh (indicative only -- virtual devices
+share cores); on a pod slice the same code measures the real metric.
+"""
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..control.nmpc import NmpcConfig, nmpc_init
+from ..control.tracked_traj import build_tracked_traj
+from ..core.dynamics import ICRParams
+from ..estimator.icr_ekf import ekf_init
+from ..planner.flat_traj import Polynome
+from ..world.plant import plant_init
+from .mesh import batched_tracking_step, make_mesh, shard_scenarios
+
+
+class ScalingPoint(NamedTuple):
+    n_devices: int
+    fleet: int
+    ticks_per_s: float
+    scenario_ticks_per_s: float
+    efficiency: float
+
+
+def _tiny_traj(dtype=jnp.float32):
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+    msg = Polynome(
+        traj_start_time=jnp.zeros((), dtype),
+        inner_points=jnp.asarray([[0.0], [1.0]], dtype),
+        piece_times=jnp.asarray([1.0, 1.0], dtype),
+        init_state=jnp.asarray([[0.0, 0, 0], [0.0, 0, 0]], dtype),
+        tail_state=jnp.asarray([[0.0, 0, 0], [2.0, 0, 0]], dtype),
+        start_position=jnp.zeros((3,), dtype),
+        icr=jnp.asarray([icr.yr, icr.yl, icr.xv], dtype))
+    return build_tracked_traj(msg, n_grid=128), icr
+
+
+def make_fleet(n, cfg: NmpcConfig, dtype=jnp.float32):
+    idx = jnp.arange(n)
+    plants = jax.vmap(lambda i: plant_init(jnp.zeros(3, dtype), dtype))(idx)
+    ekfs = jax.vmap(lambda i: ekf_init(
+        jnp.zeros(3, dtype), jnp.asarray([-0.2, 0.2, 0.1], dtype),
+        dtype=dtype))(idx)
+    carries = jax.vmap(lambda i: nmpc_init(cfg, jnp.zeros(3, dtype),
+                                           dtype))(idx)
+    u_prev = jnp.zeros((n, 2), dtype)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    return plants, ekfs, carries, u_prev, keys
+
+
+def measure_scaling(mesh_sizes: Sequence[int], batch_per_device: int = 64,
+                    horizon: int = 16, iters: int = 5):
+    """Time the sharded closed-loop tick at each mesh size."""
+    tt, icr = _tiny_traj()
+    cfg = NmpcConfig(horizon=horizon)
+    step_fn = batched_tracking_step(tt, icr, nmpc_cfg=cfg)
+    results = []
+    base = None
+    for nd in mesh_sizes:
+        mesh = make_mesh(nd)
+        fleet = batch_per_device * nd
+        state = make_fleet(fleet, cfg)
+        state = shard_scenarios(mesh, state)
+        plants, ekfs, carries, u_prev, keys = state
+        jstep = jax.jit(step_fn)
+        t0 = jnp.zeros(())
+        out = jstep(plants, ekfs, carries, u_prev, keys, t0)
+        float(jnp.sum(out[3]))  # sync
+        times = []
+        for _ in range(iters):
+            t = time.perf_counter()
+            out = jstep(out[0], out[1], out[2], out[3], out[4], t0)
+            float(jnp.sum(out[3]))
+            times.append(time.perf_counter() - t)
+        med = float(np.median(times))
+        tick_rate = 1.0 / med
+        scen_rate = fleet / med
+        if base is None:
+            base = scen_rate / nd
+        eff = scen_rate / (nd * base)
+        results.append(ScalingPoint(nd, fleet, tick_rate, scen_rate, eff))
+    return results

@@ -1,0 +1,3 @@
+from .env import PushEnvConfig, PushEnvState, env_reset, env_step  # noqa: F401
+from .ppo import PpoConfig, PpoState, ppo_init, ppo_update  # noqa: F401
+from .runner import train as ppo_train  # noqa: F401

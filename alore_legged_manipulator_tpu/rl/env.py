@@ -1,0 +1,215 @@
+"""Batched object-pushing RL environment (TPU surrogate).
+
+Capability rebuild of the reference IsaacLab Direct env
+(Training/b2z1_multiobj_wbc_gnn_plan/b2z1_multiobj_wbc_gnn_plan_env_train.py,
+B2Z1MultiObjWBCGNNPLANEnv): the hierarchical high-level policy commands the
+*object's* planar velocity (3) plus 6 arm joint deltas; rewards regulate
+object-velocity tracking with smoothness/effort penalties; episodes are
+20 s at a 50 Hz control rate (sim dt 1/200 x decimation 4, cfg :160-211).
+
+IsaacSim/PhysX does not exist on TPU, so the plant is a physically
+plausible surrogate: the pushed object is a planar rigid body with
+randomized mass/friction/COM whose commanded velocity is realized through
+a first-order contact model with lateral ICR slip -- the same family of
+dynamics the planner stack models.  Three object classes (chair / table /
+box, env :176-182) differ in inertia and friction ranges.  The
+observation/critic layout keeps the reference structure (obs history of
+actor observations; privileged critic obs with true velocities and
+physical parameters; graph features for the interaction GNN).
+
+Everything is pure-functional: `env_step` vmaps over thousands of
+environments per chip.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+N_ACTIONS = 9          # obj (vx, vy, wz) + 6 arm joint deltas
+OBS_DIM = 70           # per-step actor observation (reference layout size)
+HIST = 11
+CRITIC_EXTRA = 14      # privileged tail: vels, mass, friction, com, type
+
+
+class PushEnvConfig(NamedTuple):
+    dt: float = 0.02               # 50 Hz high-level control
+    episode_len_s: float = 20.0
+    action_scale_lin: float = 1.0  # m/s
+    action_scale_ang: float = 1.0  # rad/s
+    action_scale_arm: float = 0.1
+    # contact model ranges (randomized per episode)
+    mass_range: tuple = (5.0, 40.0)
+    friction_range: tuple = (0.3, 1.2)
+    com_range: float = 0.15
+    # reward scales (structure of cfg :821-852)
+    w_track_lin: float = 2.0
+    w_track_ang: float = 1.0
+    w_align: float = 0.5
+    w_smooth: float = -0.05
+    w_arm_effort: float = -0.01
+    tip_vel_limit: float = 3.5
+
+    @property
+    def max_steps(self) -> int:
+        return int(self.episode_len_s / self.dt)
+
+
+class PushEnvState(NamedTuple):
+    obj_pose: jnp.ndarray      # (3,) x, y, yaw (world)
+    obj_vel: jnp.ndarray       # (3,) vx, vy, wz (body frame)
+    arm_q: jnp.ndarray         # (6,)
+    cmd: jnp.ndarray           # (3,) commanded object velocity (episode goal)
+    mass: jnp.ndarray          # ()
+    friction: jnp.ndarray      # ()
+    com: jnp.ndarray           # (2,) center-of-mass offset
+    obj_type: jnp.ndarray      # () int32: 0 chair / 1 table / 2 box
+    prev_action: jnp.ndarray   # (9,)
+    obs_hist: jnp.ndarray      # (HIST, OBS_DIM)
+    t: jnp.ndarray             # () int32 step counter
+    key: jnp.ndarray
+
+
+def _observe(st: PushEnvState, cfg: PushEnvConfig):
+    """Per-step 70-d actor observation (structure of env :687-711:
+    commands, body-frame velocities (policy-visible, noisy), arm state,
+    previous action, object-type one-hot, padding to the layout width)."""
+    key, sub = jax.random.split(st.key)
+    vel_noisy = st.obj_vel + 0.02 * jax.random.normal(sub, (3,),
+                                                      st.obj_vel.dtype)
+    onehot = jax.nn.one_hot(st.obj_type, 3, dtype=st.obj_vel.dtype)
+    parts = [
+        st.cmd,                    # 3
+        vel_noisy,                 # 3
+        jnp.sin(st.obj_pose[2:3]), jnp.cos(st.obj_pose[2:3]),  # 2
+        st.arm_q,                  # 6
+        st.prev_action,            # 9
+        onehot,                    # 3
+    ]
+    obs = jnp.concatenate(parts)
+    pad = OBS_DIM - obs.shape[0]
+    obs = jnp.concatenate([obs, jnp.zeros((pad,), obs.dtype)])
+    return obs, key
+
+
+def critic_observation(st: PushEnvState, cfg: PushEnvConfig):
+    """Privileged critic observation: actor obs tail + true object
+    velocity, mass, friction, COM (env :757-790)."""
+    actor_flat = st.obs_hist.reshape(-1)
+    priv = jnp.concatenate([
+        st.obj_vel,                                    # true velocity 3
+        st.mass[None] / 40.0, st.friction[None],       # 2
+        st.com,                                        # 2
+        jax.nn.one_hot(st.obj_type, 3,
+                       dtype=st.obj_vel.dtype),        # 3
+        st.cmd - st.obj_vel,                           # tracking err 3
+        jnp.zeros((1,), st.obj_vel.dtype),             # pad
+    ])
+    return jnp.concatenate([actor_flat, priv])
+
+
+def graph_features(st: PushEnvState):
+    """Structured features for the interaction GNN (models/gnn.py)."""
+    dtype = st.obj_vel.dtype
+    base_feat = jnp.concatenate([jnp.sin(st.obj_pose[2:3]),
+                                 jnp.cos(st.obj_pose[2:3]),
+                                 st.obj_vel])                     # 5
+    q = st.arm_q
+    joint_feats = []
+    joint_poses = []
+    for j in range(6):
+        pose = jnp.concatenate([
+            jnp.asarray([0.1 * (j + 1)], dtype), jnp.zeros((1,), dtype),
+            0.05 * q[j:j + 1],
+            jnp.zeros((3,), dtype), jnp.ones((1,), dtype)])       # 7
+        feat = jnp.concatenate([pose, q[j:j + 1], jnp.zeros((1,), dtype),
+                                q[j:j + 1], jnp.zeros((1,), dtype)])  # 11
+        joint_feats.append(feat)
+        joint_poses.append(pose)
+    joint_feats = jnp.stack(joint_feats)
+    joint_poses = jnp.stack(joint_poses)
+    ee_pose = jnp.concatenate([jnp.asarray([0.7, 0.0, 0.3], dtype),
+                               jnp.zeros((3,), dtype),
+                               jnp.ones((1,), dtype)])
+    ee_feat = jnp.concatenate([ee_pose, jnp.ones((1,), dtype)])   # 8
+    obj_pose7 = jnp.concatenate([
+        jnp.asarray([0.8, 0.0, 0.0], dtype),
+        jnp.zeros((2,), dtype), jnp.sin(st.obj_pose[2:3] / 2),
+        jnp.cos(st.obj_pose[2:3] / 2)])
+    object_feat = jnp.concatenate([obj_pose7, st.cmd])            # 10
+    return (base_feat, joint_feats, ee_feat, object_feat,
+            joint_poses, ee_pose, obj_pose7)
+
+
+def env_reset(key, cfg: PushEnvConfig = PushEnvConfig(),
+              dtype=jnp.float32) -> PushEnvState:
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    mass = jax.random.uniform(k1, (), dtype, *cfg.mass_range)
+    fric = jax.random.uniform(k2, (), dtype, *cfg.friction_range)
+    com = jax.random.uniform(k3, (2,), dtype, -cfg.com_range, cfg.com_range)
+    cmd = jax.random.uniform(k4, (3,), dtype, -1.0, 1.0) \
+        * jnp.asarray([1.0, 0.5, 1.0], dtype)
+    obj_type = jax.random.randint(k5, (), 0, 3)
+    st = PushEnvState(
+        obj_pose=jnp.zeros((3,), dtype), obj_vel=jnp.zeros((3,), dtype),
+        arm_q=jnp.zeros((6,), dtype), cmd=cmd, mass=mass, friction=fric,
+        com=com, obj_type=obj_type, prev_action=jnp.zeros((9,), dtype),
+        obs_hist=jnp.zeros((HIST, OBS_DIM), dtype),
+        t=jnp.zeros((), jnp.int32), key=k6)
+    obs, key = _observe(st, cfg)
+    hist = jnp.broadcast_to(obs, (HIST, OBS_DIM))
+    return st._replace(obs_hist=hist, key=key)
+
+
+def env_step(st: PushEnvState, action, cfg: PushEnvConfig = PushEnvConfig()):
+    """One 50 Hz step.  Returns (new_state, obs_hist, reward, done)."""
+    dtype = st.obj_vel.dtype
+    a = jnp.clip(action, -1.0, 1.0).astype(dtype)
+    vel_cmd = a[:3] * jnp.asarray([cfg.action_scale_lin, cfg.action_scale_lin,
+                                   cfg.action_scale_ang], dtype)
+    arm_delta = a[3:] * cfg.action_scale_arm
+
+    # contact surrogate: commanded velocity realized through first-order
+    # dynamics; heavier / lower-friction objects respond slower; the COM
+    # offset couples angular command into lateral drift (ICR behavior)
+    type_inertia = jnp.asarray([1.0, 1.6, 0.7], dtype)[st.obj_type]
+    tau = 0.08 * st.mass / 10.0 * type_inertia / jnp.maximum(st.friction, 0.1)
+    alpha = 1.0 - jnp.exp(-cfg.dt / jnp.maximum(tau, 1e-3))
+    slip = jnp.stack([-st.com[1] * vel_cmd[2], st.com[0] * vel_cmd[2],
+                      jnp.zeros((), dtype)])
+    vel_new = st.obj_vel + alpha * (vel_cmd + slip - st.obj_vel)
+
+    yaw = st.obj_pose[2]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    dpos = jnp.stack([c * vel_new[0] - s * vel_new[1],
+                      s * vel_new[0] + c * vel_new[1], vel_new[2]])
+    pose_new = st.obj_pose + cfg.dt * dpos
+    arm_new = jnp.clip(st.arm_q + arm_delta, -1.5, 1.5)
+
+    prev_a = st.prev_action
+    st = st._replace(obj_pose=pose_new, obj_vel=vel_new, arm_q=arm_new,
+                     prev_action=a, t=st.t + 1)
+    obs, key = _observe(st, cfg)
+    hist = jnp.concatenate([st.obs_hist[1:], obs[None]], axis=0)
+    st = st._replace(obs_hist=hist, key=key)
+
+    # rewards (_get_rewards structure)
+    err_lin = jnp.sum((st.cmd[:2] - vel_new[:2]) ** 2)
+    err_ang = (st.cmd[2] - vel_new[2]) ** 2
+    r_track = cfg.w_track_lin * jnp.exp(-err_lin / 0.25) \
+        + cfg.w_track_ang * jnp.exp(-err_ang / 0.25)
+    vdir = vel_new[:2]
+    cdir = st.cmd[:2]
+    align = jnp.sum(vdir * cdir) / (
+        jnp.linalg.norm(vdir) * jnp.linalg.norm(cdir) + 1e-6)
+    r_align = cfg.w_align * align
+    r_smooth = cfg.w_smooth * jnp.sum((a - prev_a) ** 2)
+    r_arm = cfg.w_arm_effort * jnp.sum(arm_delta ** 2)
+    reward = r_track + r_align + r_smooth + r_arm
+
+    # dones: tip-over surrogate (velocity blowup) or timeout (env :984-1021)
+    tipped = jnp.linalg.norm(vel_new) > cfg.tip_vel_limit
+    timeout = st.t >= cfg.max_steps
+    done = jnp.logical_or(tipped, timeout)
+    return st, hist, reward, done

@@ -1,0 +1,187 @@
+"""PPO with physics-estimator supervision (PhysicPPO rebuild).
+
+Mirrors rsl_rl/Physic_ppo.py + the standard rsl_rl PPO it extends:
+clipped surrogate + clipped value loss, GAE(gamma=0.99, lam=0.95),
+entropy bonus, adaptive learning rate on the KL divergence (desired KL
+0.01), gradient clipping -- and the estimator head trained by MSE against
+the privileged object velocities inside the same update
+(Physic_ppo.py:62-77, agents/rsl_rl_ppo_cfg.py:20-41).
+
+TPU design: rollouts and updates are single jitted programs over the
+whole env batch; minibatching slices the (steps x envs) axis with static
+shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class PpoConfig(NamedTuple):
+    lr: float = 1.0e-3
+    gamma: float = 0.99
+    lam: float = 0.95
+    clip: float = 0.2
+    value_clip: float = 0.2
+    entropy_coef: float = 0.008
+    value_coef: float = 1.0
+    estimator_coef: float = 1.0
+    desired_kl: float = 0.01
+    max_grad_norm: float = 1.0
+    epochs: int = 5
+    minibatches: int = 4
+
+
+class PpoState(NamedTuple):
+    params: Any
+    opt_state: Any
+    lr: jnp.ndarray
+
+
+class Rollout(NamedTuple):
+    obs_hist: jnp.ndarray     # (S, B, T, D)
+    graph_nodes: jnp.ndarray  # (S, B, 9, 15)
+    graph_edges: jnp.ndarray  # (S, B, E, 7)
+    critic_obs: jnp.ndarray   # (S, B, C)
+    actions: jnp.ndarray      # (S, B, A)
+    log_probs: jnp.ndarray    # (S, B)
+    values: jnp.ndarray       # (S, B)
+    rewards: jnp.ndarray      # (S, B)
+    dones: jnp.ndarray        # (S, B)
+    vel_targets: jnp.ndarray  # (S, B, 3) privileged object velocities
+
+
+def gaussian_log_prob(mean, std, action):
+    var = std ** 2
+    return jnp.sum(-0.5 * ((action - mean) ** 2 / var)
+                   - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi), axis=-1)
+
+
+def compute_gae(rewards, values, dones, last_value, gamma, lam):
+    """values/rewards/dones: (S, B); returns (advantages, returns)."""
+    def step(carry, inp):
+        gae, next_value = carry
+        r, v, d = inp
+        nonterminal = 1.0 - d
+        delta = r + gamma * next_value * nonterminal - v
+        gae = delta + gamma * lam * nonterminal * gae
+        return (gae, v), gae
+
+    (_, _), adv = jax.lax.scan(
+        step, (jnp.zeros_like(last_value), last_value),
+        (rewards, values, dones.astype(rewards.dtype)), reverse=True)
+    return adv, adv + values
+
+
+def ppo_init(params, cfg: PpoConfig = PpoConfig()) -> PpoState:
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                     optax.scale_by_adam(),
+                     optax.scale_by_learning_rate(1.0))
+    return PpoState(params=params, opt_state=tx.init(params),
+                    lr=jnp.asarray(cfg.lr))
+
+
+def _tx(cfg: PpoConfig):
+    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                       optax.scale_by_adam(),
+                       optax.scale_by_learning_rate(1.0))
+
+
+def ppo_update(state: PpoState, rollout: Rollout, last_value,
+               apply_fn, cfg: PpoConfig = PpoConfig(), key=None):
+    """One PPO learning phase over a rollout.
+
+    apply_fn(params, obs_hist, nodes, edges, critic_obs) ->
+      (mean, std, value, vel_est).
+    Returns (new_state, metrics dict).
+    """
+    S, B = rollout.rewards.shape
+    adv, returns = compute_gae(rollout.rewards, rollout.values,
+                               rollout.dones, last_value,
+                               cfg.gamma, cfg.lam)
+    adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+    flat = jax.tree_util.tree_map(
+        lambda x: x.reshape((S * B,) + x.shape[2:]), rollout)
+    adv_f = adv_n.reshape(-1)
+    ret_f = returns.reshape(-1)
+
+    n = S * B
+    mb = n // cfg.minibatches
+    tx = _tx(cfg)
+
+    def loss_fn(params, idx):
+        oh = flat.obs_hist[idx]
+        nodes = flat.graph_nodes[idx]
+        edges = flat.graph_edges[idx]
+        cobs = flat.critic_obs[idx]
+        mean, std, value, vel_est = apply_fn(params, oh, nodes, edges, cobs)
+        logp = gaussian_log_prob(mean, std, flat.actions[idx])
+        ratio = jnp.exp(logp - flat.log_probs[idx])
+        a = adv_f[idx]
+        surr = jnp.minimum(ratio * a,
+                           jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * a)
+        policy_loss = -jnp.mean(surr)
+
+        v_old = flat.values[idx]
+        v_clip = v_old + jnp.clip(value - v_old, -cfg.value_clip,
+                                  cfg.value_clip)
+        v_loss = jnp.mean(jnp.maximum((value - ret_f[idx]) ** 2,
+                                      (v_clip - ret_f[idx]) ** 2))
+
+        entropy = jnp.mean(jnp.sum(jnp.log(std)
+                                   + 0.5 * jnp.log(2 * jnp.pi * jnp.e),
+                                   axis=-1)) if std.ndim else \
+            jnp.sum(jnp.log(std) + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+
+        est_loss = jnp.mean((vel_est - flat.vel_targets[idx]) ** 2)
+
+        kl = jnp.mean(flat.log_probs[idx] - logp)
+        total = (policy_loss + cfg.value_coef * v_loss
+                 - cfg.entropy_coef * entropy
+                 + cfg.estimator_coef * est_loss)
+        return total, (policy_loss, v_loss, est_loss, kl)
+
+    def epoch_body(carry, ep_key):
+        params, opt_state, lr = carry
+        perm = jax.random.permutation(ep_key, n)
+
+        def mb_body(carry, k):
+            params, opt_state, lr, kl_acc = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, k * mb, mb)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, idx)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, lr, kl_acc + aux[3]), aux
+
+        (params, opt_state, lr, kl_sum), auxs = jax.lax.scan(
+            mb_body, (params, opt_state, lr, 0.0),
+            jnp.arange(cfg.minibatches))
+        # adaptive LR on mean KL (rsl_rl schedule)
+        kl_mean = jnp.abs(kl_sum / cfg.minibatches)
+        lr = jnp.where(kl_mean > cfg.desired_kl * 2.0,
+                       jnp.maximum(lr / 1.5, 1e-5),
+                       jnp.where(kl_mean < cfg.desired_kl / 2.0,
+                                 jnp.minimum(lr * 1.5, 1e-2), lr))
+        return (params, opt_state, lr), auxs
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    keys = jax.random.split(key, cfg.epochs)
+    (params, opt_state, lr), auxs = jax.lax.scan(
+        epoch_body, (state.params, state.opt_state, state.lr), keys)
+
+    metrics = {
+        "policy_loss": jnp.mean(auxs[0]),
+        "value_loss": jnp.mean(auxs[1]),
+        "estimator_loss": jnp.mean(auxs[2]),
+        "kl": jnp.mean(auxs[3]),
+        "lr": lr,
+        "mean_reward": jnp.mean(rollout.rewards),
+    }
+    return PpoState(params=params, opt_state=opt_state, lr=lr), metrics

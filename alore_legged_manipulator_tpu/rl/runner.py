@@ -1,0 +1,158 @@
+"""On-policy training runner (PhysicOnPolicyRunner rebuild).
+
+Mirrors rsl_rl/on_policy_runner_physic.py: collect 24 steps per env per
+iteration, PPO update threading critic observations and the estimator
+supervision through; periodic orbax checkpointing.  The whole
+rollout-and-update iteration is one jitted program over the env batch.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.actor_critic import Critic, PhysicActorCritic
+from ..models.gnn import build_interaction_graph, GraphBatch
+from .env import (PushEnvConfig, critic_observation, env_reset, env_step,
+                  graph_features)
+from .ppo import PpoConfig, PpoState, Rollout, gaussian_log_prob, ppo_init, \
+    ppo_update
+
+
+class TrainConfig(NamedTuple):
+    num_envs: int = 96           # must be a multiple of 3 (one per class)
+    steps_per_env: int = 24
+    iterations: int = 100
+    ppo: PpoConfig = PpoConfig()
+    env: PushEnvConfig = PushEnvConfig()
+    seed: int = 0
+    checkpoint_every: int = 100
+    checkpoint_dir: str | None = None
+
+
+class Models(NamedTuple):
+    actor: PhysicActorCritic
+    critic: Critic
+
+
+def _graph_of(st):
+    feats = graph_features(st)
+    return build_interaction_graph(*feats)
+
+
+def _apply_all(models: Models, params, obs_hist, nodes, edges, critic_obs):
+    g = GraphBatch(nodes=nodes, edge_attr=edges)
+    mean, std, vel_est = models.actor.apply(params["actor"], obs_hist, g)
+    value = models.critic.apply(params["critic"], critic_obs)
+    return mean, std, value, vel_est
+
+
+def init_models(cfg: TrainConfig):
+    models = Models(actor=PhysicActorCritic(), critic=Critic())
+    key = jax.random.PRNGKey(cfg.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    st0 = env_reset(k1, cfg.env)
+    g = jax.tree_util.tree_map(lambda x: x[None], _graph_of(st0))
+    obs0 = st0.obs_hist[None]
+    cobs0 = critic_observation(st0, cfg.env)[None]
+    params = {
+        "actor": models.actor.init(k2, obs0, g),
+        "critic": models.critic.init(k3, cobs0),
+    }
+    return models, params
+
+
+def train(cfg: TrainConfig = TrainConfig(), progress=None):
+    """Run PPO training; returns (ppo_state, history of metrics)."""
+    assert cfg.num_envs % 3 == 0, "num_envs must be a multiple of 3"
+    models, params = init_models(cfg)
+    ppo_state = ppo_init(params, cfg.ppo)
+
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    key, sub = jax.random.split(key)
+    env_states = jax.vmap(lambda k: env_reset(k, cfg.env))(
+        jax.random.split(sub, cfg.num_envs))
+
+    apply_all = lambda p, oh, nd, ed, co: _apply_all(models, p, oh, nd, ed,
+                                                     co)
+
+    def collect(params, env_states, key):
+        def step(carry, _):
+            env_states, key = carry
+            key, ka, kr = jax.random.split(key, 3)
+            graphs = jax.vmap(_graph_of)(env_states)
+            obs_hist = env_states.obs_hist
+            cobs = jax.vmap(lambda s: critic_observation(s, cfg.env))(
+                env_states)
+            mean, std, value, _ = apply_all(params, obs_hist, graphs.nodes,
+                                            graphs.edge_attr, cobs)
+            noise = jax.random.normal(ka, mean.shape, mean.dtype)
+            action = mean + std * noise
+            logp = gaussian_log_prob(mean, std, action)
+
+            new_states, hist, reward, done = jax.vmap(
+                lambda s, a: env_step(s, a, cfg.env))(env_states, action)
+            # auto-reset finished envs
+            reset_keys = jax.random.split(kr, cfg.num_envs)
+            fresh = jax.vmap(lambda k: env_reset(k, cfg.env))(reset_keys)
+            new_states = jax.tree_util.tree_map(
+                lambda f, n: jnp.where(
+                    done.reshape((-1,) + (1,) * (n.ndim - 1)), f, n),
+                fresh, new_states)
+
+            out = Rollout(
+                obs_hist=obs_hist, graph_nodes=graphs.nodes,
+                graph_edges=graphs.edge_attr, critic_obs=cobs,
+                actions=action, log_probs=logp, values=value,
+                rewards=reward, dones=done,
+                vel_targets=env_states.obj_vel)
+            return (new_states, key), out
+
+        (env_states, key), rollout = jax.lax.scan(
+            step, (env_states, key), None, length=cfg.steps_per_env)
+
+        graphs = jax.vmap(_graph_of)(env_states)
+        cobs = jax.vmap(lambda s: critic_observation(s, cfg.env))(env_states)
+        _, _, last_value, _ = apply_all(params, env_states.obs_hist,
+                                        graphs.nodes, graphs.edge_attr, cobs)
+        return env_states, rollout, last_value, key
+
+    @jax.jit
+    def iteration(ppo_state, env_states, key):
+        env_states, rollout, last_value, key = collect(
+            ppo_state.params, env_states, key)
+        key, sub = jax.random.split(key)
+        ppo_state, metrics = ppo_update(ppo_state, rollout, last_value,
+                                        apply_all, cfg.ppo, sub)
+        return ppo_state, env_states, key, metrics
+
+    history = []
+    for it in range(cfg.iterations):
+        ppo_state, env_states, key, metrics = iteration(ppo_state,
+                                                        env_states, key)
+        history.append({k: float(v) for k, v in metrics.items()})
+        if progress is not None:
+            progress(it, history[-1])
+        if cfg.checkpoint_dir and (it + 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(cfg.checkpoint_dir, ppo_state, it + 1)
+
+    return ppo_state, history
+
+
+def save_checkpoint(path: str, ppo_state: PpoState, step: int):
+    """Orbax checkpoint (runner save/load analogue)."""
+    import orbax.checkpoint as ocp
+    import os
+
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.join(os.path.abspath(path), f"step_{step}"),
+              ppo_state.params, force=True)
+
+
+def load_checkpoint(path: str, step: int):
+    import orbax.checkpoint as ocp
+    import os
+
+    ckpt = ocp.PyTreeCheckpointer()
+    return ckpt.restore(os.path.join(os.path.abspath(path), f"step_{step}"))

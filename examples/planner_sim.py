@@ -1,0 +1,75 @@
+"""End-to-end closed-loop demo: the planner_sim.launch equivalent.
+
+Composes the full stack the way the reference wires its ROS nodes
+(plan_manager/launch/planner_sim.launch): ground-truth map -> ESDF ->
+JPS front end -> MINCO back end -> Polynome -> NMPC tracking at 100 Hz
+-> ICR-EKF state estimation -> rate-limited noisy plant at 500 Hz.
+
+Run:  python examples/planner_sim.py [--goal X Y YAW]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--start", nargs=3, type=float, default=[1.0, 4.0, 0.0])
+    ap.add_argument("--goal", nargs=3, type=float, default=[7.0, 4.5, 0.0])
+    ap.add_argument("--noise", type=float, default=0.01)
+    args = ap.parse_args()
+
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+    from alore_legged_manipulator_tpu.mission.plan_manager import (
+        PlanManager, PlanManagerConfig)
+    from alore_legged_manipulator_tpu.runtime import (LoopConfig,
+                                                      simulate_tracking)
+    from alore_legged_manipulator_tpu.world.plant import PlantConfig
+
+    # ground-truth world: an 8 x 8 m room with two obstacles
+    occ = np.zeros((80, 80), bool)
+    occ[30:44, 30:36] = True
+    occ[50:56, 44:60] = True
+
+    true_icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)  # planner_sim.launch:204
+    pm = PlanManager(occ=occ, lower=(0.0, 0.0), res=0.1,
+                     cfg=PlanManagerConfig())
+    pm.set_goal(tuple(args.goal))
+
+    print("planning...")
+    t0 = time.time()
+    msg = pm.tick(0.0, tuple(args.start))
+    assert msg is not None, f"planning failed: {pm.state}"
+    dur = float(pm.tracked.duration)
+    print(f"  planned {msg.piece_times.shape[0]} pieces, {dur:.2f} s "
+          f"trajectory in {time.time() - t0:.1f}s wall")
+
+    n_ticks = int(dur / 0.01) + 100
+    loop_cfg = LoopConfig(plant=PlantConfig(noise_stddev=args.noise))
+    print(f"tracking closed-loop for {n_ticks} ticks "
+          f"(plant 500 Hz / NMPC 100 Hz / EKF in loop)...")
+    t0 = time.time()
+    res = jax.jit(lambda t: simulate_tracking(t, true_icr, n_ticks,
+                                              loop_cfg, seed=1))(pm.tracked)
+    perr = np.asarray(res.pos_err)
+    print(f"  simulated in {time.time() - t0:.1f}s wall")
+    print(f"  tracking error: mean {perr.mean():.3f} m, "
+          f"p95 {np.percentile(perr, 95):.3f} m, final {perr[-1]:.3f} m")
+    final = np.asarray(res.xytheta[-1])
+    goal = np.asarray(args.goal)
+    print(f"  final pose ({final[0]:.2f}, {final[1]:.2f}, {final[2]:.2f}); "
+          f"goal distance {np.linalg.norm(final[:2] - goal[:2]):.3f} m")
+    print(f"  EKF ICR error: {float(res.icr_err[-1]):.3f} "
+          f"(initial guess error "
+          f"{np.linalg.norm(np.array(loop_cfg.icr_guess) - np.array([true_icr.yr, true_icr.yl, true_icr.xv])):.3f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+/* Standalone oracle harness around the reference-generated ACADO RTI solver.
+   Compiled from the read-only reference tree purely to record golden
+   control traces; nothing from here ships in the framework. */
+#include <stdio.h>
+#include <string.h>
+#include <math.h>
+#include "acado_common.h"
+#include "acado_auxiliary_functions.h"
+
+ACADOvariables acadoVariables;
+ACADOworkspace acadoWorkspace;
+
+int main(int argc, char** argv) {
+  memset(&acadoWorkspace, 0, sizeof(acadoWorkspace));
+  memset(&acadoVariables, 0, sizeof(acadoVariables));
+  acado_initializeSolver();
+
+  /* ICR online data */
+  double xv = 0.2, yr = -0.3, yl = 0.3;
+  for (int i = 0; i < ACADO_N + 1; i++) {
+    acadoVariables.od[i * ACADO_NOD + 0] = xv;
+    acadoVariables.od[i * ACADO_NOD + 1] = yr;
+    acadoVariables.od[i * ACADO_NOD + 2] = yl;
+  }
+  /* weights: W = diag(10,10,0.5,0.1,0.1), WN = diag(10,10,0.5) */
+  double qd[5] = {10.0, 10.0, 0.5, 0.1, 0.1};
+  for (int i = 0; i < ACADO_N; i++)
+    for (int j = 0; j < ACADO_NY; j++)
+      acadoVariables.W[i * ACADO_NY * ACADO_NY + j * ACADO_NY + j] = qd[j];
+  for (int j = 0; j < ACADO_NYN; j++)
+    acadoVariables.WN[j * ACADO_NYN + j] = qd[j];
+  /* wheel bounds +-3 */
+  for (int i = 0; i < ACADO_N * ACADO_NU; i++) {
+    acadoVariables.lbValues[i] = -3.0;
+    acadoVariables.ubValues[i] = 3.0;
+  }
+
+  /* plant state (true ICR dynamics, integrated with RK4) */
+  double x[3] = {0.05, -0.10, 0.30};
+  double dt = 0.01;
+
+  /* initialize trajectory guess: hold state, zero input */
+  for (int i = 0; i < ACADO_N + 1; i++)
+    for (int j = 0; j < ACADO_NX; j++)
+      acadoVariables.x[i * ACADO_NX + j] = x[j];
+
+  int ticks = 120;
+  for (int k = 0; k < ticks; k++) {
+    /* reference: ICR-feasible circle R=2, v=1 (matches the JAX test) */
+    for (int i = 0; i < ACADO_N; i++) {
+      double t = (k + i + 1) * dt;
+      double w = 0.5, v = 1.0;
+      double yaw = w * t;
+      double rx = v / w * sin(yaw) - xv * (cos(yaw) - 1.0);
+      double ry = -v / w * (cos(yaw) - 1.0) - xv * sin(yaw);
+      double vl = v - w * yl, vr = v - w * yr;
+      acadoVariables.y[i * ACADO_NY + 0] = rx;
+      acadoVariables.y[i * ACADO_NY + 1] = ry;
+      acadoVariables.y[i * ACADO_NY + 2] = yaw;
+      acadoVariables.y[i * ACADO_NY + 3] = vr;
+      acadoVariables.y[i * ACADO_NY + 4] = vl;
+    }
+    {
+      double t = (k + ACADO_N + 1) * dt;
+      double w = 0.5, v = 1.0;
+      double yaw = w * t;
+      acadoVariables.yN[0] = v / w * sin(yaw) - xv * (cos(yaw) - 1.0);
+      acadoVariables.yN[1] = -v / w * (cos(yaw) - 1.0) - xv * sin(yaw);
+      acadoVariables.yN[2] = yaw;
+    }
+
+    acado_preparationStep();
+    for (int j = 0; j < ACADO_NX; j++) acadoVariables.x0[j] = x[j];
+    acado_feedbackStep();
+
+    double vr = acadoVariables.u[0];
+    double vl = acadoVariables.u[1];
+    printf("%d %.9f %.9f %.9f %.9f %.9f\n", k, x[0], x[1], x[2], vr, vl);
+
+    /* integrate plant one tick with (vr, vl): RK4 on ICR dynamics */
+    for (int s = 0; s < 1; s++) {
+      double h = dt;
+      double k1[3], k2[3], k3[3], k4[3], xt[3];
+      #define F(xx, out) do { \
+        double track = yl - yr; \
+        double v_ = (vr * yl - vl * yr) / track; \
+        double w_ = (vr - vl) / track; \
+        out[0] = v_ * cos(xx[2]) + w_ * xv * sin(xx[2]); \
+        out[1] = v_ * sin(xx[2]) - w_ * xv * cos(xx[2]); \
+        out[2] = w_; } while (0)
+      F(x, k1);
+      for (int j = 0; j < 3; j++) xt[j] = x[j] + 0.5 * h * k1[j];
+      F(xt, k2);
+      for (int j = 0; j < 3; j++) xt[j] = x[j] + 0.5 * h * k2[j];
+      F(xt, k3);
+      for (int j = 0; j < 3; j++) xt[j] = x[j] + h * k3[j];
+      F(xt, k4);
+      for (int j = 0; j < 3; j++)
+        x[j] += h / 6.0 * (k1[j] + 2 * k2[j] + 2 * k3[j] + k4[j]);
+    }
+  }
+  return 0;
+}

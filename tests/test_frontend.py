@@ -1,0 +1,96 @@
+"""Front-end tests: native JPS vs A* oracle, pruning, trapezoid profile,
+full frontend -> backend pipeline."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from alore_legged_manipulator_tpu.planner.frontend import (
+    FrontendConfig, _astar_fallback, evaluate_duration, evaluate_length,
+    jps_search, plan_frontend, remove_corner_pts, sample_states)
+
+
+def _random_grid(seed, h=60, w=60, p=0.12):
+    rng = np.random.default_rng(seed)
+    g = rng.random((h, w)) < p
+    g[:2, :] = False
+    g[-2:, :] = False
+    g[:, :2] = False
+    g[:, -2:] = False
+    return g
+
+
+def _path_cost(cells):
+    d = np.diff(np.asarray(cells, float), axis=0)
+    steps = np.abs(d).max(1)
+    diag = np.abs(d).min(1)
+    return float((steps - diag).sum() + np.sqrt(2.0) * diag.sum())
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_jps_matches_astar_cost(seed):
+    g = _random_grid(seed)
+    start, goal = (2, 2), (57, 57)
+    jps = jps_search(g.astype(np.uint8), start, goal)
+    ast = _astar_fallback(g, start, goal)
+    assert (jps is None) == (ast is None)
+    if jps is not None:
+        # same optimal cost (paths may differ); JPS must start/end correctly
+        assert tuple(jps[0]) == start and tuple(jps[-1]) == goal
+        # expand jump points to full-cell cost: octile distance of segments
+        assert abs(_path_cost(jps) - _path_cost(ast)) < 1e-6
+        # every jump-point segment must be collision-free
+        from alore_legged_manipulator_tpu.planner.frontend import _bresenham
+        for a, b in zip(jps[:-1], jps[1:]):
+            for c in _bresenham(a, b):
+                assert not g[c[0], c[1]]
+
+
+def test_jps_no_path():
+    g = np.zeros((20, 20), bool)
+    g[:, 10] = True  # full wall
+    assert jps_search(g.astype(np.uint8), (2, 2), (2, 18)) is None
+
+
+def test_trapezoid_consistency():
+    # length at the total duration equals the requested length
+    for L, v0 in [(10.0, 0.0), (3.0, 1.5), (0.5, 2.0), (30.0, 0.5)]:
+        T = evaluate_duration(L, v0, 0.0, 3.0, 2.0)
+        s = evaluate_length(T, L, v0, 0.0, 3.0, 2.0)
+        assert abs(s - L) < 1e-6, (L, v0, T, s)
+        # monotone in t
+        ss = [evaluate_length(t, L, v0, 0.0, 3.0, 2.0)
+              for t in np.linspace(0, T, 50)]
+        assert np.all(np.diff(ss) >= -1e-9)
+
+
+def test_sample_states_structure():
+    path = [np.array([0.0, 0.0]), np.array([1.0, 0.0]), np.array([1.0, 1.0])]
+    st = sample_states(path, (0.0, 0.0, 0.0), np.pi / 2)
+    # rotations have ds=0, translations have dtheta=0
+    for row in st:
+        assert row[3] == 0.0 or row[4] == 0.0
+    # total translation length = manhattan path length here
+    assert abs(np.abs(st[:, 4]).sum() - 2.0) < 1e-9
+
+
+def test_full_frontend_backend_pipeline():
+    """ESDF -> frontend -> FlatTraj -> backend plan, end to end."""
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.planner import (BackendConfig,
+                                                      plan_backend)
+    occ = np.zeros((80, 80), bool)
+    occ[30:50, 30:38] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    dist_np = np.asarray(esdf.dist)
+
+    flat = plan_frontend(dist_np, (0.0, 0.0), 0.1,
+                         (1.0, 3.0, 0.0), (7.0, 3.5, 0.0),
+                         FrontendConfig(), dtype=jnp.float64)
+    assert flat is not None
+    assert flat.num_pieces >= 3
+    # the sampled front-end path must clear the obstacle corridor
+    res = jax.jit(lambda f: plan_backend(f, esdf, BackendConfig()))(flat)
+    assert not bool(res.collision)
+    err = float(jnp.linalg.norm(res.final_xy_err))
+    assert err < 0.02

@@ -1,0 +1,98 @@
+"""LTV-MPC tests: general ADMM QP optimality and closed-loop tracking."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alore_legged_manipulator_tpu.control.ltv_mpc import (
+    LtvMpcConfig, ltv_mpc_init, ltv_mpc_tick)
+from alore_legged_manipulator_tpu.ops.qp import qp_admm_general
+
+
+def test_qp_admm_general_equality_and_bounds():
+    """min ||x - c||^2 s.t. sum(x) = 1, 0 <= x <= 0.6 -- analytic check."""
+    n = 4
+    c = jnp.array([0.9, 0.1, -0.3, 0.4])
+    H = 2.0 * jnp.eye(n)
+    g = -2.0 * c
+    A = jnp.concatenate([jnp.ones((1, n)), jnp.eye(n)], axis=0)
+    lb = jnp.concatenate([jnp.ones(1), jnp.zeros(n)])
+    ub = jnp.concatenate([jnp.ones(1), jnp.full((n,), 0.6)])
+    x, y = qp_admm_general(H, g, A, lb, ub, iters=2000, rho=1.0)
+    # feasibility
+    assert abs(float(jnp.sum(x)) - 1.0) < 1e-4
+    assert np.all(np.asarray(x) >= -1e-5) and np.all(np.asarray(x) <= 0.6 + 1e-5)
+    # optimality vs a fine projection-free oracle (scipy-free active set by
+    # enumeration): solution is projection of c onto the constraint set
+    import itertools
+    best = None
+    # brute force over active sets of the box
+    for lo in itertools.product([0, 1], repeat=n):
+        for hi in itertools.product([0, 1], repeat=n):
+            if any(l and h for l, h in zip(lo, hi)):
+                continue
+            free = [i for i in range(n) if not lo[i] and not hi[i]]
+            fixed = {i: 0.0 for i in range(n) if lo[i]}
+            fixed.update({i: 0.6 for i in range(n) if hi[i]})
+            s_fixed = sum(fixed.values())
+            if not free:
+                if abs(s_fixed - 1.0) > 1e-12:
+                    continue
+                xx = np.array([fixed[i] for i in range(n)])
+            else:
+                # minimize ||x_f - c_f||^2 s.t. sum x_f = 1 - s_fixed
+                cf = np.array([float(c[i]) for i in free])
+                lam = (np.sum(cf) - (1.0 - s_fixed)) / len(free)
+                xf = cf - lam
+                xx = np.zeros(n)
+                for k, i in enumerate(free):
+                    xx[i] = xf[k]
+                for i, v in fixed.items():
+                    xx[i] = v
+                if np.any(xx < -1e-9) or np.any(xx > 0.6 + 1e-9):
+                    continue
+            val = np.sum((xx - np.asarray(c)) ** 2)
+            if best is None or val < best[0]:
+                best = (val, xx)
+    np.testing.assert_allclose(np.asarray(x), best[1], atol=1e-3)
+
+
+def test_ltv_mpc_tracks_line():
+    """Track a straight line at 1 m/s with the unicycle plant."""
+    dtype = jnp.float64
+    cfg = LtvMpcConfig()
+    carry = ltv_mpc_init(cfg, dtype)
+    x = jnp.array([0.0, 0.05, 0.1], dtype)  # offset + heading error
+
+    def refs(t0):
+        ts = t0 + cfg.dt * jnp.arange(1, cfg.horizon + 1, dtype=dtype)
+        xref = jnp.stack([ts * 1.0, jnp.zeros_like(ts), jnp.ones_like(ts),
+                          jnp.zeros_like(ts)])
+        dref = jnp.stack([jnp.ones_like(ts), jnp.zeros_like(ts)])
+        return xref, dref
+
+    def plant(x, u):
+        v, w = u[0], u[1]
+        th = x[2]
+        return jnp.stack([x[0] + v * jnp.cos(th) * cfg.dt,
+                          x[1] + v * jnp.sin(th) * cfg.dt,
+                          x[2] + w * cfg.dt])
+
+    def tick(state, k):
+        x, carry = state
+        xref, dref = refs(k * cfg.dt)
+        carry, cmd = ltv_mpc_tick(carry, x, xref, dref, cfg)
+        x = plant(x, cmd)
+        err = jnp.hypot(x[0] - (k + 1) * cfg.dt, x[1])
+        return (x, carry), (err, cmd)
+
+    (_, _), (errs, cmds) = jax.lax.scan(tick, (x, carry), jnp.arange(250))
+    errs = np.asarray(errs)
+    cmds = np.asarray(cmds)
+    assert errs[-1] < 0.03, f"final err {errs[-1]:.4f}"
+    assert errs[200:].max() < 0.05
+    # bounds respected
+    assert np.abs(cmds[:, 0]).max() <= cfg.max_speed + 1e-6
+    assert np.abs(cmds[:, 1]).max() <= cfg.max_omega + 1e-6
+    # rate limits approximately respected between consecutive commands
+    dv = np.abs(np.diff(cmds[5:, 0]))
+    assert dv.max() <= cfg.max_acc * cfg.dt * 3.0 + 1e-3

@@ -1,0 +1,91 @@
+"""Control-sequence parity vs the reference C++ NMPC (golden trace).
+
+The golden trace (tests/golden/acado_nmpc_circle.txt) was produced by
+compiling the reference's *actual* generated RTI solver + qpOASES
+(nmpc_controller/UAV_CAR_model/build/quadrotor_mpc_codegen +
+externals/qpoases) into a standalone harness
+(tests/golden/acado_oracle_harness.c) and running 120 closed-loop ticks:
+
+  * ICR (yr, yl, xv) = (-0.3, 0.3, 0.2); weights Q = diag(10, 10, 0.5),
+    R = diag(0.1, 0.1); wheel bounds +-3 (the mpc3ms profile)
+  * reference trajectory: ICR-feasible circle (R = 2 m, v = 1 m/s)
+  * plant: exact ICR dynamics, RK4 at dt = 0.01, driven by u[0]
+  * columns: k, x, y, psi, vr, vl (state BEFORE the tick, commands of it)
+
+This is the BASELINE.md "control-sequence parity with the reference C++
+NMPC ... closed-loop trajectory tolerance" metric.  Our RTI uses RK4+AD
+sensitivities and a CG box QP instead of IRK-GL4 + active-set qpOASES,
+so per-tick inputs may differ transiently while both converge to the
+same closed-loop trajectory; parity is asserted on the trajectory and on
+the steady-state control sequence.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alore_legged_manipulator_tpu.control.nmpc import (NmpcConfig, nmpc_init,
+                                                       nmpc_rti_step,
+                                                       rk4_step)
+from alore_legged_manipulator_tpu.core.dynamics import (ICRParams,
+                                                        wheel_speeds_from_flat)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "acado_nmpc_circle.txt")
+ICR = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+
+
+def _run_ours(n_ticks, dtype=jnp.float64):
+    cfg = NmpcConfig(delay_num=0)
+    x = jnp.array([0.05, -0.10, 0.30], dtype)
+    carry = nmpc_init(cfg, x, dtype)
+    xv = ICR.xv
+
+    def refs(k):
+        ts = (k + jnp.arange(1, cfg.horizon + 2, dtype=dtype)) * cfg.dt
+        w, v = 0.5, 1.0
+        yaw = w * ts
+        rx = v / w * jnp.sin(yaw) - xv * (jnp.cos(yaw) - 1.0)
+        ry = -v / w * (jnp.cos(yaw) - 1.0) - xv * jnp.sin(yaw)
+        ref_x = jnp.stack([rx, ry, yaw])
+        vl, vr = wheel_speeds_from_flat(w, v, ICR)
+        ref_u = jnp.stack([jnp.full_like(ts, vr), jnp.full_like(ts, vl)])
+        return ref_x, ref_u
+
+    def tick(state, k):
+        x, carry = state
+        ref_x, ref_u = refs(k.astype(dtype))
+        carry, u_cmd, _, _ = nmpc_rti_step(carry, x, ref_x, ref_u, ICR, cfg)
+        out = (x, u_cmd)
+        x = rk4_step(x, u_cmd, ICR, cfg.dt)
+        return (x, carry), out
+
+    (_, _), (xs, us) = jax.lax.scan(tick, (x, carry), jnp.arange(n_ticks))
+    return np.asarray(xs), np.asarray(us)
+
+
+def test_closed_loop_parity_with_acado_reference():
+    golden = np.loadtxt(GOLDEN)
+    n = golden.shape[0]
+    xs_ref = golden[:, 1:4]
+    us_ref = golden[:, 4:6]
+
+    xs, us = _run_ours(n)
+
+    # closed-loop trajectory parity: both controllers keep the plant on
+    # the same path
+    pos_diff = np.linalg.norm(xs[:, :2] - xs_ref[:, :2], axis=1)
+    assert pos_diff.max() < 0.02, f"trajectory diverges: {pos_diff.max():.4f} m"
+    yaw_diff = np.abs(xs[:, 2] - xs_ref[:, 2])
+    assert yaw_diff.max() < 0.05
+
+    # steady-state control-sequence parity (after the RTI transient)
+    tail = slice(40, None)
+    u_diff = np.abs(us[tail] - us_ref[tail])
+    assert u_diff.max() < 0.05, f"steady control differs: {u_diff.max():.4f}"
+
+    # transient commands stay in the same ballpark (same QP active set)
+    assert np.abs(us - us_ref).max() < 0.6
+    # wheel bounds respected by both
+    assert np.abs(us).max() <= 3.0 + 1e-9

@@ -1,0 +1,95 @@
+"""Full mission simulation: FSM drives a kinematic robot through
+grasp -> push -> release cycles for multiple objects."""
+import numpy as np
+
+from alore_legged_manipulator_tpu.mission.object_fsm import (FsmConfig,
+                                                             FsmState,
+                                                             ObjectFsm)
+from alore_legged_manipulator_tpu.mission import greedy_order, \
+    pairwise_path_costs
+
+
+def _simulate_mission(items, targets, order, max_steps=6000):
+    fsm = ObjectFsm(items=[np.asarray(i, float) for i in items],
+                    targets=[np.asarray(t, float) for t in targets],
+                    order=order)
+    robot = np.array([0.0, 0.0, 0.0])
+    objects = [np.asarray(i, float)[:2].copy() for i in items]
+    dt = 0.05
+
+    for step in range(max_steps):
+        cur_obj = objects[fsm.order[fsm.task_idx]] \
+            if fsm.task_idx < len(fsm.order) else objects[-1]
+
+        if fsm.state == FsmState.WAIT_ROBOT_PATH:
+            # straight-line path (the real system uses JPS here)
+            goal = cur_obj
+            n = 6
+            path = [robot[:2] + (goal - robot[:2]) * (k + 1) / n
+                    for k in range(n - 1)]
+            fsm.set_robot_path(path)
+        if fsm.state == FsmState.WAIT_OBJECT_PATH:
+            fsm.object_path_ready()
+
+        def follower():
+            tgt = fsm.current_target()[:2]
+            d = tgt - cur_obj
+            dist = np.linalg.norm(d)
+            if dist < 0.1:
+                return np.zeros(3), True
+            v = np.clip(d / max(dist, 1e-6) * 0.5, -0.5, 0.5)
+            return np.array([v[0], v[1], 0.0]), False
+
+        state, rv, ov = fsm.tick(robot, cur_obj, follower)
+
+        # kinematic robot plant
+        robot[0] += rv[0] * np.cos(robot[2]) * dt
+        robot[1] += rv[0] * np.sin(robot[2]) * dt
+        robot[2] += rv[2] * dt
+        # pushed object follows the object velocity command (world frame)
+        if state == FsmState.OBJECT_TRACKING:
+            cur_obj += ov[:2] * dt
+            # robot rides along with the object while grasping it
+            robot[0] += ov[0] * dt
+            robot[1] += ov[1] * dt
+
+        if state == FsmState.DONE:
+            return fsm, objects, step
+    return fsm, objects, max_steps
+
+
+def test_single_object_mission():
+    items = [(2.0, 1.0, 0.0)]
+    targets = [(4.0, 3.0, 0.0)]
+    fsm, objects, steps = _simulate_mission(items, targets, [0])
+    assert fsm.state == FsmState.DONE, f"stuck in {fsm.state}"
+    assert np.linalg.norm(objects[0] - np.array(targets[0])[:2]) < 0.15
+    assert fsm.arm_ratio == 0.0  # released
+
+
+def test_multi_object_mission_with_ordering():
+    items = [(2.0, 1.0, 0.0), (1.0, 3.0, 0.0), (3.5, 0.5, 0.0)]
+    targets = [(5.0, 4.0, 0.0), (4.0, 5.0, 0.0), (5.5, 2.0, 0.0)]
+    pts = [np.array([0.0, 0.0, 0.0])] + [np.asarray(i, float) for i in items] \
+        + [np.asarray(t, float) for t in targets]
+    D = pairwise_path_costs(
+        pts, lambda a, b: float(np.linalg.norm(a[:2] - b[:2])))
+    order_idx, _ = greedy_order(D, 3)
+    item_order = [i - 1 for i in order_idx[::2]]
+
+    fsm, objects, steps = _simulate_mission(items, targets, item_order)
+    assert fsm.state == FsmState.DONE
+    for i, t in enumerate(targets):
+        assert np.linalg.norm(objects[i] - np.asarray(t)[:2]) < 0.15, \
+            f"object {i} not delivered"
+
+
+def test_fsm_state_sequence():
+    fsm = ObjectFsm(items=[np.array([1.0, 0.0, 0.0])],
+                    targets=[np.array([2.0, 0.0, 0.0])], order=[0])
+    seen = [fsm.state]
+    robot = np.array([0.0, 0.0, 0.0])
+    obj = np.array([1.0, 0.0])
+    fsm.tick(robot, obj)
+    seen.append(fsm.state)
+    assert seen == [FsmState.WAIT_TASK_PLANNING, FsmState.WAIT_ROBOT_PATH]

@@ -1,0 +1,43 @@
+"""Device-mesh sharding: numerical equivalence and scaling harness."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.control.nmpc import NmpcConfig
+from alore_legged_manipulator_tpu.parallel.mesh import (batched_tracking_step,
+                                                        make_mesh,
+                                                        shard_scenarios)
+from alore_legged_manipulator_tpu.parallel.scaling import (_tiny_traj,
+                                                           make_fleet,
+                                                           measure_scaling)
+
+
+def test_sharded_step_matches_single_device():
+    """The same fleet step sharded over 8 virtual devices must produce the
+    same commands as unsharded execution."""
+    tt, icr = _tiny_traj(jnp.float32)
+    cfg = NmpcConfig(horizon=8)
+    step = batched_tracking_step(tt, icr, nmpc_cfg=cfg)
+    fleet = 16
+    state = make_fleet(fleet, cfg)
+    t0 = jnp.zeros(())
+
+    out_single = jax.jit(step)(*state, t0)
+    u_single = np.asarray(out_single[3])
+
+    mesh = make_mesh(8)
+    sharded = shard_scenarios(mesh, state)
+    out_sharded = jax.jit(step)(*sharded, t0)
+    u_sharded = np.asarray(out_sharded[3])
+
+    np.testing.assert_allclose(u_sharded, u_single, atol=1e-5)
+
+
+def test_scaling_harness_runs():
+    """measure_scaling produces monotone fleet sizes and finite rates on
+    the virtual mesh (true efficiency is only meaningful on hardware)."""
+    pts = measure_scaling([1, 2, 4], batch_per_device=4, horizon=8, iters=2)
+    assert [p.n_devices for p in pts] == [1, 2, 4]
+    assert all(np.isfinite(p.scenario_ticks_per_s) for p in pts)
+    assert all(p.fleet == 4 * p.n_devices for p in pts)
