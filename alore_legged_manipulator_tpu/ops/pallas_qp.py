@@ -1,0 +1,144 @@
+"""Fused box-QP solver as a single Pallas TPU kernel.
+
+The whole projected-Newton + CG solve runs inside VMEM: the Hessian tile
+(100 x 100 f32 = 40 KB) is loaded once and every CG matvec hits it from
+VMEM.  Grid = (batch,), one program per QP.
+
+Math identical to ops/qp.box_qp_pncg: projected Newton on the
+box-active set, Jacobi-preconditioned CG on the masked free-subspace
+operator, projected backtracking line search (8 halvings).  Shapes are
+padded to the 128-lane TPU tile; padding rows/cols carry an identity
+diagonal and lb=ub=0 bounds so they stay inert.
+
+MEASURED VERDICT (v5e, 1024 x 100-var QPs): the XLA path wins for
+throughput -- 36.9 ms vs 111 ms -- because Pallas grid programs execute
+*sequentially* on the single TensorCore while XLA's batched matmuls
+keep the MXU saturated across the whole fleet; and at B=1 both sit on
+the ~26 ms host-dispatch floor of this tunneled dev setup.  The kernel
+is kept as the building block for a future fused RTI megakernel
+(prepare+condense+QP in one launch), where fusion eliminates the
+inter-stage HBM round-trips that XLA cannot.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _pad_to(x, n, value=0.0):
+    pad = n - x.shape[-1]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, cfg, constant_values=value)
+
+
+def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, z_ref, *, n_pad: int,
+               iters: int, cg_iters: int, reg: float):
+    H = H_ref[0]                      # (n_pad, n_pad) in VMEM
+    g = g_ref[0]                      # (1, n_pad)
+    lb = lb_ref[0]
+    ub = ub_ref[0]
+    diagH = jnp.sum(H * jnp.eye(n_pad, dtype=H.dtype), axis=1,
+                    keepdims=True).T + reg          # (1, n_pad)
+
+    def matvec(v):                    # v: (1, n_pad) -> (1, n_pad)
+        return jax.lax.dot_general(
+            v, H, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def newton(_, z):
+        grad = matvec(z) + g
+        at_lb = jnp.logical_and(z <= lb, grad > 0)
+        at_ub = jnp.logical_and(z >= ub, grad < 0)
+        free = jnp.logical_not(jnp.logical_or(at_lb, at_ub)).astype(z.dtype)
+
+        def mv_masked(p):
+            return free * matvec(free * p) + (1.0 - free) * p + reg * p
+
+        b = -grad * free
+        minv = free / diagH + (1.0 - free)
+
+        def cg(_, state):
+            x, r, p, rz = state
+            Ap = mv_masked(p)
+            denom = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            znew = minv * r
+            rz_new = jnp.sum(r * znew)
+            beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
+            p = znew + beta * p
+            return x, r, p, rz_new
+
+        x0 = jnp.zeros_like(b)
+        p0 = minv * b
+        dz, _, _, _ = jax.lax.fori_loop(
+            0, cg_iters, cg, (x0, b, p0, jnp.sum(b * p0)))
+
+        f_cur = 0.5 * jnp.sum(z * matvec(z)) + jnp.sum(g * z)
+
+        def backtrack(i, best):
+            best_f, best_z = best
+            alpha = 2.0 ** (-i.astype(z.dtype))
+            zt = jnp.clip(z + alpha * dz, lb, ub)
+            f = 0.5 * jnp.sum(zt * matvec(zt)) + jnp.sum(g * zt)
+            take = f < best_f
+            return (jnp.where(take, f, best_f),
+                    jnp.where(take, zt, best_z))
+
+        _, z_new = jax.lax.fori_loop(0, 8, backtrack, (f_cur, z))
+        return z_new
+
+    z = jnp.clip(jnp.zeros_like(g), lb, ub)
+    z = jax.lax.fori_loop(0, iters, newton, z)
+    z_ref[0] = z
+
+
+def box_qp_pallas(H, g, lb, ub, iters: int = 6, cg_iters: int = 25,
+                  reg: float = 1e-7, interpret: bool = False):
+    """Solve a batch of box QPs; H (B, n, n), g/lb/ub (B, n) -> z (B, n).
+
+    Bounds padding uses lb=ub=0 so padded coordinates stay clamped to 0.
+    """
+    B, n = g.shape
+    n_pad = ((n + LANE - 1) // LANE) * LANE
+    dtype = jnp.float32
+    Hp = jnp.zeros((B, n_pad, n_pad), dtype)
+    Hp = Hp.at[:, :n, :n].set(jnp.asarray(H, dtype))
+    # identity diagonal on the padding block keeps it non-singular
+    idx = jnp.arange(n, n_pad)
+    Hp = Hp.at[:, idx, idx].set(1.0)
+    gp = _pad_to(jnp.asarray(g, dtype)[:, None, :], n_pad)      # (B,1,n_pad)
+    lbp = _pad_to(jnp.asarray(lb, dtype)[:, None, :], n_pad)
+    ubp = _pad_to(jnp.asarray(ub, dtype)[:, None, :], n_pad)
+
+    kernel = functools.partial(_qp_kernel, n_pad=n_pad, iters=iters,
+                               cg_iters=cg_iters, reg=reg)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, n_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, n_pad), dtype),
+        interpret=interpret,
+    )(Hp, gp, lbp, ubp)
+    return out[:, 0, :n]

@@ -1,0 +1,82 @@
+"""Polynomial real roots + trajectory extremum rates.
+
+Fills the role of gcopter/root_finder.hpp (Sturm-sequence isolation +
+safe Newton, used by trajectory.hpp getMaxVelRate/getMaxAccRate for
+post-hoc limit checks).
+
+TPU design (NOT a port): Sturm bisection is branchy scalar code.  The
+eigenvalues of the companion matrix give all roots at once as one
+batched dense eigendecomposition -- the standard numpy approach, batched
+and jit-friendly.  For the degree <= 9 polynomials of this stack the
+cost is negligible and it vmaps over piece batches.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def companion_roots(coeffs):
+    """All complex roots of sum_k coeffs[k] x^k (ascending order).
+
+    coeffs: (n+1,) with coeffs[-1] the leading term.  Degenerate leading
+    zeros are regularized (they produce huge spurious roots which callers
+    filter by interval).  Returns (n,) complex roots.
+    """
+    n = coeffs.shape[0] - 1
+    lead = coeffs[-1]
+    safe_lead = jnp.where(jnp.abs(lead) > 1e-12, lead, 1e-12)
+    monic = coeffs[:-1] / safe_lead
+    C = jnp.zeros((n, n), coeffs.dtype)
+    C = C.at[1:, :-1].set(jnp.eye(n - 1, dtype=coeffs.dtype))
+    C = C.at[:, -1].set(-monic)
+    return jnp.linalg.eigvals(C)
+
+
+def real_roots_in(coeffs, lo, hi, tol: float = 1e-7):
+    """Mask + values of real roots within [lo, hi].
+
+    Returns (roots (n,), mask (n,)) with non-real/out-of-range entries
+    clamped to lo and masked False.
+    """
+    r = companion_roots(coeffs)
+    is_real = jnp.abs(r.imag) < tol * (1.0 + jnp.abs(r.real))
+    x = r.real
+    mask = is_real & (x >= lo) & (x <= hi)
+    return jnp.where(mask, x, lo), mask
+
+
+def poly_max_abs_on(coeffs, lo, hi):
+    """max |p(x)| over [lo, hi] via critical points + endpoints."""
+    n = coeffs.shape[0]
+    k = jnp.arange(1, n)
+    dcoef = coeffs[1:] * k
+    crit, mask = real_roots_in(dcoef, lo, hi)
+    xs = jnp.concatenate([jnp.asarray([lo, hi], coeffs.dtype), crit])
+    ms = jnp.concatenate([jnp.ones((2,), bool), mask])
+    powers = xs[:, None] ** jnp.arange(n)[None, :]
+    vals = jnp.abs(powers @ coeffs)
+    return jnp.max(jnp.where(ms, vals, -jnp.inf))
+
+
+def max_rates(traj_coeffs, times):
+    """(max |yawdot|, max |sdot|, max |yawddot|, max |sddot|) over a
+    piecewise trajectory (N, 6, 2) -- trajectory.hpp getMaxVelRate /
+    getMaxAccRate analogue."""
+    k = jnp.arange(6)
+
+    def per_piece(c, T):
+        out = []
+        for order in (1, 2):
+            dc = c
+            for _ in range(order):
+                kk = jnp.arange(dc.shape[0] - 1) + 1
+                dc = dc[1:] * kk[:, None]
+            vy = poly_max_abs_on(dc[:, 0], 0.0, T)
+            vs = poly_max_abs_on(dc[:, 1], 0.0, T)
+            out += [vy, vs]
+        return jnp.stack(out)
+
+    per = jax.vmap(per_piece)(traj_coeffs, times)  # (N, 4)
+    m = jnp.max(per, axis=0)
+    return m[0], m[1], m[2], m[3]

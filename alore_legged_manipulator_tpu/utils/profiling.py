@@ -1,0 +1,54 @@
+"""Structured stage timing + profiler hooks.
+
+The reference instruments stage wall-times ad hoc (optimizer.cpp:294-344
+chrono spans, mpc.cpp:339-344 EWMA latency log, RViz text markers as a
+live dashboard).  Here the same signals are structured: named stages
+with EWMA smoothing, queryable as a dict, plus contexts that wrap
+jax.profiler for deep traces.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+from typing import Dict
+
+
+@dataclass
+class StageTimer:
+    """EWMA per-stage wall-clock timing (mpc.cpp:340 smoothing = 0.9)."""
+
+    alpha: float = 0.9
+    ewma: Dict[str, float] = field(default_factory=dict)
+    last: Dict[str, float] = field(default_factory=dict)
+    count: Dict[str, int] = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.last[name] = dt
+            self.count[name] = self.count.get(name, 0) + 1
+            prev = self.ewma.get(name)
+            self.ewma[name] = dt if prev is None \
+                else self.alpha * prev + (1.0 - self.alpha) * dt
+
+    def report(self) -> str:
+        rows = [f"{k}: {v * 1e3:.2f} ms (last {self.last[k] * 1e3:.2f}, "
+                f"n={self.count[k]})" for k, v in sorted(self.ewma.items())]
+        return "\n".join(rows)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace context for per-kernel TPU timelines."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

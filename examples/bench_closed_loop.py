@@ -1,0 +1,58 @@
+"""Batched closed-loop throughput (BASELINE config 4).
+
+Measures scenario-ticks/s for the FULL closed loop -- NMPC RTI at the
+reference horizon + ICR-EKF predict/update + 500 Hz rate-limited noisy
+plant -- vmapped over a scenario fleet on one chip.
+
+Run:  BENCH_FLEET=1024 python examples/bench_closed_loop.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from alore_legged_manipulator_tpu.control.nmpc import NmpcConfig
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+    from alore_legged_manipulator_tpu.parallel.scaling import (_tiny_traj,
+                                                               make_fleet)
+    from alore_legged_manipulator_tpu.parallel.mesh import \
+        batched_tracking_step
+
+    fleet = int(os.environ.get("BENCH_FLEET", "1024"))
+    tt, icr = _tiny_traj()
+    cfg = NmpcConfig()  # full reference horizon N=50
+    step = jax.jit(batched_tracking_step(tt, icr, nmpc_cfg=cfg))
+    state = make_fleet(fleet, cfg)
+    t0 = jnp.zeros(())
+
+    out = step(*state, t0)
+    float(jnp.sum(out[3]))  # sync
+
+    iters = 20
+    times = []
+    for _ in range(iters):
+        t = time.perf_counter()
+        out = step(out[0], out[1], out[2], out[3], out[4], t0)
+        float(jnp.sum(out[3]))
+        times.append(time.perf_counter() - t)
+    med = float(np.median(times))
+    print(json.dumps({
+        "metric": "closed_loop_scenario_ticks_per_s_1chip",
+        "fleet": fleet,
+        "value": round(fleet / med, 1),
+        "unit": "scenario-ticks/s",
+        "ms_per_tick": round(med * 1e3, 2),
+        "realtime_factor_per_scenario": round(0.01 / med * fleet, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

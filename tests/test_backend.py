@@ -133,3 +133,19 @@ def test_plan_backend_respects_limits():
     # smoothed penalties allow small overshoot
     assert moment.max() < CFG.max_vel * CFG.max_omega * 1.15
     assert np.abs(np.asarray(ddsig[..., 1])).max() < CFG.max_acc * 1.3
+
+
+def test_cost_breakdown_sums_to_total():
+    from alore_legged_manipulator_tpu.planner.backend import (
+        stage2_cost_breakdown, real_to_virtual_time, pack_vars, stage2_cost)
+    flat = _straight_flat_traj([1.0, 4.0], [6.0, 4.0], 4)
+    esdf = _map_with_block(block=(30, 40, 30, 37))
+    n = flat.num_pieces
+    tau0 = real_to_virtual_time(jnp.full((n,), flat.init_piece_time))
+    x0 = pack_vars(flat.inner_yaw_s, flat.final_state[1, 0], tau0)
+    lam = jnp.zeros(2)
+    rho = jnp.full((2,), 1e4)
+    terms = stage2_cost_breakdown(x0, flat, esdf, 0.6, lam, rho, CFG)
+    total = float(stage2_cost(x0, flat, esdf, 0.6, lam, rho, CFG))
+    np.testing.assert_allclose(float(terms["total"]), total, rtol=1e-10)
+    assert float(terms["collision"]) >= 0.0

@@ -1,0 +1,58 @@
+"""Deployment runtime: safety state machine and policy wiring."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alore_legged_manipulator_tpu.models import ActorCriticLow
+from alore_legged_manipulator_tpu.runtime.deploy import (DeployConfig,
+                                                         DeployController,
+                                                         DeployState,
+                                                         MessageBus)
+
+
+def _make_controller():
+    m = ActorCriticLow()
+    prop = jnp.zeros((1, 33))
+    hist = jnp.zeros((1, 10, 33))
+    params = m.init(jax.random.PRNGKey(0), prop, hist, None)
+    apply = jax.jit(lambda p, h: m.apply(params, p[None], h[None], None)[0])
+    bus = MessageBus()
+    ctrl = DeployController(bus=bus, low_level_fn=apply,
+                            cfg=DeployConfig(move_to_default_s=0.1))
+    return ctrl, bus
+
+
+def test_state_machine_sequence():
+    ctrl, bus = _make_controller()
+    bus.publish("low_state", {"q": np.full(18, 0.3), "dq": np.zeros(18),
+                              "prop": np.zeros(33),
+                              "prop_hist": np.zeros((10, 33))})
+    cmd = ctrl.tick()
+    assert ctrl.state == DeployState.ZERO_TORQUE
+    assert np.all(cmd.kp == 0)  # no torque in zero-torque state
+
+    ctrl.request_policy()
+    assert ctrl.state == DeployState.MOVE_TO_DEFAULT
+    for _ in range(10):
+        cmd = ctrl.tick()
+    assert ctrl.state == DeployState.POLICY
+    # ramp reached the default pose
+    np.testing.assert_allclose(cmd.q_target[:12],
+                               ctrl.cfg.default_pose[:12], atol=0.35)
+
+    cmd = ctrl.tick()
+    assert cmd.kp[0] == ctrl.cfg.kp and cmd.kp[12] == ctrl.cfg.arm_kp
+    # arm deltas are zeroed in the legs-only passthrough
+    np.testing.assert_allclose(cmd.q_target[12:],
+                               ctrl.cfg.default_pose[12:], atol=1e-9)
+
+
+def test_emergency_stop_damps():
+    ctrl, bus = _make_controller()
+    ctrl.request_policy()
+    for _ in range(12):
+        ctrl.tick()
+    ctrl.emergency_stop()
+    cmd = ctrl.tick()
+    assert ctrl.state == DeployState.EMERGENCY
+    assert np.all(cmd.kp == 0) and np.all(cmd.kd > 0)  # damping only

@@ -117,3 +117,59 @@ def test_box_qp_pncg_matches_direct():
     np.testing.assert_allclose(np.asarray(z_cg), np.asarray(z_direct),
                                atol=2e-5)
     assert float(box_qp_kkt_residual(H, g, lb, ub, z_cg)) < 1e-5
+
+
+def test_box_qp_pallas_matches_reference_solver():
+    """Pallas fused QP kernel (interpret mode on CPU) vs the XLA solver."""
+    from alore_legged_manipulator_tpu.ops import box_qp_pncg
+    from alore_legged_manipulator_tpu.ops.pallas_qp import box_qp_pallas
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    Hs, gs, lbs, ubs = jax.vmap(lambda k: _rand_qp(k, 20))(keys)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    z_ref = jax.vmap(lambda H, g, lb, ub: box_qp_pncg(
+        f32(H), f32(g), f32(lb), f32(ub), iters=6, cg_iters=25))(
+        Hs, gs, lbs, ubs)
+    z_pl = box_qp_pallas(Hs, gs, lbs, ubs, iters=6, cg_iters=25,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(z_pl), np.asarray(z_ref),
+                               atol=2e-4)
+    res = jax.vmap(box_qp_kkt_residual)(f32(Hs), f32(gs), f32(lbs), f32(ubs),
+                                        jnp.asarray(z_pl, jnp.float32))
+    assert float(jnp.max(res)) < 5e-3
+
+
+def test_companion_roots_and_max_rates():
+    from alore_legged_manipulator_tpu.ops.roots import (companion_roots,
+                                                        poly_max_abs_on,
+                                                        max_rates)
+    # (x-1)(x-2)(x+3) = x^3 - 7x + 6 -> coeffs ascending [6, -7, 0, 1]
+    r = np.sort(np.asarray(companion_roots(jnp.array([6.0, -7.0, 0.0, 1.0])).real))
+    np.testing.assert_allclose(r, [-3.0, 1.0, 2.0], atol=1e-8)
+
+    # max |x^2 - 1| on [0, 3] is 8 (at x=3); critical point x=0 gives 1
+    m = float(poly_max_abs_on(jnp.array([-1.0, 0.0, 1.0]), 0.0, 3.0))
+    assert abs(m - 8.0) < 1e-8
+
+    # trajectory max rates vs dense sampling oracle
+    from alore_legged_manipulator_tpu.solvers import minco
+    from alore_legged_manipulator_tpu.core import poly as cpoly
+    key = jax.random.PRNGKey(0)
+    head = jax.random.normal(key, (2, 3))
+    tail = jax.random.normal(jax.random.fold_in(key, 1), (2, 3))
+    inner = jax.random.normal(jax.random.fold_in(key, 2), (2, 3))
+    times = jnp.array([0.7, 1.1, 0.9, 1.3])
+    coeffs = minco.minco_coeffs(head, tail, inner, times)
+    w_max, v_max, dw_max, dv_max = max_rates(coeffs, times)
+    # oracle by dense evaluation
+    dense_v = []
+    dense_a = []
+    for i in range(4):
+        s = jnp.linspace(0.0, times[i], 4001)
+        dense_v.append(np.abs(np.asarray(cpoly.eval_piece(coeffs[i], s, 1))))
+        dense_a.append(np.abs(np.asarray(cpoly.eval_piece(coeffs[i], s, 2))))
+    dense_v = np.concatenate(dense_v)
+    dense_a = np.concatenate(dense_a)
+    np.testing.assert_allclose(float(w_max), dense_v[:, 0].max(), rtol=1e-4)
+    np.testing.assert_allclose(float(v_max), dense_v[:, 1].max(), rtol=1e-4)
+    np.testing.assert_allclose(float(dw_max), dense_a[:, 0].max(), rtol=1e-4)
+    np.testing.assert_allclose(float(dv_max), dense_a[:, 1].max(), rtol=1e-4)
