@@ -108,11 +108,31 @@ class PlanManager:
         oaj = np.array([float(v[0]), float(a[0]), float(j[0])])
         return np.asarray(pose, float), vaj, oaj
 
-    def _plan(self, start_xyt, start_vaj, start_oaj, t_now):
+    def _predicted_start_path(self, t_rel, horizon=0.5, n_pts=6):
+        """Collision-truncated path along the current trajectory over
+        [t_rel, t_rel + jps_truncation_time] (findJPSRoad :714-744)."""
+        if self.tracked is None:
+            return None
+        ts = np.linspace(float(t_rel), float(t_rel) + horizon, n_pts)
+        pts = []
+        for t in ts:
+            pose = np.asarray(
+                pstate(self.tracked, jnp.asarray(t, self.cfg.dtype)), float)
+            # truncate at the first colliding point (JPS_check_if_collision)
+            from ..ops.esdf import dist_at_cell
+            d = float(dist_at_cell(self.esdf,
+                                   jnp.asarray(pose[:2], self.cfg.dtype)))
+            if d <= self.cfg.frontend.safe_dis:
+                break
+            pts.append(pose[:2])
+        return pts if len(pts) >= 2 else None
+
+    def _plan(self, start_xyt, start_vaj, start_oaj, t_now,
+              start_path=None):
         flat = plan_frontend(np.asarray(self.esdf.dist),
                              self.lower, self.res, start_xyt, self.goal,
                              self.cfg.frontend, start_vaj, start_oaj,
-                             self.cfg.dtype)
+                             self.cfg.dtype, start_path=start_path)
         if flat is None:
             self.state = PlanState.EMERGENCY_STOP
             return None
@@ -173,7 +193,8 @@ class PlanManager:
                 t_pred = (t_now + self.cfg.max_replan_time
                           - self.plan_start_time)
                 pose, vaj, oaj = self.predicted_state(t_pred)
-                new_msg = self._plan(pose, vaj, oaj, t_now)
+                sp = self._predicted_start_path(t_pred)
+                new_msg = self._plan(pose, vaj, oaj, t_now, start_path=sp)
 
         # trajectory finished?
         if (self.plan_start_time >= 0
@@ -183,3 +204,46 @@ class PlanManager:
             self.goal = None
 
         return new_msg
+
+
+@dataclass
+class MappedPlanManager(PlanManager):
+    """Unknown-environment variant: the planning ESDF comes from online
+    lidar mapping instead of ground truth (the reference's *_unknown
+    profile: planner_sim.launch wires laser_sim -> SDFmap raycast ->
+    updateESDF2d inside the detection range).
+
+    `occ` is reinterpreted as the GROUND-TRUTH world used only to render
+    scans; planning sees the fused occupancy (unknown treated as free,
+    matching the known-map "3ms" planner behavior outside sensor range).
+    """
+
+    lidar_cfg: object = None
+    occupancy_cfg: object = None
+
+    def __post_init__(self):
+        from ..world.lidar import (LidarConfig, OccupancyConfig,
+                                   occupancy_init)
+        self.lidar_cfg = self.lidar_cfg or LidarConfig()
+        self.occupancy_cfg = self.occupancy_cfg or OccupancyConfig()
+        self._true_occ = jnp.asarray(self.occ)
+        self._map_state = occupancy_init(self.occ.shape, self.occupancy_cfg)
+        # start with an empty (all-unknown -> free) planning map
+        self.occ = np.zeros_like(self.occ)
+        self.update_esdf()
+
+    def sense(self, pose, n_scans: int = 1):
+        """Render scan(s) of the true world from `pose` and fuse them."""
+        from ..world.lidar import (lidar_scan, occupancy_classes,
+                                   occupancy_update)
+        p = jnp.asarray(pose, self.cfg.dtype)
+        for _ in range(n_scans):
+            ranges, hits = lidar_scan(self._true_occ, self.lower, self.res,
+                                      p, self.lidar_cfg)
+            self._map_state = occupancy_update(
+                self._map_state, self.lower, self.res, p, ranges, hits,
+                self.lidar_cfg, self.occupancy_cfg)
+        occ_est, _, _ = occupancy_classes(self._map_state,
+                                          self.occupancy_cfg)
+        self.occ = np.asarray(occ_est)
+        self.update_esdf()

@@ -366,16 +366,29 @@ def build_flat_traj(states, start_xyt, start_vaj, start_oaj,
 def plan_frontend(esdf_dist: np.ndarray, lower, res, start_xyt, goal_xyt,
                   cfg: FrontendConfig = FrontendConfig(),
                   start_vaj=(0.0, 0.0, 0.0), start_oaj=(0.0, 0.0, 0.0),
-                  dtype=jnp.float32) -> Optional[FlatTraj]:
+                  dtype=jnp.float32,
+                  start_path=None) -> Optional[FlatTraj]:
     """Full front end: threshold ESDF -> JPS -> prune -> FlatTraj.
 
     esdf_dist: (H, W) signed distances (host numpy).  Returns None when no
     path exists.  Safe radius shrinks near tight starts/goals
     (jps_planner.cpp:39-44).
+
+    start_path: optional list of (x, y) world points to prepend before the
+    searched path -- the replan continuity stitch of
+    getKinoNodeWithStartPath (jps_planner.cpp:189-215): the search starts
+    from the LAST stitched point while the trajectory still begins at
+    start_xyt.
     """
     start_xyt = np.asarray(start_xyt, float)
     goal_xyt = np.asarray(goal_xyt, float)
-    s_idx = world_to_grid(start_xyt[:2], lower, res)
+    if start_path is not None and len(start_path) == 0:
+        start_path = None
+    if start_path is not None:
+        search_start = np.asarray(start_path[-1], float)[:2]
+    else:
+        search_start = start_xyt[:2]
+    s_idx = world_to_grid(search_start, lower, res)
     g_idx = world_to_grid(goal_xyt[:2], lower, res)
     H, W = esdf_dist.shape
     s_idx = np.minimum(s_idx, [H - 1, W - 1])
@@ -391,8 +404,14 @@ def plan_frontend(esdf_dist: np.ndarray, lower, res, start_xyt, goal_xyt,
         return None
 
     path_xy = [grid_to_world(c, lower, res) for c in cells]
-    path_xy[0] = start_xyt[:2].copy()
+    path_xy[0] = search_start.copy()
     path_xy[-1] = goal_xyt[:2].copy()
+    if start_path is not None:
+        # prepend the stitched prefix (raw_path_.insert in
+        # getKinoNodeWithStartPath); pruning may shortcut interior points
+        prefix = [np.asarray(p, float)[:2] for p in start_path[:-1]]
+        path_xy = prefix + path_xy
+        path_xy[0] = start_xyt[:2].copy()
     path_xy = remove_corner_pts(np.asarray(path_xy), blocked, lower, res)
     if len(path_xy) < 2:
         path_xy = [start_xyt[:2], goal_xyt[:2]]

@@ -1,0 +1,181 @@
+"""Full object-rearrangement mission runtime.
+
+Composes the whole framework the way the reference system runs its
+headline demo (README.md:28: 8 loops, 32 chairs, ~40 min, zero
+failures): mission ordering -> task FSM -> robot approach -> grasp ->
+object push (JPS + MINCO + NMPC closed loop with the EKF in the loop)
+-> release -> map maintenance (items painted as obstacles, unlocked on
+approach, targets locked after delivery -- plan_manager.hpp:470-496,
+MapUpdateThread :500-554).
+
+The robot approach phase runs the FSM's kinematic P-controllers
+(b2z1_object_fsm semantics); the push phase runs the real planning/
+control stack: the pushed object IS the ICR plant tracked by the NMPC.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dynamics import ICRParams
+from ..mission.object_fsm import FsmConfig, FsmState, ObjectFsm
+from ..mission.ordering import greedy_order, pairwise_path_costs
+from ..mission.plan_manager import PlanManager, PlanManagerConfig, PlanState
+from ..planner.frontend import jps_search, world_to_grid
+from ..runtime.closed_loop import LoopConfig, simulate_tracking
+
+
+@dataclass
+class MissionReport:
+    delivered: List[bool]
+    order: List[int]
+    sim_time_s: float
+    push_tracking_err_p95: float
+    final_object_err: List[float]
+
+
+@dataclass
+class ArrangementMission:
+    occ: np.ndarray
+    lower: tuple
+    res: float
+    items: List[np.ndarray]
+    targets: List[np.ndarray]
+    true_icr: ICRParams = field(
+        default_factory=lambda: ICRParams(-0.3, 0.3, 0.2))
+    pm_cfg: PlanManagerConfig = field(default_factory=PlanManagerConfig)
+    fsm_cfg: FsmConfig = field(default_factory=FsmConfig)
+    loop_cfg: LoopConfig = field(default_factory=LoopConfig)
+    robot_dt: float = 0.05
+
+    def _path_len(self, pm, a, b):
+        blocked = np.asarray(pm.esdf.dist) < 0.3
+        cells = jps_search(blocked.astype(np.uint8),
+                           world_to_grid(np.asarray(a)[:2], self.lower,
+                                         self.res),
+                           world_to_grid(np.asarray(b)[:2], self.lower,
+                                         self.res))
+        if cells is None:
+            return np.inf
+        d = np.diff(cells.astype(float), axis=0)
+        return float((np.abs(d).max(1)
+                      + (np.sqrt(2) - 1) * np.abs(d).min(1)).sum()) * self.res
+
+    def run(self, robot_start, verbose: bool = False) -> MissionReport:
+        pm = PlanManager(occ=self.occ.copy(), lower=self.lower, res=self.res,
+                         cfg=self.pm_cfg)
+        n = len(self.items)
+
+        # visit order from JPS path costs BEFORE painting (the reference
+        # orders in task_plan_callback, then MapUpdateThread paints)
+        pts = [np.asarray(robot_start, float)] \
+            + [np.asarray(i, float) for i in self.items] \
+            + [np.asarray(t, float) for t in self.targets]
+        D = pairwise_path_costs(pts, lambda a, b: self._path_len(pm, a, b))
+        order_idx, _ = greedy_order(D, n)
+        item_order = [i - 1 for i in order_idx[::2]]
+        assert len(item_order) == n, "mission ordering failed (unreachable?)"
+
+        # paint all items as obstacles (MapUpdateThread :509-521)
+        for it in self.items:
+            pm.paint_square(np.asarray(it)[:2], half_size=0.25)
+
+        fsm = ObjectFsm(items=[np.asarray(i, float) for i in self.items],
+                        targets=[np.asarray(t, float) for t in self.targets],
+                        order=item_order, cfg=self.fsm_cfg)
+
+        robot = np.asarray(robot_start, float).copy()
+        obj_poses = [np.asarray(i, float).copy() for i in self.items]
+        t_sim = 0.0
+        push_errs: List[float] = []
+        delivered = [False] * n
+
+        guard = 0
+        while fsm.state != FsmState.DONE and guard < 20000:
+            guard += 1
+            cur_i = fsm.order[fsm.task_idx] if fsm.task_idx < n else 0
+            cur_obj = obj_poses[cur_i]
+
+            if fsm.state in (FsmState.WAIT_TASK_PLANNING,
+                             FsmState.ROBOT_TRACKING, FsmState.GRASPING):
+                if fsm.state == FsmState.WAIT_TASK_PLANNING:
+                    fsm.tick(robot, cur_obj)
+                    continue
+                fsm.tick(robot, cur_obj)
+                rv = fsm.robot_vel_cmd
+                robot[0] += rv[0] * np.cos(robot[2]) * self.robot_dt
+                robot[1] += rv[0] * np.sin(robot[2]) * self.robot_dt
+                robot[2] += rv[2] * self.robot_dt
+                t_sim += self.robot_dt
+
+            elif fsm.state == FsmState.WAIT_ROBOT_PATH:
+                # unlock the item area for approach (MapUpdateThread :526-533)
+                pm.paint_square(cur_obj[:2], half_size=0.3, make_obs=False)
+                blocked = np.asarray(pm.esdf.dist) < 0.25
+                cells = jps_search(blocked.astype(np.uint8),
+                                   world_to_grid(robot[:2], self.lower,
+                                                 self.res),
+                                   world_to_grid(cur_obj[:2], self.lower,
+                                                 self.res))
+                if cells is None:
+                    raise RuntimeError("no robot path to item")
+                path = [np.asarray(self.lower)
+                        + (c.astype(float) + 0.5) * self.res
+                        for c in cells[::max(1, len(cells) // 8)]]
+                fsm.set_robot_path(path + [cur_obj[:2]])
+
+            elif fsm.state == FsmState.WAIT_OBJECT_PATH:
+                # plan the object push with the real planner stack
+                target = fsm.current_target()
+                pm.state = PlanState.IDLE
+                pm.plan_start_time = -1.0
+                pm.set_goal(target)
+                msg = pm.tick(t_sim, np.array([cur_obj[0], cur_obj[1],
+                                               robot[2]]))
+                if msg is None:
+                    raise RuntimeError(f"object planning failed: {pm.state}")
+                # closed-loop NMPC push of the object (the object is the
+                # ICR plant; EKF estimates pose + ICR online)
+                dur = float(pm.tracked.duration)
+                ticks = int(dur / 0.01) + 60
+                res = jax.jit(lambda tt: simulate_tracking(
+                    tt, self.true_icr, ticks, self.loop_cfg, seed=guard)
+                )(pm.tracked)
+                perr = np.asarray(res.pos_err)
+                push_errs.append(float(np.percentile(perr, 95)))
+                final = np.asarray(res.xytheta[-1])
+                obj_poses[cur_i] = final.copy()
+                robot[:2] = final[:2] - 0.6 * np.array(
+                    [np.cos(final[2]), np.sin(final[2])])
+                robot[2] = final[2]
+                t_sim += ticks * 0.01
+                fsm.object_path_ready()
+                fsm.state = FsmState.RELEASING
+                fsm.release_count = 0
+
+            elif fsm.state == FsmState.RELEASING:
+                fsm.tick(robot, cur_obj)
+                t_sim += self.robot_dt
+                if fsm.state in (FsmState.WAIT_ROBOT_PATH, FsmState.DONE):
+                    # lock the delivered target (MapUpdateThread :536-549)
+                    tgt = self.targets[cur_i]
+                    delivered[cur_i] = (np.linalg.norm(
+                        obj_poses[cur_i][:2] - np.asarray(tgt)[:2]) < 0.3)
+                    pm.paint_square(np.asarray(tgt)[:2], half_size=0.25)
+
+            if verbose and guard % 200 == 0:
+                print(f"  t={t_sim:7.2f}s state={fsm.state.name} "
+                      f"task {fsm.task_idx}/{n}")
+
+        errs = [float(np.linalg.norm(obj_poses[i][:2]
+                                     - np.asarray(self.targets[i])[:2]))
+                for i in range(n)]
+        return MissionReport(
+            delivered=delivered, order=item_order, sim_time_s=t_sim,
+            push_tracking_err_p95=float(np.max(push_errs)) if push_errs
+            else 0.0,
+            final_object_err=errs)

@@ -1,0 +1,53 @@
+"""Headline demo: multi-object rearrangement mission, full stack.
+
+The TPU twin of the reference's real-robot demo (README.md:28): the
+mission layer orders the tasks, the FSM sequences approach / grasp /
+push / release, and each push runs the real planning + control stack
+(JPS -> MINCO + ALM -> Polynome -> NMPC RTI closed loop with the
+ICR-EKF estimating pose and ICR online against a noisy plant).
+
+Run:  python examples/arrangement_mission.py [--objects 3]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--objects", type=int, default=3)
+    args = ap.parse_args()
+
+    from alore_legged_manipulator_tpu.runtime.arrangement import (
+        ArrangementMission)
+
+    occ = np.zeros((100, 100), bool)
+    occ[48:52, 20:45] = True       # interior wall
+    items = [(2.5, 2.5, 0.0), (2.5, 7.5, 0.0), (7.5, 2.0, 0.0)][:args.objects]
+    targets = [(8.0, 7.5, 0.0), (8.0, 6.0, 0.0), (6.5, 8.0, 0.0)][:args.objects]
+
+    mission = ArrangementMission(occ=occ, lower=(0.0, 0.0), res=0.1,
+                                 items=items, targets=targets)
+    print(f"mission: {len(items)} objects; running full stack...")
+    t0 = time.time()
+    rep = mission.run(robot_start=(5.0, 1.0, 1.57), verbose=True)
+    wall = time.time() - t0
+
+    print(f"\norder: {rep.order}")
+    print(f"delivered: {rep.delivered}")
+    print(f"final object-to-target errors: "
+          f"{[f'{e:.3f}' for e in rep.final_object_err]} m")
+    print(f"push tracking err p95 (worst task): "
+          f"{rep.push_tracking_err_p95:.3f} m")
+    print(f"simulated {rep.sim_time_s:.1f} s of mission in {wall:.1f} s wall")
+    assert all(rep.delivered), "mission incomplete!"
+    print("MISSION COMPLETE")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,21 @@
+"""Full-stack arrangement mission integration test."""
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_two_object_mission_full_stack():
+    from alore_legged_manipulator_tpu.runtime.arrangement import (
+        ArrangementMission)
+
+    occ = np.zeros((100, 100), bool)
+    occ[48:52, 20:45] = True
+    mission = ArrangementMission(
+        occ=occ, lower=(0.0, 0.0), res=0.1,
+        items=[(2.5, 2.5, 0.0), (2.5, 7.5, 0.0)],
+        targets=[(8.0, 7.5, 0.0), (8.0, 6.0, 0.0)])
+    rep = mission.run(robot_start=(5.0, 1.0, 1.57))
+    assert all(rep.delivered), rep
+    assert max(rep.final_object_err) < 0.1
+    assert rep.push_tracking_err_p95 < 0.2
+    assert len(rep.order) == 2

@@ -135,3 +135,52 @@ def test_plan_manager_map_painting():
     assert d_after < 0 < d_before
     pm.paint_square((2.0, 2.0), half_size=0.3, make_obs=False)
     assert not pm.occ[20, 20]
+
+
+@pytest.mark.slow
+def test_mapped_plan_manager_replans_around_discovered_wall():
+    """Unknown-env mode: the first plan goes straight (wall unseen); after
+    sensing, replanning routes around the discovered wall."""
+    import jax.numpy as jnp
+    from alore_legged_manipulator_tpu.mission.plan_manager import (
+        MappedPlanManager, PlanManagerConfig, PlanState)
+    from alore_legged_manipulator_tpu.ops.esdf import sample_dist_bilinear
+    from alore_legged_manipulator_tpu.core.flow import simpson_flow_positions
+
+    occ = np.zeros((80, 80), bool)
+    occ[38:44, 20:60] = True     # wall the robot cannot see yet
+    cfg = PlanManagerConfig(replan_period=0.5, dtype=jnp.float64)
+    pm = MappedPlanManager(occ=occ, lower=(0.0, 0.0), res=0.1, cfg=cfg)
+
+    start = (4.0, 1.0, 1.57)
+    pm.set_goal((4.0, 7.0, 1.57))
+    msg = pm.tick(0.0, start)
+    assert msg is not None
+    # blind plan goes straight through the (unseen) wall region
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    true_esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    node_xy, _, _ = simpson_flow_positions(
+        pm.tracked.traj.coeffs, pm.tracked.traj.times,
+        jnp.asarray(start[:2]), 0.2, 8)
+    d_blind = float(jnp.min(sample_dist_bilinear(
+        true_esdf, node_xy.reshape(-1, 2))))
+    assert d_blind < 0.0, "test setup: blind plan should cross the wall"
+
+    # sense from poses along the would-be detour (continuous mapping while
+    # moving, as the runtime does); a single scan only exposes the thin
+    # front face and the planner would legitimately cut behind it
+    for pose in [(4.0, 1.5, 1.57), (2.5, 2.5, 0.0), (2.5, 4.0, 0.0),
+                 (2.5, 5.5, 0.0)]:
+        for _ in range(8):
+            pm.sense(pose)
+    pm.state = PlanState.IDLE
+    pm.plan_start_time = -1.0
+    pm.set_goal((4.0, 7.0, 1.57))
+    msg2 = pm.tick(1.0, start)
+    assert msg2 is not None, f"replan failed: {pm.state}"
+    node_xy, _, _ = simpson_flow_positions(
+        pm.tracked.traj.coeffs, pm.tracked.traj.times,
+        jnp.asarray(start[:2]), 0.2, 8)
+    d_aware = float(jnp.min(sample_dist_bilinear(
+        true_esdf, node_xy.reshape(-1, 2))))
+    assert d_aware > 0.05, f"plan still crosses the wall: {d_aware}"
