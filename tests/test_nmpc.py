@@ -156,3 +156,17 @@ def test_batched_rti_step():
     carries2, u_cmd, x_pred, u_pred = step(carries, x0)
     assert u_cmd.shape == (B, 2)
     assert np.all(np.abs(np.asarray(u_pred)) <= 3.0 + 1e-9)
+
+
+def test_exact_step_matches_fine_rk4():
+    from alore_legged_manipulator_tpu.control.nmpc import exact_step
+    x = jnp.array([0.3, -0.2, 0.9])
+    for u in [jnp.array([1.3, 0.7]), jnp.array([1.0, 1.0]),  # incl. w = 0
+              jnp.array([-0.5, 2.0])]:
+        fine = x
+        for _ in range(2000):
+            fine = fine + 0.01 / 2000 * icr_dynamics(fine, u, ICR)
+        ex = exact_step(x, u, ICR, 0.01)
+        # oracle is fine Euler; its own global error is ~1e-7
+        np.testing.assert_allclose(np.asarray(ex), np.asarray(fine),
+                                   atol=5e-7)

@@ -73,17 +73,18 @@ def test_closed_loop_parity_with_acado_reference():
 
     xs, us = _run_ours(n)
 
-    # closed-loop trajectory parity: both controllers keep the plant on
-    # the same path
+    # closed-loop trajectory parity: measured agreement is ~1e-6-level
+    # (same linearizations, both QPs solved to tight KKT); assert with
+    # two orders of magnitude headroom
     pos_diff = np.linalg.norm(xs[:, :2] - xs_ref[:, :2], axis=1)
-    assert pos_diff.max() < 0.02, f"trajectory diverges: {pos_diff.max():.4f} m"
+    assert pos_diff.max() < 1e-3, f"trajectory diverges: {pos_diff.max():.6f} m"
     yaw_diff = np.abs(xs[:, 2] - xs_ref[:, 2])
-    assert yaw_diff.max() < 0.05
+    assert yaw_diff.max() < 1e-3
 
     # steady-state control-sequence parity (after the RTI transient)
     tail = slice(40, None)
     u_diff = np.abs(us[tail] - us_ref[tail])
-    assert u_diff.max() < 0.05, f"steady control differs: {u_diff.max():.4f}"
+    assert u_diff.max() < 1e-3, f"steady control differs: {u_diff.max():.6f}"
 
     # transient commands stay in the same ballpark (same QP active set)
     assert np.abs(us - us_ref).max() < 0.6
