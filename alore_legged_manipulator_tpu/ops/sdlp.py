@@ -1,0 +1,93 @@
+"""Seidel's incremental low-dimensional linear programming.
+
+Fills the gcopter/sdlp.hpp role (`linprog`: minimize c'x subject to
+A x <= b, used by the gcopter family for corridor geometry).  Host-side
+numpy: these LPs are tiny (d <= 3, a few dozen constraints) and
+irregular -- exactly the kind of work that belongs next to the JPS
+search, not on the TPU.
+
+Implementation: classic randomized-incremental Seidel recursion on the
+constraint set; expected O(n) for fixed dimension.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_INF = 1e30
+
+
+def _solve_1d(c, A, b, lo=-_INF, hi=_INF):
+    for a, bb in zip(A, b):
+        if a > 1e-12:
+            hi = min(hi, bb / a)
+        elif a < -1e-12:
+            lo = max(lo, bb / a)
+        elif bb < -1e-9:
+            return None
+    if lo > hi + 1e-9:
+        return None
+    return np.array([lo if c > 0 else hi if c < 0 else lo])
+
+
+def seidel_lp(c, A, b, bound: float = _INF, rng=None):
+    """minimize c'x  s.t.  A x <= b,  |x_i| <= bound.
+
+    c: (d,), A: (m, d), b: (m,).  Returns x (d,) or None if infeasible.
+    Unbounded problems are clamped by `bound` (the reference passes an
+    enclosing box the same way).
+    """
+    c = np.asarray(c, float)
+    A = np.asarray(A, float).reshape(-1, c.shape[0])
+    b = np.asarray(b, float)
+    rng = rng or np.random.default_rng(0)
+    d = c.shape[0]
+
+    if d == 1:
+        return _solve_1d(c[0], A[:, 0], b, -bound, bound)
+
+    # box constraints as explicit halfplanes
+    box_A = np.vstack([np.eye(d), -np.eye(d)])
+    box_b = np.full(2 * d, bound)
+    A_all = np.vstack([A, box_A])
+    b_all = np.concatenate([b, box_b])
+    m = A_all.shape[0]
+    order = rng.permutation(m)
+
+    # start from the box optimum
+    x = np.array([-bound if ci > 0 else bound if ci < 0 else 0.0
+                  for ci in c])
+    seen = []
+    for idx in order:
+        a_i, b_i = A_all[idx], b_all[idx]
+        if a_i @ x <= b_i + 1e-9:
+            seen.append(idx)
+            continue
+        # x violates constraint i: the optimum lies ON a_i x = b_i.
+        # Project onto the hyperplane and recurse in d-1 dims.
+        k = int(np.argmax(np.abs(a_i)))
+        if abs(a_i[k]) < 1e-12:
+            if b_i < -1e-9:
+                return None
+            seen.append(idx)
+            continue
+        others = [j for j in range(d) if j != k]
+        # x_k = (b_i - sum_{j!=k} a_j x_j) / a_k
+        sub_A = []
+        sub_b = []
+        for j in seen:
+            aj, bj = A_all[j], b_all[j]
+            coef = aj[others] - aj[k] * a_i[others] / a_i[k]
+            rhs = bj - aj[k] * b_i / a_i[k]
+            sub_A.append(coef)
+            sub_b.append(rhs)
+        sub_c = c[others] - c[k] * a_i[others] / a_i[k]
+        sub = seidel_lp(sub_c,
+                        np.asarray(sub_A, float).reshape(-1, d - 1),
+                        np.asarray(sub_b, float), bound, rng)
+        if sub is None:
+            return None
+        x = np.empty(d)
+        x[others] = sub
+        x[k] = (b_i - a_i[others] @ sub) / a_i[k]
+        seen.append(idx)
+    return x

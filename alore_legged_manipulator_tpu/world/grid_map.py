@@ -69,3 +69,103 @@ def random_boxes(key, occ, lower, res, n_boxes: int, size_range=(0.4, 1.2),
         yaw = jax.random.uniform(ky, (), minval=0.0, maxval=3.14159)
         occ = paint_rect(occ, lower, res, (cx, cy), (sx, sy), yaw)
     return occ
+
+
+def occupancy_from_png(path: str, threshold: int = 127,
+                       dark_is_occupied: bool = True):
+    """Load an occupancy grid from a PNG image (global_map method 3,
+    utils/simulator/src/global_map.cpp get_grid_from_png).
+
+    Minimal stdlib decoder: non-interlaced 8-bit grayscale / RGB /
+    palette-less PNGs (the format map editors export).  Returns a bool
+    numpy array with x along axis 0 (image rows -> map x).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    ihdr = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    w, h, bit_depth, color_type, _, _, interlace = ihdr
+    assert bit_depth == 8 and interlace == 0, "only 8-bit non-interlaced"
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    img = np.zeros((h, w), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    off = 0
+    for row in range(h):
+        filt = raw[off]
+        line = np.frombuffer(raw[off + 1:off + 1 + stride],
+                             np.uint8).astype(np.int32)
+        off += 1 + stride
+        out = np.zeros(stride, np.int32)
+        pv = prev.astype(np.int32)
+        if filt == 0:
+            out = line
+        elif filt == 2:      # Up
+            out = (line + pv) % 256
+        elif filt in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            for i in range(stride):
+                a = out[i - channels] if i >= channels else 0
+                b = pv[i]
+                c = pv[i - channels] if i >= channels else 0
+                if filt == 1:
+                    pred = a
+                elif filt == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                out[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unsupported PNG filter {filt}")
+        prev = out.astype(np.uint8)
+        img[row] = prev.reshape(w, channels)[:, 0] if channels > 1 \
+            else prev
+    occ = img < threshold if dark_is_occupied else img >= threshold
+    return occ
+
+
+def occupancy_from_pcd(path: str, lower, res, shape):
+    """Occupancy from an ASCII PCD point cloud (global_map method 4,
+    get_grid_from_pcd): each point stamps its cell occupied."""
+    import numpy as np
+
+    pts = []
+    with open(path) as f:
+        in_data = False
+        for line in f:
+            if in_data:
+                vals = line.split()
+                if len(vals) >= 2:
+                    pts.append((float(vals[0]), float(vals[1])))
+            elif line.startswith("DATA"):
+                assert "ascii" in line, "only ascii PCD"
+                in_data = True
+    occ = np.zeros(shape, bool)
+    H, W = shape
+    for x, y in pts:
+        i = int((x - lower[0]) / res)
+        j = int((y - lower[1]) / res)
+        if 0 <= i < H and 0 <= j < W:
+            occ[i, j] = True
+    return occ

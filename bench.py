@@ -29,7 +29,7 @@ def main():
     dtype = jnp.float32
     n = cfg.horizon
 
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    B = int(os.environ.get("BENCH_BATCH", "8192"))
     rng = np.random.default_rng(0)
 
     x_traj = jnp.asarray(rng.standard_normal((B, n + 1, 3)) * 0.1, dtype)

@@ -173,3 +173,76 @@ def test_companion_roots_and_max_rates():
     np.testing.assert_allclose(float(v_max), dense_v[:, 1].max(), rtol=1e-4)
     np.testing.assert_allclose(float(dw_max), dense_a[:, 0].max(), rtol=1e-4)
     np.testing.assert_allclose(float(dv_max), dense_a[:, 1].max(), rtol=1e-4)
+
+
+def test_png_and_pcd_map_loaders(tmp_path):
+    import struct
+    import zlib
+    from alore_legged_manipulator_tpu.world.grid_map import (
+        occupancy_from_pcd, occupancy_from_png)
+
+    # write a small grayscale PNG (filter 0 rows)
+    h, w = 6, 8
+    img = np.full((h, w), 255, np.uint8)
+    img[2:4, 3:6] = 0  # dark block = occupied
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+
+    def chunk(ctype, payload):
+        c = ctype + payload
+        return (struct.pack(">I", len(payload)) + c
+                + struct.pack(">I", zlib.crc32(c)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    p = tmp_path / "map.png"
+    p.write_bytes(png)
+    occ = occupancy_from_png(str(p))
+    assert occ.shape == (h, w)
+    assert occ[2:4, 3:6].all() and occ.sum() == 6
+
+    # ascii PCD
+    pcd = tmp_path / "map.pcd"
+    pcd.write_text(
+        "VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        "WIDTH 2\nHEIGHT 1\nPOINTS 2\nDATA ascii\n"
+        "0.55 0.25 0\n1.15 0.95 0\n")
+    occ2 = occupancy_from_pcd(str(pcd), (0.0, 0.0), 0.1, (20, 20))
+    assert occ2[5, 2] and occ2[11, 9] and occ2.sum() == 2
+
+
+def test_seidel_lp():
+    from alore_legged_manipulator_tpu.ops.sdlp import seidel_lp
+    rng = np.random.default_rng(0)
+    # random feasible LPs vs brute-force vertex enumeration (2-D)
+    for trial in range(20):
+        m = 8
+        A = rng.standard_normal((m, 2))
+        b = A @ np.array([0.3, -0.2]) + rng.uniform(0.1, 2.0, m)  # feasible
+        c = rng.standard_normal(2)
+        x = seidel_lp(c, A, b, bound=50.0)
+        assert x is not None
+        assert np.all(A @ x <= b + 1e-6)
+        # oracle: best vertex of all constraint-pair intersections + box
+        best = None
+        Abox = np.vstack([A, np.eye(2) * 1, -np.eye(2)])
+        bbox = np.concatenate([b, [50.0, 50.0, 50.0, 50.0]])
+        M = Abox.shape[0]
+        for i in range(M):
+            for j in range(i + 1, M):
+                Mij = np.array([Abox[i], Abox[j]])
+                if abs(np.linalg.det(Mij)) < 1e-9:
+                    continue
+                v = np.linalg.solve(Mij, [bbox[i], bbox[j]])
+                if np.all(Abox @ v <= bbox + 1e-6):
+                    val = c @ v
+                    if best is None or val < best:
+                        best = val
+        assert best is not None
+        assert c @ x <= best + 1e-5, f"trial {trial}: {c @ x} vs {best}"
+
+    # infeasible
+    A = np.array([[1.0, 0.0], [-1.0, 0.0]])
+    b = np.array([-1.0, -1.0])  # x <= -1 and x >= 1
+    assert seidel_lp(np.array([1.0, 0.0]), A, b, bound=10.0) is None
