@@ -1,0 +1,23 @@
+#!/bin/bash
+# Build the reference back-end golden oracle (see harness.cpp).
+# Reference sources are compiled read-only from /root/reference; Eigen comes
+# from the TensorFlow wheel's bundled headers (no system Eigen in this image).
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=/root/reference/planning_ddr_opt
+EIGEN=$(python - <<'PY'
+import pathlib, tensorflow as tf  # noqa: F401  (only need the include dir)
+import tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+
+g++ -O2 -std=c++14 -w \
+    -I stub \
+    -I "$EIGEN" \
+    -I "$REF/back_end/include" \
+    -I "$REF/back_end/src" \
+    -I "$REF/front_end/include" \
+    harness.cpp -o backend_oracle
+echo "built $(pwd)/backend_oracle"

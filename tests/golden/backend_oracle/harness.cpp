@@ -1,0 +1,363 @@
+// Standalone golden-trace oracle for the reference MINCO back-end.
+//
+// Compiles the REFERENCE sources (back_end/src/optimizer.cpp +
+// gcopter/minco.hpp + gcopter/lbfgs.hpp) against stub ROS/PCL/SDFmap
+// headers (./stub) so the exact C++ optimizer the robot runs can be
+// executed on fixed inputs and its outputs recorded for parity tests —
+// the same approach as tests/golden/acado_oracle_harness.c for the NMPC.
+//
+// Modes:
+//   minco  <in> <out>   MINCO_S3NU only: coeffs, energy, energy grads and
+//                       the propogateArcYawLenghGrad adjoint for a given
+//                       (iniState, finState, inner points, times)
+//                       [minco.hpp:817-992, 1139-1210]
+//   cost   <scenario> <grid> <xfile> <out>
+//                       costFunctionCallbackPath / costFunctionCallback
+//                       cost+gradient at fixed decision vectors
+//                       [optimizer.cpp:631-692, 1272+]
+//   solve  <scenario> <grid> <out>
+//                       full minco_plan: final inner pts, times, coeffs and
+//                       a predicted-state sweep [optimizer.cpp:169-220]
+//
+// All params mirror back_end/config/global_planning3ms.yaml +
+// plan_manager/config/car3ms.yaml + planner_sim.launch.
+
+#include <algorithm>
+#include <chrono>
+#include <cfloat>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <iomanip>
+#include <iostream>
+#include <map>
+#include <memory>
+#include <random>
+#include <sstream>
+#include <stdexcept>
+#include <string>
+#include <vector>
+#include <Eigen/Eigen>
+
+// The harness needs the optimizer's internals (cost callbacks are private
+// statics; decision-vector setup lives inside optimizer()).  Compile the
+// reference TU into this one with access relaxed — test-only trick.  All
+// std/Eigen headers are pre-included above so the define can't corrupt them.
+#define private public
+#define protected public
+#include "optimizer.cpp"  // reference back_end/src/optimizer.cpp
+#undef private
+#undef protected
+
+namespace {
+
+double rd(FILE* f) {
+    double v;
+    if (fscanf(f, "%lf", &v) != 1) throw std::runtime_error("parse error");
+    return v;
+}
+int ri(FILE* f) {
+    int v;
+    if (fscanf(f, "%d", &v) != 1) throw std::runtime_error("parse error (int)");
+    return v;
+}
+void wvec(FILE* f, const char* name, const double* p, size_t n) {
+    fprintf(f, "%s %zu", name, n);
+    for (size_t i = 0; i < n; i++) fprintf(f, " %.17g", p[i]);
+    fprintf(f, "\n");
+}
+
+// global_planning3ms.yaml + car3ms.yaml ("3ms" profile)
+void install_default_params() {
+    using oracle_params::set;
+    set("/mean_time_lowBound", 0.50);
+    set("/mean_time_uppBound", 2.00);
+    set("/smoothingFactor", 0.01);
+    set("/safeDis", 0.6);
+    set("/finalMinSafeDis", 0.10);
+    set("/finalSafeDisCheckNum", 16);
+    set("/safeReplanMaxTime", 3);
+    set("/penaltyWeights/time_weight", 50.0);
+    set("/penaltyWeights/acc_weight", 300.0);
+    set("/penaltyWeights/domega_weight", 300.0);
+    set("/penaltyWeights/collision_weight", 500000.0);
+    set("/penaltyWeights/moment_weight", 300.0);
+    set("/penaltyWeights/mean_time_weight", 300.0);
+    set("/penaltyWeights/cen_acc_weight", 300.0);
+    set("/PathpenaltyWeights/time_weight", 20.0);
+    set("/PathpenaltyWeights/bigpath_sdf_weight", 200000.0);
+    set("/PathpenaltyWeights/mean_time_weight", 100.0);
+    set("/PathpenaltyWeights/moment_weight", 1000.0);
+    set("/PathpenaltyWeights/acc_weight", 100.0);
+    set("/PathpenaltyWeights/domega_weight", 100.0);
+    set("/energyWeights", std::vector<double>{0.33, 1.0});
+    set("/EqualLambda", std::vector<double>{0.0, 0.0});
+    set("/EqualRho", std::vector<double>{10000.0, 10000.0});
+    set("/EqualRhoMax", std::vector<double>{1e10, 1e10});
+    set("/EqualGamma", std::vector<double>{9.0, 9.0});
+    set("/EqualTolerance", std::vector<double>{0.01, 0.0});
+    set("/CutEqualLambda", std::vector<double>{0.0, 0.0});
+    set("/CutEqualRho", std::vector<double>{1000.0, 1000.0});
+    set("/CutEqualRhoMax", std::vector<double>{1e10, 1e10});
+    set("/CutEqualGamma", std::vector<double>{5.0, 5.0});
+    set("/CutEqualTolerance", std::vector<double>{0.5, 0.0});
+    set("/path_lbfgs_params/mem_size", 256);
+    set("/path_lbfgs_params/past", 2);
+    set("/path_lbfgs_params/g_epsilon", 0.0);
+    set("/path_lbfgs_params/min_step", 0.0);
+    set("/path_lbfgs_params/delta", 5.0e-2);
+    set("/path_lbfgs_params/max_iterations", 8000);
+    set("/path_lbfgs_params/shot_path_past", 8);
+    set("/path_lbfgs_params/shot_path_horizon", 0.5);
+    set("/lbfgs_params/mem_size", 256);
+    set("/lbfgs_params/past", 3);
+    set("/lbfgs_params/g_epsilon", 0.0);
+    set("/lbfgs_params/min_step", 1.0e-32);
+    set("/lbfgs_params/delta", 5.0e-4);
+    set("/lbfgs_params/max_iterations", 8000);
+    set("/sparseResolution", 8);
+    set("/timeResolution", 0.4);
+    set("/mintrajNum", 3);
+    set("/trajPredictResolution", 0.01);
+    set("/if_visual_optimization", false);
+    set("/hrz_limited", false);
+    // car3ms.yaml checkpoint + launch ICR / diff flags (scenario overrides)
+    set("/checkpoint", std::vector<double>{0.3, 0.0, -0.3, 0.0});
+    set("/ICR_yl", 0.3);
+    set("/ICR_yr", -0.3);
+    set("/ICR_xv", 0.2);
+    set("/if_standard_diff", false);
+    // Config (optimizer.h Config struct, car3ms.yaml physical limits)
+    set("/max_vel", 3.0);
+    set("/min_vel", 0.0);
+    set("/max_acc", 2.0);
+    set("/max_omega", 3.0);
+    set("/max_domega", 4.0);
+    set("/max_centripetal_acc", 50.0);
+    set("/if_directly_constrain_v_omega", false);
+}
+
+// Scenario file: overrides + FlatTrajData (see dump_backend_scenario on the
+// Python side, tests/test_backend_parity.py)
+FlatTrajData read_scenario(const std::string& path) {
+    FILE* f = fopen(path.c_str(), "r");
+    if (!f) throw std::runtime_error("cannot open scenario " + path);
+    using oracle_params::set;
+    double icr_yl = rd(f), icr_yr = rd(f), icr_xv = rd(f);
+    set("/ICR_yl", icr_yl);
+    set("/ICR_yr", icr_yr);
+    set("/ICR_xv", icr_xv);
+    set("/if_standard_diff", ri(f) != 0);
+    int n_cp = ri(f);
+    std::vector<double> cps(2 * n_cp);
+    for (auto& c : cps) c = rd(f);
+    set("/checkpoint", cps);
+    set("/safeDis", rd(f));
+
+    FlatTrajData ft;
+    ft.if_cut = ri(f) != 0;
+    int K = ri(f);
+    for (int i = 0; i < K; i++) {
+        double py = rd(f), ps = rd(f), pt = rd(f);  // rd() order must be
+        Eigen::Vector3d p(py, ps, pt);              // sequenced explicitly
+        ft.UnOccupied_traj_pts.push_back(p);
+    }
+    // UnOccupied_positions: the stage-1 "bigpath" world targets, one per
+    // interior knot (the final pose is appended by get_state itself,
+    // optimizer.cpp:234-235; used at optimizer.cpp:1567-1571)
+    for (int i = 0; i < K; i++) {
+        double wx = rd(f), wy = rd(f), wth = rd(f);
+        ft.UnOccupied_positions.push_back(Eigen::Vector3d(wx, wy, wth));
+    }
+    ft.UnOccupied_initT = rd(f);
+    ft.start_state.resize(2, 3);
+    ft.final_state.resize(2, 3);
+    for (int c = 0; c < 3; c++)
+        for (int r = 0; r < 2; r++) ft.start_state(r, c) = rd(f);
+    for (int c = 0; c < 3; c++)
+        for (int r = 0; r < 2; r++) ft.final_state(r, c) = rd(f);
+    for (int i = 0; i < 3; i++) ft.start_state_XYTheta[i] = rd(f);
+    for (int i = 0; i < 3; i++) ft.final_state_XYTheta[i] = rd(f);
+    fclose(f);
+    return ft;
+}
+
+MSPlanner* make_planner(const std::string& grid_path) {
+    ros::NodeHandle nh;
+    auto map = std::make_shared<SDFmap>();
+    map->loadGrid(grid_path);
+    Config conf(nh);
+    return new MSPlanner(conf, nh, map);
+}
+
+int run_minco(const char* in_path, const char* out_path) {
+    FILE* f = fopen(in_path, "r");
+    if (!f) throw std::runtime_error("cannot open input");
+    int N = ri(f);
+    Eigen::Matrix<double, 2, 3> ini, fin;
+    for (int c = 0; c < 3; c++)
+        for (int r = 0; r < 2; r++) ini(r, c) = rd(f);
+    for (int c = 0; c < 3; c++)
+        for (int r = 0; r < 2; r++) fin(r, c) = rd(f);
+    Eigen::MatrixXd inner(2, N - 1);
+    for (int c = 0; c < N - 1; c++)
+        for (int r = 0; r < 2; r++) inner(r, c) = rd(f);
+    Eigen::VectorXd times(N);
+    for (int i = 0; i < N; i++) times(i) = rd(f);
+    double ew0 = rd(f), ew1 = rd(f);
+    Eigen::Vector2d ew(ew0, ew1);
+    fclose(f);
+
+    minco::MINCO_S3NU minco;
+    minco.setConditions(ini, fin, N, ew);
+    minco.setParameters(inner, times);
+
+    double energy = 0.0;
+    minco.getEnergy(energy);
+    Eigen::MatrixX2d gdC(6 * N, 2);
+    minco.getEnergyPartialGradByCoeffs(gdC);
+    Eigen::VectorXd gdT(N);
+    minco.getEnergyPartialGradByTimes(gdT);
+    Eigen::Matrix2Xd gradByPoints(2, N - 1);
+    Eigen::VectorXd gradByTimes(N);
+    Eigen::Vector2d gradByTailStateS;
+    // propagate the ENERGY partials through the spline solve — the adjoint
+    // path every stage-2 iteration exercises (minco.hpp:1139-1210)
+    Eigen::MatrixX2d pC = gdC;
+    Eigen::VectorXd pT = gdT;
+    minco.propogateArcYawLenghGrad(pC, pT, gradByPoints, gradByTimes,
+                                   gradByTailStateS);
+
+    FILE* o = fopen(out_path, "w");
+    fprintf(o, "N %d\n", N);
+    // b is 6N x 2 row-major over rows: dump column-major like Eigen default
+    Eigen::MatrixX2d coeffs = minco.b;
+    wvec(o, "coeffs", coeffs.data(), coeffs.size());
+    fprintf(o, "energy %.17g\n", energy);
+    wvec(o, "energy_gdC", gdC.data(), gdC.size());
+    wvec(o, "energy_gdT", gdT.data(), gdT.size());
+    wvec(o, "gradByPoints", gradByPoints.data(), gradByPoints.size());
+    wvec(o, "gradByTimes", gradByTimes.data(), gradByTimes.size());
+    wvec(o, "gradByTailStateS", gradByTailStateS.data(), 2);
+    fclose(o);
+    return 0;
+}
+
+// Mirror of the decision-vector setup in optimizer() (optimizer.cpp:251-292)
+// so cost callbacks can be evaluated at externally supplied x.
+void prime_planner(MSPlanner* pl, const FlatTrajData& ft) {
+    double start_safe_dis =
+        pl->map_->getDistanceReal(ft.start_state_XYTheta.head(2)) * 0.85;
+    pl->safeDis = std::min(start_safe_dis, pl->safeDis_);
+    pl->get_state(ft);
+    if (!pl->ifCutTraj_) {
+        pl->EqualLambda = pl->init_EqualLambda_;
+        pl->EqualRho = pl->init_EqualRho_;
+    } else {
+        pl->EqualLambda = pl->Cut_init_EqualLambda_;
+        pl->EqualRho = pl->Cut_init_EqualRho_;
+    }
+    pl->Minco.setConditions(pl->iniState, pl->finState, pl->TrajNum,
+                            pl->energyWeights);
+}
+
+int run_cost(const char* scen, const char* grid, const char* xfile,
+             const char* out_path) {
+    FlatTrajData ft = read_scenario(scen);
+    MSPlanner* pl = make_planner(grid);
+    prime_planner(pl, ft);
+
+    FILE* xf = fopen(xfile, "r");
+    if (!xf) throw std::runtime_error("cannot open xfile");
+    int n_x = ri(xf), dim = ri(xf);
+    FILE* o = fopen(out_path, "w");
+    fprintf(o, "n %d dim %d TrajNum %d\n", n_x, dim, pl->TrajNum);
+    fprintf(o, "safeDis %.17g\n", pl->safeDis);
+    for (int k = 0; k < n_x; k++) {
+        Eigen::VectorXd x(dim), g(dim);
+        for (int i = 0; i < dim; i++) x[i] = rd(xf);
+        // path stage (stage 1)
+        g.setZero();
+        double c_path = MSPlanner::costFunctionCallbackPath(pl, x, g);
+        fprintf(o, "path_cost %.17g\n", c_path);
+        wvec(o, "path_grad", g.data(), dim);
+        // formal stage (stage 2, ALM state = fresh init)
+        g.setZero();
+        double c_formal = MSPlanner::costFunctionCallback(pl, x, g);
+        fprintf(o, "formal_cost %.17g\n", c_formal);
+        wvec(o, "formal_grad", g.data(), dim);
+        wvec(o, "final_xy_err", pl->FinalIntegralXYError.data(), 2);
+    }
+    fclose(xf);
+    fclose(o);
+    return 0;
+}
+
+int run_solve(const char* scen, const char* grid, const char* out_path) {
+    FlatTrajData ft = read_scenario(scen);
+    MSPlanner* pl = make_planner(grid);
+    bool ok = pl->minco_plan(ft);
+
+    FILE* o = fopen(out_path, "w");
+    fprintf(o, "ok %d\n", ok ? 1 : 0);
+    if (ok) {
+        int N = pl->finalpieceTime.size();
+        fprintf(o, "N %d\n", N);
+        wvec(o, "inner", pl->finalInnerpoints.data(),
+             pl->finalInnerpoints.size());
+        wvec(o, "times", pl->finalpieceTime.data(), N);
+        Eigen::MatrixXd fs = pl->finState;
+        wvec(o, "finState", fs.data(), fs.size());
+        // physical-space sweep via the reference's own predictor
+        double total = pl->finalpieceTime.sum();
+        int n_samp = 64;
+        std::vector<double> xs, ys, ths, vs, oms;
+        for (int i = 0; i <= n_samp; i++) {
+            double t = total * i / n_samp;
+            Eigen::Vector3d xyth, vaj, oaj;
+            pl->get_the_predicted_state(t, xyth, vaj, oaj);
+            xs.push_back(xyth.x());
+            ys.push_back(xyth.y());
+            ths.push_back(xyth.z());
+            vs.push_back(vaj.x());
+            oms.push_back(oaj.x());
+        }
+        fprintf(o, "total_T %.17g\n", total);
+        wvec(o, "sweep_x", xs.data(), xs.size());
+        wvec(o, "sweep_y", ys.data(), ys.size());
+        wvec(o, "sweep_th", ths.data(), ths.size());
+        wvec(o, "sweep_v", vs.data(), vs.size());
+        wvec(o, "sweep_om", oms.data(), oms.size());
+    }
+    fclose(o);
+    return 0;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+    if (argc < 3) {
+        fprintf(stderr,
+                "usage: %s minco <in> <out>\n"
+                "       %s cost <scenario> <grid> <xfile> <out>\n"
+                "       %s solve <scenario> <grid> <out>\n",
+                argv[0], argv[0], argv[0]);
+        return 2;
+    }
+    install_default_params();
+    oracle_params::quiet = (getenv("ORACLE_VERBOSE") == nullptr);
+    try {
+        std::string mode = argv[1];
+        if (mode == "minco" && argc == 4) return run_minco(argv[2], argv[3]);
+        if (mode == "cost" && argc == 6)
+            return run_cost(argv[2], argv[3], argv[4], argv[5]);
+        if (mode == "solve" && argc == 5)
+            return run_solve(argv[2], argv[3], argv[4]);
+    } catch (const std::exception& e) {
+        fprintf(stderr, "oracle error: %s\n", e.what());
+        return 1;
+    }
+    fprintf(stderr, "bad arguments\n");
+    return 2;
+}

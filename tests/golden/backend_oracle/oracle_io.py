@@ -1,0 +1,196 @@
+"""I/O helpers for the reference back-end golden oracle (harness.cpp).
+
+Dumps ESDF grids / FlatTraj scenarios / decision vectors in the harness'
+input formats, runs the compiled oracle, and parses its outputs.  Used by
+record_goldens.py to produce the checked-in golden files that
+tests/test_backend_parity.py asserts against (pytest itself never needs
+the binary or g++).
+"""
+from __future__ import annotations
+
+import os
+import struct
+import subprocess
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ORACLE_BIN = os.path.join(HERE, "backend_oracle")
+
+
+def build_oracle():
+    subprocess.run([os.path.join(HERE, "build.sh")], check=True,
+                   capture_output=True)
+
+
+def dump_grid(dist, lower, res, path):
+    """Write an ESDF grid in the stub SDFmap format (sdf_map.h stub).
+
+    dist: (H, W) array indexed [ix, iy] (the reference's
+    distance_buffer_all_ layout, row-major over x).
+    """
+    dist = np.asarray(dist, np.float64)
+    nx, ny = dist.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", nx, ny))
+        f.write(struct.pack("<ddd", float(lower[0]), float(lower[1]),
+                            float(res)))
+        f.write(dist.tobytes())  # row-major == ix*ny + iy
+
+
+def dump_scenario(flat, icr_ylr_xv, standard_diff, checkpoints, safe_dis,
+                  path):
+    """Write a FlatTrajData scenario for the harness.
+
+    flat: alore FlatTraj pytree (numpy-able).
+    icr_ylr_xv: (yl, yr, xv) -- note the harness param order ICR_yl, ICR_yr,
+    ICR_xv (optimizer.cpp:162-164).
+    """
+    inner = np.asarray(flat.inner_yaw_s, np.float64)      # (2, N-1)
+    n_pieces = inner.shape[1] + 1
+    lines = []
+    lines.append("%.17g %.17g %.17g" % tuple(icr_ylr_xv))
+    lines.append("%d" % (1 if standard_diff else 0))
+    cps = np.asarray(checkpoints, np.float64).reshape(-1, 2)
+    lines.append("%d" % cps.shape[0])
+    for cp in cps:
+        lines.append("%.17g %.17g" % (cp[0], cp[1]))
+    lines.append("%.17g" % safe_dis)
+    lines.append("%d" % int(np.asarray(flat.if_cut)))
+    # UnOccupied_traj_pts: (yaw, s, t) interior knots; t is unused by
+    # get_state beyond head(2) but keep the uniform time for completeness.
+    lines.append("%d" % (n_pieces - 1))
+    t0 = float(np.asarray(flat.init_piece_time))
+    for i in range(n_pieces - 1):
+        lines.append("%.17g %.17g %.17g" % (inner[0, i], inner[1, i],
+                                            t0 * (i + 1)))
+    pos = np.asarray(flat.inner_positions, np.float64)
+    for i in range(n_pieces - 1):
+        lines.append("%.17g %.17g %.17g" % (pos[i, 0], pos[i, 1], pos[i, 2]))
+    lines.append("%.17g" % t0)
+    ss = np.asarray(flat.start_state, np.float64)
+    fs = np.asarray(flat.final_state, np.float64)
+    for mat in (ss, fs):
+        lines.append(" ".join("%.17g" % mat[r, c]
+                              for c in range(3) for r in range(2)))
+    lines.append(" ".join("%.17g" % v
+                          for v in np.asarray(flat.start_xytheta, np.float64)))
+    lines.append(" ".join("%.17g" % v
+                          for v in np.asarray(flat.final_xytheta, np.float64)))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def dump_minco_input(head, tail, inner, times, energy_weights, path):
+    head = np.asarray(head, np.float64)
+    tail = np.asarray(tail, np.float64)
+    inner = np.asarray(inner, np.float64)
+    times = np.asarray(times, np.float64)
+    n = times.shape[0]
+    lines = ["%d" % n]
+    for mat in (head, tail):
+        lines.append(" ".join("%.17g" % mat[r, c]
+                              for c in range(3) for r in range(2)))
+    lines.append(" ".join("%.17g" % inner[r, c]
+                          for c in range(n - 1) for r in range(2)))
+    lines.append(" ".join("%.17g" % t for t in times))
+    lines.append("%.17g %.17g" % tuple(np.asarray(energy_weights, np.float64)))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def dump_xfile(xs, path):
+    xs = np.asarray(xs, np.float64)
+    if xs.ndim == 1:
+        xs = xs[None]
+    with open(path, "w") as f:
+        f.write("%d %d\n" % xs.shape)
+        for row in xs:
+            f.write(" ".join("%.17g" % v for v in row) + "\n")
+
+
+def run_oracle(mode, *args):
+    subprocess.run([ORACLE_BIN, mode, *args], check=True,
+                   capture_output=True)
+
+
+def parse_output(path):
+    """Parse the harness' `name [count] values...` dump into dict of arrays.
+
+    Repeated keys (the per-x records of cost mode) become lists.
+    """
+    out = {}
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if not toks:
+                continue
+            if toks[0] in ("n",):  # "n <n> dim <d> TrajNum <N>" header
+                for k, v in zip(toks[0::2], toks[1::2]):
+                    out[k] = int(v)
+                continue
+            name = toks[0]
+            vals = toks[1:]
+            # vector lines carry an explicit count first
+            if name in ("coeffs", "energy_gdC", "energy_gdT", "gradByPoints",
+                        "gradByTimes", "gradByTailStateS", "path_grad",
+                        "formal_grad", "final_xy_err", "inner", "times",
+                        "finState", "sweep_x", "sweep_y", "sweep_th",
+                        "sweep_v", "sweep_om"):
+                arr = np.array([float(v) for v in vals[1:]])
+            else:
+                arr = (int(vals[0]) if name in ("N", "ok")
+                       else float(vals[0]))
+            if name in out:
+                prev = out[name]
+                if not isinstance(prev, list):
+                    out[name] = [prev]
+                out[name].append(arr)
+            else:
+                out[name] = arr
+    return out
+
+
+def load_grid(path):
+    """Read a grid file back: returns (dist (nx, ny), lower (2,), res)."""
+    with open(path, "rb") as f:
+        nx, ny = struct.unpack("<ii", f.read(8))
+        lx, ly, res = struct.unpack("<ddd", f.read(24))
+        dist = np.frombuffer(f.read(8 * nx * ny), np.float64).reshape(nx, ny)
+    return dist, np.array([lx, ly]), res
+
+
+def load_scenario(path):
+    """Parse a scenario file back into plain numpy pieces.
+
+    Returns dict with icr_ylr_xv, standard_diff, checkpoints, safe_dis,
+    if_cut, inner_yaw_s (2, N-1), init_t, start_state, final_state,
+    start_xytheta, final_xytheta.
+    """
+    toks = open(path).read().split()
+    it = iter(toks)
+    rd = lambda: float(next(it))
+    ri = lambda: int(next(it))
+    out = {}
+    out["icr_ylr_xv"] = (rd(), rd(), rd())
+    out["standard_diff"] = bool(ri())
+    n_cp = ri()
+    out["checkpoints"] = np.array([[rd(), rd()] for _ in range(n_cp)])
+    out["safe_dis"] = rd()
+    out["if_cut"] = bool(ri())
+    K = ri()
+    pts = np.array([[rd(), rd(), rd()] for _ in range(K)])
+    out["inner_yaw_s"] = pts[:, :2].T if K else np.zeros((2, 0))
+    out["inner_positions"] = np.array([[rd(), rd(), rd()] for _ in range(K)])
+    out["init_t"] = rd()
+    ss = np.zeros((2, 3))
+    fs = np.zeros((2, 3))
+    for mat in (ss, fs):
+        for c in range(3):
+            for r in range(2):
+                mat[r, c] = rd()
+    out["start_state"] = ss
+    out["final_state"] = fs
+    out["start_xytheta"] = np.array([rd(), rd(), rd()])
+    out["final_xytheta"] = np.array([rd(), rd(), rd()])
+    return out

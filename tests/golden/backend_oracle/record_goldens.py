@@ -1,0 +1,184 @@
+"""Record golden traces from the reference back-end oracle.
+
+Builds the oracle (harness.cpp), generates fixed scenarios with the SAME
+code paths the pytest parity suite uses, runs the three oracle modes and
+stores inputs + outputs under tests/golden/backend/.  Run once per oracle
+change:
+
+    python tests/golden/backend_oracle/record_goldens.py
+
+tests/test_backend_parity.py then replays the Python side against the
+recorded files without needing g++ or the binary.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import zlib
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.abspath(os.path.join(HERE, "..", "..", ".."))
+OUT = os.path.join(REPO, "tests", "golden", "backend")
+sys.path.insert(0, HERE)
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+import oracle_io as oio  # noqa: E402
+from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy  # noqa: E402
+from alore_legged_manipulator_tpu.planner.backend import (  # noqa: E402
+    BackendConfig, pack_vars, real_to_virtual_time)
+from alore_legged_manipulator_tpu.planner.flat_traj import FlatTraj  # noqa: E402
+
+CFG = BackendConfig()
+# harness ICR param order: (yl, yr, xv) -- optimizer.cpp:162-164
+ICR_YLR_XV = (0.3, -0.3, 0.2)
+
+
+def straight_flat_traj(start_xy, goal_xy, n_pieces, if_cut=False):
+    """Same construction as tests/test_backend.py::_straight_flat_traj."""
+    start_xy = np.asarray(start_xy, float)
+    goal_xy = np.asarray(goal_xy, float)
+    d = goal_xy - start_xy
+    L = float(np.hypot(*d))
+    yaw = float(np.arctan2(d[1], d[0]))
+    fracs = np.arange(1, n_pieces) / n_pieces
+    inner = np.stack([np.full(n_pieces - 1, yaw), L * fracs])
+    positions = np.concatenate(
+        [start_xy[None] + fracs[:, None] * d[None], goal_xy[None]], 0)
+    positions = np.concatenate(
+        [positions, np.full((n_pieces, 1), yaw)], 1)
+    start_state = np.array([[yaw, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    final_state = np.array([[yaw, 0.0, 0.0], [L, 0.0, 0.0]])
+    total_t = max(L / 3.0 * 2.0, 1.0)
+    dtype = jnp.float64
+    return FlatTraj(
+        inner_yaw_s=jnp.asarray(inner, dtype),
+        init_piece_time=jnp.asarray(total_t / n_pieces, dtype),
+        inner_positions=jnp.asarray(positions, dtype),
+        start_state=jnp.asarray(start_state, dtype),
+        final_state=jnp.asarray(final_state, dtype),
+        start_xytheta=jnp.asarray([*start_xy, yaw], dtype),
+        final_xytheta=jnp.asarray([*goal_xy, yaw], dtype),
+        if_cut=jnp.asarray(if_cut),
+    )
+
+
+def turn_flat_traj(n_pieces=6, if_cut=False):
+    """An L-shaped push with a yaw ramp -- exercises the rotate terms."""
+    yaw0, yaw1 = 0.0, np.pi / 2
+    L = 6.0
+    fracs = np.arange(1, n_pieces) / n_pieces
+    yaws = yaw0 + (yaw1 - yaw0) * fracs
+    ss = L * fracs
+    inner = np.stack([yaws, ss])
+    # crude positions along a quarter-arc from (1,1)
+    ang = yaw0 + (yaw1 - yaw0) * np.concatenate([fracs, [1.0]])
+    R = 2 * L / np.pi
+    cx, cy = 1.0, 1.0 + R
+    px = cx + R * np.sin(ang)
+    py = cy - R * np.cos(ang)
+    positions = np.stack([px, py, ang], 1)
+    start_state = np.array([[yaw0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    final_state = np.array([[yaw1, 0.0, 0.0], [L, 0.0, 0.0]])
+    dtype = jnp.float64
+    return FlatTraj(
+        inner_yaw_s=jnp.asarray(inner, dtype),
+        init_piece_time=jnp.asarray(2.0 * L / 3.0 / n_pieces, dtype),
+        inner_positions=jnp.asarray(positions, dtype),
+        start_state=jnp.asarray(start_state, dtype),
+        final_state=jnp.asarray(final_state, dtype),
+        start_xytheta=jnp.asarray([1.0, 1.0, yaw0], dtype),
+        final_xytheta=jnp.asarray([float(px[-1]), float(py[-1]), yaw1],
+                                  dtype),
+        if_cut=jnp.asarray(if_cut),
+    )
+
+
+def make_map(block):
+    occ = np.zeros((80, 80), bool)
+    if block is not None:
+        x0, x1, y0, y1 = block
+        occ[x0:x1, y0:y1] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    return esdf
+
+
+SCENARIOS = {
+    # obstacle offset from the straight line (see memory: symmetric blocks
+    # create a zero-gradient saddle)
+    "straight": (straight_flat_traj([1.0, 4.0], [6.0, 4.0], 4),
+                 (30, 40, 44, 50), False),
+    "turn": (turn_flat_traj(6), (20, 28, 28, 34), False),
+    "cut": (straight_flat_traj([1.0, 3.0], [6.5, 3.5], 5, if_cut=True),
+            (34, 44, 26, 33), True),
+}
+
+
+def x0_of(flat):
+    n = flat.num_pieces
+    tau0 = real_to_virtual_time(
+        jnp.full((n,), flat.init_piece_time, jnp.float64))
+    return np.asarray(pack_vars(flat.inner_yaw_s, flat.final_state[1, 0],
+                                tau0))
+
+
+def perturbations(x0, n_pieces, seed):
+    rng = np.random.default_rng(seed)
+    xs = [x0]
+    for scale in (0.02, 0.1, 0.3, 0.6):
+        d = rng.normal(size=x0.shape)
+        d[:2 * (n_pieces - 1) + 1] *= scale
+        d[2 * (n_pieces - 1) + 1:] *= 0.5 * scale
+        xs.append(x0 + d)
+    return np.stack(xs)
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    oio.build_oracle()
+
+    # ---- layer 1: pure MINCO goldens ----
+    for seed, n in [(0, 7), (1, 3), (2, 12)]:
+        rng = np.random.default_rng(seed)
+        head = rng.normal(size=(2, 3))
+        tail = rng.normal(size=(2, 3))
+        inner = rng.normal(size=(2, n - 1))
+        times = rng.uniform(0.5, 2.0, size=n)
+        name = f"minco_s{seed}_n{n}"
+        inp = os.path.join(OUT, name + "_in.txt")
+        out = os.path.join(OUT, name + "_out.txt")
+        oio.dump_minco_input(head, tail, inner, times,
+                             CFG.energy_weights, inp)
+        oio.run_oracle("minco", inp, out)
+        print("recorded", name)
+
+    # ---- layers 2+3: scenario cost + solve goldens ----
+    for name, (flat, block, _cut) in SCENARIOS.items():
+        esdf = make_map(block)
+        grid = os.path.join(OUT, name + "_grid.bin")
+        scen = os.path.join(OUT, name + "_scenario.txt")
+        oio.dump_grid(np.asarray(esdf.dist, np.float64),
+                      np.asarray(esdf.lower), float(esdf.res), grid)
+        oio.dump_scenario(flat, ICR_YLR_XV, CFG.standard_diff,
+                          CFG.checkpoints, CFG.safe_dis, scen)
+        x0 = x0_of(flat)
+        xs = perturbations(x0, flat.num_pieces, seed=zlib.crc32(name.encode()))
+        xfile = os.path.join(OUT, name + "_xs.txt")
+        oio.dump_xfile(xs, xfile)
+        oio.run_oracle("cost", scen, grid, xfile,
+                       os.path.join(OUT, name + "_cost_out.txt"))
+        oio.run_oracle("solve", scen, grid,
+                       os.path.join(OUT, name + "_solve_out.txt"))
+        print("recorded", name)
+
+
+if __name__ == "__main__":
+    main()

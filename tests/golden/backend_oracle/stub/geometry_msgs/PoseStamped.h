@@ -1,0 +1,5 @@
+#pragma once
+#include "geometry_msgs/Point.h"
+namespace geometry_msgs {
+struct PoseStamped { std_msgs::Header header; Pose pose; };
+}

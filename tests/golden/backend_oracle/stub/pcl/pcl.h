@@ -1,0 +1,17 @@
+#pragma once
+#include <memory>
+#include <vector>
+#include "sensor_msgs/PointCloud2.h"
+namespace pcl {
+struct PointXYZ { float x = 0, y = 0, z = 0; };
+struct PointXYZRGB { float x = 0, y = 0, z = 0; unsigned char r = 0, g = 0, b = 0; };
+template <typename P>
+struct PointCloud {
+  using Ptr = std::shared_ptr<PointCloud<P>>;
+  std::vector<P> points;
+  unsigned width = 0, height = 0;
+  bool is_dense = false;
+};
+template <typename P>
+inline void toROSMsg(const PointCloud<P>&, sensor_msgs::PointCloud2&) {}
+}

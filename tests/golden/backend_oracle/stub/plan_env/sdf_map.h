@@ -1,0 +1,143 @@
+// SDFmap stub for the back-end golden oracle.
+//
+// The real utils/plan_env/src/sdf_map.cpp drags in PCL + ROS raycasting; the
+// optimizer only touches three ESDF query methods.  This stub holds a
+// precomputed distance grid (dumped by the Python side from
+// alore_legged_manipulator_tpu.ops.esdf so BOTH sides sample the identical
+// field) and reimplements the reference query semantics bit-for-bit:
+//   getDistWithGradBilinear(pos)             sdf_map.cpp:836-863
+//   getDistWithGradBilinear(pos,grad,mindis) sdf_map.cpp:796-834
+//   getDistanceReal(pos)                     sdf_map.cpp:865-871
+//   ESDFcoord2gridIndex / gridIndex2coordd / coord2gridIndex
+//                                            sdf_map.cpp:739-758 + helpers
+// Grid file format (little-endian doubles unless noted):
+//   int32 nx, int32 ny, double x_lower, double y_lower, double interval,
+//   nx*ny doubles, row-major [ix*ny + iy]  (the reference's
+//   distance_buffer_all_ layout, sdf_map.cpp:870).
+#ifndef ORACLE_SDF_MAP_STUB_H
+#define ORACLE_SDF_MAP_STUB_H
+
+#include <Eigen/Eigen>
+#include "pcl/pcl.h"  // the real sdf_map.h exports PCL to optimizer.cpp
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+class SDFmap {
+ public:
+    SDFmap() = default;
+
+    void loadGrid(const std::string& path) {
+        FILE* f = fopen(path.c_str(), "rb");
+        if (!f) throw std::runtime_error("cannot open grid file " + path);
+        int32_t nx = 0, ny = 0;
+        if (fread(&nx, 4, 1, f) != 1 || fread(&ny, 4, 1, f) != 1)
+            throw std::runtime_error("bad grid header");
+        double meta[3];
+        if (fread(meta, 8, 3, f) != 3) throw std::runtime_error("bad grid meta");
+        GLX_SIZE_ = nx;
+        GLY_SIZE_ = ny;
+        global_x_lower_ = meta[0];
+        global_y_lower_ = meta[1];
+        grid_interval_ = meta[2];
+        inv_grid_interval_ = 1.0 / grid_interval_;
+        global_x_upper_ = global_x_lower_ + GLX_SIZE_ * grid_interval_;
+        global_y_upper_ = global_y_lower_ + GLY_SIZE_ * grid_interval_;
+        distance_buffer_all_.resize((size_t)nx * ny);
+        if (fread(distance_buffer_all_.data(), 8, distance_buffer_all_.size(), f)
+                != distance_buffer_all_.size())
+            throw std::runtime_error("bad grid payload");
+        fclose(f);
+    }
+
+    // --- coordinate maps (sdf_map.cpp:739-758 and friends) ---
+    inline int Index2Vectornum(int x, int y) const { return x * GLY_SIZE_ + y; }
+
+    inline double getDistance(const Eigen::Vector2i& id) const {
+        return distance_buffer_all_[Index2Vectornum(id[0], id[1])];
+    }
+
+    inline Eigen::Vector2i ESDFcoord2gridIndex(const Eigen::Vector2d& pt) const {
+        Eigen::Vector2i idx;
+        idx << std::min(std::max(int((pt(0) - global_x_lower_) * inv_grid_interval_ - 0.5), 0), GLX_SIZE_ - 1),
+               std::min(std::max(int((pt(1) - global_y_lower_) * inv_grid_interval_ - 0.5), 0), GLY_SIZE_ - 1);
+        return idx;
+    }
+
+    inline Eigen::Vector2i coord2gridIndex(const Eigen::Vector2d& pt) const {
+        Eigen::Vector2i idx;
+        idx << std::min(std::max(int((pt(0) - global_x_lower_) * inv_grid_interval_), 0), GLX_SIZE_ - 1),
+               std::min(std::max(int((pt(1) - global_y_lower_) * inv_grid_interval_), 0), GLY_SIZE_ - 1);
+        return idx;
+    }
+
+    inline Eigen::Vector2d gridIndex2coordd(const Eigen::Vector2i& index) const {
+        return Eigen::Vector2d(((double)index(0) + 0.5) * grid_interval_ + global_x_lower_,
+                               ((double)index(1) + 0.5) * grid_interval_ + global_y_lower_);
+    }
+
+    // --- queries used by optimizer.cpp (:176, :559, :929) ---
+    double getDistWithGradBilinear(const Eigen::Vector2d& pos) const {
+        if (pos.x() < global_x_lower_ || pos.y() < global_y_lower_ ||
+            pos.x() > global_x_upper_ || pos.y() > global_y_upper_)
+            return 1e10;
+        Eigen::Vector2i idx = ESDFcoord2gridIndex(pos);
+        if (idx.x() >= GLX_SIZE_ - 1 || idx.y() >= GLY_SIZE_ - 1) return 1e10;
+        Eigen::Vector2d diff = (pos - gridIndex2coordd(idx)) * inv_grid_interval_;
+        double values[2][2];
+        for (int x = 0; x < 2; x++)
+            for (int y = 0; y < 2; y++)
+                values[x][y] = getDistance(idx + Eigen::Vector2i(x, y));
+        double v0 = (1 - diff[0]) * values[0][0] + diff[0] * values[1][0];
+        double v1 = (1 - diff[0]) * values[0][1] + diff[0] * values[1][1];
+        return (1 - diff[1]) * v0 + diff[1] * v1;
+    }
+
+    double getDistWithGradBilinear(const Eigen::Vector2d& pos,
+                                   Eigen::Vector2d& grad,
+                                   const double& mindis) const {
+        if (pos.x() < global_x_lower_ || pos.y() < global_y_lower_ ||
+            pos.x() > global_x_upper_ || pos.y() > global_y_upper_) {
+            grad.setZero();
+            return 1e10;
+        }
+        Eigen::Vector2i idx = ESDFcoord2gridIndex(pos);
+        if (idx.x() >= GLX_SIZE_ - 1 || idx.y() >= GLY_SIZE_ - 1) {
+            grad.setZero();
+            return 1e10;
+        }
+        Eigen::Vector2d diff = (pos - gridIndex2coordd(idx)) * inv_grid_interval_;
+        double values[2][2];
+        for (int x = 0; x < 2; x++)
+            for (int y = 0; y < 2; y++)
+                values[x][y] = getDistance(idx + Eigen::Vector2i(x, y));
+        double v0 = (1 - diff[0]) * values[0][0] + diff[0] * values[1][0];
+        double v1 = (1 - diff[0]) * values[0][1] + diff[0] * values[1][1];
+        double dist = (1 - diff[1]) * v0 + diff[1] * v1;
+        if (dist > mindis) return dist;
+        grad[1] = (v1 - v0) * inv_grid_interval_;
+        grad[0] = ((1 - diff[1]) * (values[1][0] - values[0][0]) +
+                   diff[1] * (values[1][1] - values[0][1])) * inv_grid_interval_;
+        return dist;
+    }
+
+    double getDistanceReal(const Eigen::Vector2d& pos) const {
+        if (pos.x() < global_x_lower_ || pos.y() < global_y_lower_ ||
+            pos.x() > global_x_upper_ || pos.y() > global_y_upper_)
+            return 10000;
+        Eigen::Vector2i idx = coord2gridIndex(pos);
+        return distance_buffer_all_[idx.x() * GLY_SIZE_ + idx.y()];
+    }
+
+ private:
+    int GLX_SIZE_ = 0, GLY_SIZE_ = 0;
+    double global_x_lower_ = 0, global_y_lower_ = 0;
+    double global_x_upper_ = 0, global_y_upper_ = 0;
+    double grid_interval_ = 1, inv_grid_interval_ = 1;
+    std::vector<double> distance_buffer_all_;
+};
+
+#endif  // ORACLE_SDF_MAP_STUB_H

@@ -1,0 +1,146 @@
+// Minimal ROS1 stub so the reference back_end/src/optimizer.cpp compiles
+// standalone as a golden-trace oracle (no ROS installation in this image).
+// Only the API surface that optimizer.cpp/optimizer.h actually touches is
+// provided: NodeHandle params, no-op Publishers, Time, ok(), log macros.
+// Parameters are served from a process-global typed store that the harness
+// populates (mirrors back_end/config/global_planning3ms.yaml +
+// plan_manager/config/car3ms.yaml + planner_sim.launch args).
+#ifndef ORACLE_ROS_STUB_H
+#define ORACLE_ROS_STUB_H
+
+#include <chrono>
+#include <cstdarg>
+#include <cstdio>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace oracle_params {
+// one global store per scalar/vector type, keyed by full param path
+inline std::map<std::string, double>& doubles() {
+    static std::map<std::string, double> m; return m;
+}
+inline std::map<std::string, int>& ints() {
+    static std::map<std::string, int> m; return m;
+}
+inline std::map<std::string, bool>& bools() {
+    static std::map<std::string, bool> m; return m;
+}
+inline std::map<std::string, std::string>& strings() {
+    static std::map<std::string, std::string> m; return m;
+}
+inline std::map<std::string, std::vector<double>>& dvecs() {
+    static std::map<std::string, std::vector<double>> m; return m;
+}
+inline void set(const std::string& k, double v) { doubles()[k] = v; }
+inline void set(const std::string& k, int v) { ints()[k] = v; }
+inline void set(const std::string& k, bool v) { bools()[k] = v; }
+inline void set(const std::string& k, const char* v) { strings()[k] = v; }
+inline void set(const std::string& k, const std::vector<double>& v) { dvecs()[k] = v; }
+inline bool quiet = true;   // silence ROS_* log macros unless harness enables
+}  // namespace oracle_params
+
+namespace ros {
+
+namespace this_node {
+inline std::string getName() { return std::string(); }
+}  // namespace this_node
+
+inline bool ok() { return true; }
+
+class Duration {
+ public:
+    explicit Duration(double s = 0.0) : sec_(s) {}
+    double toSec() const { return sec_; }
+    void sleep() const {}
+ private:
+    double sec_;
+};
+
+class Time {
+ public:
+    Time() : t_(0.0) {}
+    explicit Time(double t) : t_(t) {}
+    static Time now() {
+        using clock = std::chrono::steady_clock;
+        return Time(std::chrono::duration<double>(
+            clock::now().time_since_epoch()).count());
+    }
+    Duration operator-(const Time& o) const { return Duration(t_ - o.t_); }
+    double toSec() const { return t_; }
+ private:
+    double t_;
+};
+
+class Publisher {
+ public:
+    template <typename M>
+    void publish(const M&) const {}
+};
+
+class NodeHandle {
+ public:
+    template <typename M>
+    Publisher advertise(const std::string&, int) { return Publisher(); }
+
+    bool hasParam(const std::string& k) const {
+        return oracle_params::doubles().count(k) ||
+               oracle_params::ints().count(k) ||
+               oracle_params::bools().count(k) ||
+               oracle_params::strings().count(k) ||
+               oracle_params::dvecs().count(k);
+    }
+    bool getParam(const std::string& k, double& v) const {
+        if (oracle_params::doubles().count(k)) { v = oracle_params::doubles()[k]; return true; }
+        if (oracle_params::ints().count(k)) { v = oracle_params::ints()[k]; return true; }
+        return false;
+    }
+    bool getParam(const std::string& k, int& v) const {
+        if (oracle_params::ints().count(k)) { v = oracle_params::ints()[k]; return true; }
+        return false;
+    }
+    bool getParam(const std::string& k, bool& v) const {
+        if (oracle_params::bools().count(k)) { v = oracle_params::bools()[k]; return true; }
+        return false;
+    }
+    bool getParam(const std::string& k, std::string& v) const {
+        if (oracle_params::strings().count(k)) { v = oracle_params::strings()[k]; return true; }
+        return false;
+    }
+    bool getParam(const std::string& k, std::vector<double>& v) const {
+        if (oracle_params::dvecs().count(k)) { v = oracle_params::dvecs()[k]; return true; }
+        return false;
+    }
+    template <typename T>
+    void param(const std::string& k, T& v, const T& dflt) const {
+        if (!getParam(k, v)) v = dflt;
+    }
+};
+
+}  // namespace ros
+
+inline void oracle_log(const char* fmt, ...) {
+    if (oracle_params::quiet) return;
+    va_list ap;
+    va_start(ap, fmt);
+    vfprintf(stderr, fmt, ap);
+    va_end(ap);
+    fputc('\n', stderr);
+}
+
+#define ROS_INFO(...) oracle_log(__VA_ARGS__)
+#define ROS_WARN(...) oracle_log(__VA_ARGS__)
+#define ROS_ERROR(...) oracle_log(__VA_ARGS__)
+#define ROS_INFO_STREAM(x) do {} while (0)
+#define ROS_WARN_STREAM(x) do {} while (0)
+#define ROS_ERROR_STREAM(x) do {} while (0)
+
+// std_msgs-ish header shared by the message stubs below
+namespace std_msgs {
+struct Header {
+    std::string frame_id;
+    ros::Time stamp;
+};
+}  // namespace std_msgs
+
+#endif  // ORACLE_ROS_STUB_H

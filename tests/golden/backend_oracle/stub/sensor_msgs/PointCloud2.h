@@ -1,0 +1,5 @@
+#pragma once
+#include "ros/ros.h"
+namespace sensor_msgs {
+struct PointCloud2 { std_msgs::Header header; };
+}

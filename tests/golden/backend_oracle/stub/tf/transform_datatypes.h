@@ -1,0 +1,10 @@
+#pragma once
+#include "geometry_msgs/Point.h"
+#include <cmath>
+namespace tf {
+inline geometry_msgs::Quaternion createQuaternionMsgFromYaw(double yaw) {
+  geometry_msgs::Quaternion q;
+  q.x = 0; q.y = 0; q.z = std::sin(yaw * 0.5); q.w = std::cos(yaw * 0.5);
+  return q;
+}
+}

@@ -1,0 +1,17 @@
+#pragma once
+#include "geometry_msgs/Point.h"
+#include <string>
+#include <vector>
+namespace visualization_msgs {
+struct Marker {
+  enum { ADD = 0, DELETEALL = 3, SPHERE_LIST = 7, LINE_STRIP = 4, TEXT_VIEW_FACING = 9 };
+  std_msgs::Header header;
+  std::string ns, text;
+  int id = 0, type = 0, action = 0;
+  geometry_msgs::Pose pose;
+  struct { double x = 0, y = 0, z = 0; } scale;
+  struct { float r = 0, g = 0, b = 0, a = 0; } color;
+  std::vector<geometry_msgs::Point> points;
+};
+struct MarkerArray { std::vector<Marker> markers; };
+}
