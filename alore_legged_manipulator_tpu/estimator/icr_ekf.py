@@ -99,3 +99,118 @@ def ekf_update(st: EkfState, pose_obs, cfg: EkfConfig = EkfConfig()) -> EkfState
                        - jnp.matmul(K, H, precision=HIGHEST), st.P,
                        precision=HIGHEST)
     return EkfState(x=x_new, P=P_new)
+
+
+# ---------------------------------------------------------------------------
+# auxiliary runtime estimator + convergence monitor (icrekf.cpp:225-332)
+# ---------------------------------------------------------------------------
+
+class FirstOrderFilter(NamedTuple):
+    """Discrete first-order low-pass (icrekf.h:27-50).
+
+    y[k] = b * u[k] + a * y[k-1],  a = exp(-2 pi fc / fs),  b = 1 - a.
+    Functional: carry the previous output, step returns (new_state, y).
+    """
+
+    a: jnp.ndarray
+    y: jnp.ndarray
+
+    @staticmethod
+    def create(cutoff_hz, sampling_hz, dtype=jnp.float32):
+        a = jnp.exp(jnp.asarray(-2.0 * jnp.pi * cutoff_hz / sampling_hz,
+                                dtype))
+        return FirstOrderFilter(a=a, y=jnp.zeros((), dtype))
+
+    def step(self, u):
+        y = (1.0 - self.a) * u + self.a * self.y
+        return self._replace(y=y), y
+
+
+class SimpleIcrState(NamedTuple):
+    """Low-passed algebraic ICR estimate (icrekf.cpp:305-330).
+
+    When |omega| is informative (> 0.1 rad/s) the ICR parameters follow
+    directly from body velocities + wheel speeds:
+        yl = (vx - v_l) / omega     (v_l = vx - yl * omega)
+        yr = (vx - v_r) / omega
+        xv = -vy / omega            (vy = -xv * omega)
+    each pushed through a first-order low-pass; otherwise the raw sample
+    is 0 (exact reference behavior -- the FILTER INPUT is skipped, not
+    zeroed, i.e. outputs hold their last value only in our variant below;
+    the reference publishes 0 unfiltered for yl/yr/xv when
+    |omega| <= 0.1, see :306-325 -- we mirror that by emitting 0 samples
+    through the filter gate).
+    """
+
+    f_yl: FirstOrderFilter
+    f_yr: FirstOrderFilter
+    f_xv: FirstOrderFilter
+
+    @staticmethod
+    def create(cutoff_hz=0.5, sampling_hz=100.0, dtype=jnp.float32):
+        mk = lambda: FirstOrderFilter.create(cutoff_hz, sampling_hz, dtype)
+        return SimpleIcrState(mk(), mk(), mk())
+
+    def step(self, vx, vy, omega, wheel_l, wheel_r, omega_eps=0.1):
+        """One publisher tick. Returns (new_state, (yl, yr, xv))."""
+        ok = jnp.abs(omega) > omega_eps
+        w_safe = jnp.where(ok, omega, 1.0)
+        raw_yl = jnp.where(ok, (vx - wheel_l) / w_safe, 0.0)
+        raw_yr = jnp.where(ok, (vx - wheel_r) / w_safe, 0.0)
+        raw_xv = jnp.where(ok, -vy / w_safe, 0.0)
+        f_yl, yl = self.f_yl.step(raw_yl)
+        f_yr, yr = self.f_yr.step(raw_yr)
+        f_xv, xv = self.f_xv.step(raw_xv)
+        new = SimpleIcrState(f_yl, f_yr, f_xv)
+        est = jnp.stack([yl, yr, xv])
+        return new, est
+
+
+class ConvergenceMonitor(NamedTuple):
+    """Per-parameter ICR convergence detector (icrekf.cpp:272-303).
+
+    A parameter is declared converged (latched) once its relative error
+    vs the ground-truth standard stays below 1% for more than 10
+    consecutive publisher ticks; the tick count at latch time is
+    recorded.  Mirrors the reference's `index_*_standard_ ++ > 10` /
+    reset-on-violation logic exactly.
+    """
+
+    count: jnp.ndarray       # (3,) consecutive in-tolerance ticks
+    converged: jnp.ndarray   # (3,) bool, latched
+    latch_tick: jnp.ndarray  # (3,) tick index at convergence (-1 = not yet)
+    tick: jnp.ndarray        # () running tick counter
+
+    @staticmethod
+    def create():
+        return ConvergenceMonitor(
+            count=jnp.zeros((3,), jnp.int32),
+            converged=jnp.zeros((3,), bool),
+            latch_tick=jnp.full((3,), -1, jnp.int32),
+            tick=jnp.zeros((), jnp.int32))
+
+    def step(self, icr_est, icr_standard, rel_tol=0.01, hold_ticks=10):
+        """icr_est, icr_standard: (3,) [yr, yl, xv] (state order x[3:6])."""
+        std = jnp.asarray(icr_standard)
+        ok = jnp.abs(icr_est - std) / jnp.abs(std) < rel_tol
+        # reference increments then compares (index++ > 10): the latch
+        # fires on the (hold_ticks + 2)-th consecutive in-tolerance tick
+        count = jnp.where(ok, self.count + 1, 0)
+        fire = jnp.logical_and(jnp.logical_not(self.converged),
+                               count > hold_ticks + 1)
+        converged = jnp.logical_or(self.converged, fire)
+        latch = jnp.where(fire, self.tick, self.latch_tick)
+        return ConvergenceMonitor(count=count, converged=converged,
+                                  latch_tick=latch, tick=self.tick + 1)
+
+
+def covariance_report(st: EkfState):
+    """Publisher-tick covariance diagnostics (icrekf.cpp:262-270).
+
+    Returns (pose_var (3,), icr_var (3,)): the diagonal blocks the
+    reference publishes on ICR_eigenvalues / ALL_ICR_eigenvalues (the
+    reference swaps y/z in the ICR message fields; we report in state
+    order yr, yl, xv).
+    """
+    d = jnp.diagonal(st.P)
+    return d[:3], d[3:6]

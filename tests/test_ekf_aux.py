@@ -1,0 +1,132 @@
+"""Auxiliary EKF runtime features (icrekf.cpp:225-332 parity).
+
+Covers the "simple" algebraic ICR estimate through first-order low-pass
+filters, the 1%-for-10-consecutive-ticks convergence monitor, and the
+covariance reporting -- the round-1 VERDICT gap #4/#6.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from alore_legged_manipulator_tpu.estimator.icr_ekf import (
+    ConvergenceMonitor, EkfConfig, FirstOrderFilter, SimpleIcrState,
+    covariance_report, ekf_init, ekf_predict, ekf_update)
+
+ICR_TRUE = np.array([-0.3, 0.3, 0.2])  # (yr, yl, xv), planner_sim.launch
+
+
+def test_first_order_filter_recurrence():
+    """y[k] = (1-a) u[k] + a y[k-1] with a = exp(-2 pi fc / fs)."""
+    fc, fs = 0.5, 100.0
+    f = FirstOrderFilter.create(fc, fs, jnp.float64)
+    a = float(np.exp(-2 * np.pi * fc / fs))
+    rng = np.random.default_rng(0)
+    us = rng.normal(size=50)
+    y_ref = 0.0
+    for u in us:
+        f, y = f.step(u)
+        y_ref = (1 - a) * u + a * y_ref
+        assert abs(float(y) - y_ref) < 1e-12
+    # step response converges to the input
+    for _ in range(3000):
+        f, y = f.step(1.0)
+    assert abs(float(y) - 1.0) < 1e-3
+
+
+def _body_vels(vl, vr, icr):
+    yr, yl, xv = icr
+    w = (vr - vl) / (yl - yr)
+    vx = (vr * yl - vl * yr) / (yl - yr)
+    vy = -xv * w
+    return vx, vy, w
+
+
+def test_simple_icr_estimate_converges():
+    """Algebraic estimate through the low-pass recovers the true ICR."""
+    st = SimpleIcrState.create(cutoff_hz=2.0, sampling_hz=100.0,
+                               dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    est = None
+    for k in range(800):
+        vl, vr = 0.5, 1.5  # steady turn => informative omega
+        vx, vy, w = _body_vels(vl, vr, ICR_TRUE)
+        noise = 0.002 * rng.normal(size=3)
+        # wheel speeds at the ground: v_l = vx - yl*w, v_r = vx - yr*w
+        wl = vx - ICR_TRUE[1] * w
+        wr = vx - ICR_TRUE[0] * w
+        st, est = st.step(vx + noise[0], vy + noise[1], w, wl, wr)
+    est = np.asarray(est)
+    # estimate order (yl, yr, xv) per the reference's publisher fields
+    np.testing.assert_allclose(est, [ICR_TRUE[1], ICR_TRUE[0], ICR_TRUE[2]],
+                               atol=0.02)
+
+
+def test_simple_icr_estimate_gates_on_low_omega():
+    st = SimpleIcrState.create(dtype=jnp.float64)
+    # straight driving: omega ~ 0 -> raw samples must be exactly 0
+    st, est = st.step(1.0, 0.0, 0.05, 1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(est), 0.0)
+
+
+def test_convergence_monitor_latch_and_reset():
+    mon = ConvergenceMonitor.create()
+    good = jnp.asarray(ICR_TRUE * 1.005)   # within 1%
+    bad = jnp.asarray(ICR_TRUE * 1.05)     # outside 1%
+
+    # reference latches on the 12th consecutive good tick
+    # (if(index++ > 10) with post-increment)
+    for k in range(11):
+        mon = mon.step(good, ICR_TRUE)
+        assert not bool(mon.converged.any()), k
+    mon = mon.step(good, ICR_TRUE)
+    assert bool(mon.converged.all())
+    assert np.all(np.asarray(mon.latch_tick) == 11)
+
+    # a violation resets the count for unconverged params but never
+    # un-latches converged ones
+    mon2 = ConvergenceMonitor.create()
+    for _ in range(8):
+        mon2 = mon2.step(good, ICR_TRUE)
+    mon2 = mon2.step(bad, ICR_TRUE)
+    assert np.all(np.asarray(mon2.count) == 0)
+    mon = mon.step(bad, ICR_TRUE)
+    assert bool(mon.converged.all())
+
+
+def test_monitor_on_real_ekf_run():
+    """End-to-end: EKF + monitor converge on simulated wheel data."""
+    rng = np.random.default_rng(2)
+    dt = 0.01
+    cfg = EkfConfig()
+    st = ekf_init(jnp.zeros(3, jnp.float64),
+                  jnp.asarray([-0.2, 0.2, 0.1], jnp.float64), cfg,
+                  jnp.float64)
+    mon = ConvergenceMonitor.create()
+    x_true = np.zeros(3)
+
+    def plant_step(x, vl, vr):
+        yr, yl, xv = ICR_TRUE
+        w = (vr - vl) / (yl - yr)
+        v = (vr * yl - vl * yr) / (yl - yr)
+        c, s = np.cos(x[2]), np.sin(x[2])
+        dx = np.array([v * c + w * xv * s, v * s - w * xv * c, w])
+        return x + dt * dx
+
+    for k in range(4000):
+        t = k * dt
+        vl = 1.0 + 0.8 * np.sin(0.7 * t)
+        vr = 1.0 - 0.8 * np.sin(0.9 * t + 1.0)
+        x_true = plant_step(x_true, vl, vr)
+        st = ekf_predict(st, jnp.asarray([vl, vr]), dt, cfg)
+        if k % 5 == 0:
+            obs = x_true + 0.001 * rng.normal(size=3)
+            st = ekf_update(st, jnp.asarray(obs), cfg)
+        if k % 10 == 0:  # 100 Hz publisher analogue
+            mon = mon.step(st.x[3:6], jnp.asarray(ICR_TRUE))
+
+    assert bool(mon.converged.all()), np.asarray(st.x[3:6])
+    pose_var, icr_var = covariance_report(st)
+    assert np.all(np.asarray(icr_var) > 0)
+    # bounded, not collapsing: the reference's F'PF propagation keeps the
+    # ICR variances near their prior scale (~0.01-0.03) rather than
+    # shrinking them; the report is for observability, not optimality
+    assert np.all(np.asarray(icr_var) < 0.05)
