@@ -1,0 +1,172 @@
+"""Torch-checkpoint -> flax parameter conversion.
+
+The reference ships trained torch policies (deploy_real_b2z1_obj.py loads
+jit-exported `.pt`; env_train.py:1401-1434 loads the frozen low-level
+ActorCriticLow state_dict).  This module maps those state dicts onto the
+flax modules in `models/` so the ACTUAL reference policies can run on
+TPU.
+
+Inputs are plain `{name: np.ndarray}` dicts (use `load_torch_state_dict`
+to produce one from a `.pt`; the library itself never imports torch).
+
+Layout rules handled here:
+  * torch Linear stores (out, in); flax Dense wants (in, out)  -> W.T
+  * torch Conv1d stores (out_c, in_c, k) channels-first; flax Conv wants
+    (k, in_c, out_c) channels-last  -> transpose(2, 1, 0)
+  * torch Flatten of (B, C, L) orders features c*L + l; our channels-last
+    reshape orders l*C + c -> the following Linear's columns are permuted
+  * torch LSTM packs gates [i, f, g, o] into (4H, ...) blocks with two
+    bias vectors (b_ih + b_hh are always summed); flax OptimizedLSTMCell
+    keeps per-gate kernels {ii,if,ig,io,hi,hf,hg,ho} with bias only on
+    the h side.
+
+Reference architectures: low_level_model.py:39-235 (ActorCriticLow),
+rsl_rl/actor_critic_physic.py:26-151 (PhysicActorCritic),
+rsl_rl/physic_estimator.py:7-100, rsl_rl/interactive_gnn.py:10-80.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_torch_state_dict(path):
+    """Read a torch checkpoint into a plain numpy dict (lazy torch)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()}
+
+
+def _dense(sd, key):
+    return {"kernel": np.ascontiguousarray(sd[key + ".weight"].T),
+            "bias": sd[key + ".bias"].copy()}
+
+
+def _seq_mlp(sd, prefix, indices):
+    """nn.Sequential([Linear, act, Linear, ...]) -> {Dense_i: ...}."""
+    return {f"Dense_{i}": _dense(sd, f"{prefix}.{j}")
+            for i, j in enumerate(indices)}
+
+
+def _conv1d(sd, key):
+    return {"kernel": np.ascontiguousarray(
+                sd[key + ".weight"].transpose(2, 1, 0)),
+            "bias": sd[key + ".bias"].copy()}
+
+
+def _flatten_permuted_dense(sd, key, channels, length):
+    """Linear following a torch Flatten of (B, C, L) features.
+
+    Our channels-last pipeline flattens (B, L, C); reorder the torch
+    weight's input dimension from c*L+l to l*C+c.
+    """
+    W = sd[key + ".weight"]                       # (out, C*L)
+    W = W.reshape(-1, channels, length)           # (out, C, L)
+    W = W.transpose(0, 2, 1).reshape(-1, channels * length)  # (out, L*C)
+    return {"kernel": np.ascontiguousarray(W.T),
+            "bias": sd[key + ".bias"].copy()}
+
+
+def _lstm_cell(sd, prefix, layer=0):
+    """torch nn.LSTM layer -> flax OptimizedLSTMCell param dict."""
+    w_ih = sd[f"{prefix}.weight_ih_l{layer}"]     # (4H, D)
+    w_hh = sd[f"{prefix}.weight_hh_l{layer}"]     # (4H, H)
+    b = (sd[f"{prefix}.bias_ih_l{layer}"]
+         + sd[f"{prefix}.bias_hh_l{layer}"])      # (4H,)
+    H = w_hh.shape[1]
+    gates = ("i", "f", "g", "o")
+    out = {}
+    for gi, gname in enumerate(gates):
+        sl = slice(gi * H, (gi + 1) * H)
+        out[f"i{gname}"] = {
+            "kernel": np.ascontiguousarray(w_ih[sl].T)}
+        out[f"h{gname}"] = {
+            "kernel": np.ascontiguousarray(w_hh[sl].T),
+            "bias": b[sl].copy()}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# module-level converters
+# ---------------------------------------------------------------------------
+
+# conv1 output length per supported history length (StateHistoryEncoder
+# second-conv input; low_level_model.py:55-70)
+_SHE_FINAL_LEN = {10: 3, 20: 3, 50: 3}
+
+
+def convert_state_history_encoder(sd, prefix, channels=10):
+    """StateHistoryEncoder (tsteps=10 variant: 2 convs)."""
+    return {
+        "Dense_0": _dense(sd, f"{prefix}.encoder.0"),
+        "Conv_0": _conv1d(sd, f"{prefix}.conv_layers.0"),
+        "Conv_1": _conv1d(sd, f"{prefix}.conv_layers.2"),
+        "Dense_1": _flatten_permuted_dense(
+            sd, f"{prefix}.linear_output.0", channels,
+            _SHE_FINAL_LEN[10]),
+    }
+
+
+def convert_low_level_actor(sd):
+    """Reference ActorCriticLow state_dict -> flax ActorCriticLow params.
+
+    Covers the actor path (the frozen policy the env runs,
+    env_train.py:518): priv encoder, history encoder, backbone and both
+    heads.  Returns {"params": ...} ready for `ActorCriticLow.apply`.
+    """
+    p = {
+        "priv_encoder": _seq_mlp(sd, "actor.priv_encoder", (0, 2)),
+        "history_encoder": convert_state_history_encoder(
+            sd, "actor.history_encoder"),
+        "backbone": _seq_mlp(sd, "actor.actor_backbone", (0, 2, 4)),
+        "leg_head": _seq_mlp(sd, "actor.actor_leg_control_head", (0, 2, 4)),
+        "arm_head": _seq_mlp(sd, "actor.actor_arm_control_head", (0, 2, 4)),
+    }
+    return {"params": p}
+
+
+def convert_physic_estimator(sd, prefix="physic_estimator"):
+    pre = prefix + "." if prefix else ""
+    return {
+        "OptimizedLSTMCell_0": _lstm_cell(sd, f"{pre}lstm"),
+        "Dense_0": _dense(sd, f"{pre}output_head.0"),
+        "Dense_1": _dense(sd, f"{pre}output_head.2"),
+    }
+
+
+def convert_interactive_gnn(sd, prefix="interactive_gnn"):
+    pre = prefix + "." if prefix else ""
+    return {
+        "_EdgeConv_0": {"MLP_0": _seq_mlp(sd, f"{pre}edge_mlp1.net",
+                                          (0, 2))},
+        "_EdgeConv_1": {"MLP_0": _seq_mlp(sd, f"{pre}edge_mlp2.net",
+                                          (0, 2))},
+        "MLP_0": _seq_mlp(sd, f"{pre}readout.net", (0, 2)),
+    }
+
+
+def convert_physic_actor_critic(sd):
+    """Reference PhysicActorCritic state_dict -> flax params.
+
+    Actor side: shared MLP + base/arm heads + estimator + GNN + std.
+    (The critic lives in a separate flax module; use `convert_critic`.)
+    """
+    p = {
+        "physic_estimator": convert_physic_estimator(sd),
+        "interactive_gnn": convert_interactive_gnn(sd),
+        "shared_mlp": _seq_mlp(sd, "shared_mlp", (0, 2, 4)),
+        "base_head": _dense(sd, "base_head"),
+        "arm_head": _dense(sd, "arm_head"),
+        "std": sd["std"].reshape(-1).copy(),
+    }
+    return {"params": p}
+
+
+def convert_critic(sd, prefix="critic"):
+    """rsl_rl ActorCritic critic MLP ([512,256,128] + scalar head)."""
+    return {"params": {
+        "MLP_0": _seq_mlp(sd, prefix, (0, 2, 4)),
+        "Dense_0": _dense(sd, f"{prefix}.6"),
+    }}

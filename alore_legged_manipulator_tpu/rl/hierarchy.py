@@ -1,0 +1,185 @@
+"""Hierarchical env mode: the frozen low-level WBC inside env_step.
+
+Capability rebuild of the reference `_apply_action`
+(b2z1_multiobj_wbc_gnn_plan_env_train.py:438-543): each 50 Hz high-level
+step runs `decimation` (4) low-level sub-steps at 200 Hz; every sub-step
+
+  1. assembles the 71-d low-level proprioceptive observation
+     (_compute_low_level_observation :545-607) and its 10-step history,
+  2. runs the FROZEN ActorCriticLow with hist_encoding=True
+     (:518) -- converted from the torch checkpoint via
+     models.torch_convert -- to produce 18 joint targets,
+  3. zeroes the arm part (:519 `action_low_level[:, 12:] = 0`), scales
+     and offsets by the default joint pose (:525-526),
+  4. advances the joint state through a PD servo (the reference sets PD
+     position targets with kp 360 / kd 5, configs/b2z1.yaml) --
+     PhysX does not exist on TPU, so the articulation is a per-joint
+     second-order servo, and base-velocity realization is modulated by
+     how far the policy holds the legs from the nominal stance (a
+     stand-in for gait quality: wild joint targets degrade locomotion).
+
+The low-level policy is genuinely IN the loop: its outputs drive the
+joint state, the joint state feeds the next low-level observation, and
+the realized base velocity (what pushes the object) depends on it.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.low_level import ActorCriticLow
+
+N_JOINTS = 18          # 12 leg + 6 arm
+LOW_OBS = 71           # per-step low-level proprio width (num_proprio)
+LOW_HIST = 10          # history_len
+
+
+class HierarchyConfig(NamedTuple):
+    decimation: int = 4            # 200 Hz low level under 50 Hz high level
+    sim_dt: float = 1.0 / 200.0
+    action_scale_low: float = 0.25  # cfg.action_scale_low_level
+    kp: float = 360.0
+    kd: float = 5.0
+    joint_inertia: float = 1.2
+    # locomotion-quality coupling: base realizes commands scaled by
+    # exp(-stance_sensitivity * mean((q_leg - q_default)^2))
+    stance_sensitivity: float = 2.0
+    base_response: float = 12.0    # 1/s first-order base-velocity response
+
+
+def low_level_policy_cfg() -> ActorCriticLow:
+    """The shipped low-level architecture (env_train.py:1401-1427)."""
+    return ActorCriticLow(num_prop=LOW_OBS, num_hist=LOW_HIST, num_priv=18,
+                          priv_latent=20, backbone_hidden=(512, 256, 128),
+                          leg_head_hidden=(128, 128),
+                          arm_head_hidden=(128, 128))
+
+
+DEFAULT_JOINT_POS = jnp.concatenate([
+    jnp.tile(jnp.asarray([0.1, 0.8, -1.5]), 4),   # legs (B2 stance)
+    jnp.asarray([0.0, 1.26, -2.8, 0.0, 0.0, 0.0]),  # Z1 arm home
+])
+
+
+class RobotState(NamedTuple):
+    base_pose: jnp.ndarray   # (3,) x, y, yaw
+    base_vel: jnp.ndarray    # (3,) body vx, vy, wz
+    q: jnp.ndarray           # (18,) joint positions
+    dq: jnp.ndarray          # (18,) joint velocities
+    prev_low_action: jnp.ndarray  # (18,)
+    low_obs_hist: jnp.ndarray     # (LOW_HIST, LOW_OBS)
+
+
+def robot_reset(dtype=jnp.float32) -> RobotState:
+    return RobotState(
+        base_pose=jnp.zeros((3,), dtype),
+        base_vel=jnp.zeros((3,), dtype),
+        q=DEFAULT_JOINT_POS.astype(dtype),
+        dq=jnp.zeros((N_JOINTS,), dtype),
+        prev_low_action=jnp.zeros((N_JOINTS,), dtype),
+        low_obs_hist=jnp.zeros((LOW_HIST, LOW_OBS), dtype))
+
+
+def low_level_observation(rs: RobotState, vel_cmd, cfg: HierarchyConfig):
+    """71-d proprio vector (structure of :545-601: commands, base angular
+    velocity + gravity direction, joint pos/vel offsets, previous
+    low-level action, padding to the reference width)."""
+    dtype = rs.q.dtype
+    parts = [
+        vel_cmd,                                   # 3 commanded base vel
+        rs.base_vel,                               # 3
+        jnp.sin(rs.base_pose[2:3]), jnp.cos(rs.base_pose[2:3]),  # 2
+        rs.q - DEFAULT_JOINT_POS.astype(dtype),    # 18
+        0.05 * rs.dq,                              # 18
+        rs.prev_low_action,                        # 18
+    ]
+    obs = jnp.concatenate(parts)
+    pad = LOW_OBS - obs.shape[0]
+    return jnp.concatenate([obs, jnp.zeros((pad,), dtype)])
+
+
+def hierarchical_substep(rs: RobotState, vel_cmd, low_params,
+                         cfg: HierarchyConfig, policy: ActorCriticLow):
+    """One 200 Hz low-level tick (reference :516-543)."""
+    dtype = rs.q.dtype
+    obs = low_level_observation(rs, vel_cmd, cfg)
+    hist = jnp.concatenate([rs.low_obs_hist[1:], obs[None]], axis=0)
+
+    # frozen policy, history encoding (hist_encoding=True, :518)
+    act = policy.apply(low_params, obs[None], hist[None])[0]
+    act = act.at[12:].set(0.0)                     # :519 arm zeroed
+    q_target = cfg.action_scale_low * act + DEFAULT_JOINT_POS.astype(dtype)
+
+    # PD joint servo (kp/kd of configs/b2z1.yaml through unit inertia)
+    ddq = (cfg.kp * (q_target - rs.q) - cfg.kd * rs.dq) / cfg.joint_inertia
+    dq = rs.dq + cfg.sim_dt * ddq
+    q = rs.q + cfg.sim_dt * dq
+
+    # locomotion quality from stance deviation of the LEG joints
+    leg_dev = jnp.mean((q[:12] - DEFAULT_JOINT_POS[:12].astype(dtype)) ** 2)
+    quality = jnp.exp(-cfg.stance_sensitivity * leg_dev)
+    target_vel = vel_cmd * quality
+    beta = 1.0 - jnp.exp(-cfg.base_response * cfg.sim_dt)
+    base_vel = rs.base_vel + beta * (target_vel - rs.base_vel)
+
+    yaw = rs.base_pose[2]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    dpos = jnp.stack([c * base_vel[0] - s * base_vel[1],
+                      s * base_vel[0] + c * base_vel[1], base_vel[2]])
+    base_pose = rs.base_pose + cfg.sim_dt * dpos
+
+    return RobotState(base_pose=base_pose, base_vel=base_vel, q=q, dq=dq,
+                      prev_low_action=act, low_obs_hist=hist)
+
+
+def hierarchical_apply_action(rs: RobotState, vel_cmd, low_params,
+                              cfg: HierarchyConfig = HierarchyConfig()):
+    """decimation sub-steps of the frozen WBC under one high-level command.
+
+    Returns the advanced RobotState; `rs.base_vel` is the realized base
+    velocity that the object-contact surrogate consumes.
+    """
+    policy = low_level_policy_cfg()
+
+    def body(_, rs):
+        return hierarchical_substep(rs, vel_cmd, low_params, cfg, policy)
+
+    return jax.lax.fori_loop(0, cfg.decimation, body, rs)
+
+
+# ---------------------------------------------------------------------------
+# full hierarchical env step (high-level action -> WBC -> object contact)
+# ---------------------------------------------------------------------------
+
+def hierarchical_env_step(st, rs: RobotState, action, low_params,
+                          cfg=None, hcfg: HierarchyConfig = HierarchyConfig()):
+    """One 50 Hz high-level step with the WBC in the loop.
+
+    Mirrors the reference data flow: the 9-d high-level action's base
+    part becomes the velocity command the low-level policy tracks
+    (env_train.py:422-435 scale/clip then :438+ decimation loop); the
+    object is then pushed by the ROBOT'S REALIZED velocity, not the raw
+    command -- so the whole hierarchy is load-bearing.
+
+    Returns (env_state, robot_state, obs_hist, reward, done).
+    """
+    from .env import PushEnvConfig, env_step
+
+    cfg = cfg or PushEnvConfig()
+    a = jnp.clip(action, -1.0, 1.0)
+    vel_cmd = a[:3] * jnp.asarray(
+        [cfg.action_scale_lin, cfg.action_scale_lin, cfg.action_scale_ang],
+        a.dtype)
+
+    rs = hierarchical_apply_action(rs, vel_cmd, low_params, hcfg)
+
+    # feed the realized velocity through the object-contact surrogate by
+    # replacing the action's base part with the achieved base velocity
+    realized = rs.base_vel / jnp.asarray(
+        [cfg.action_scale_lin, cfg.action_scale_lin, cfg.action_scale_ang],
+        a.dtype)
+    a_eff = jnp.concatenate([realized, a[3:]])
+    st, hist, reward, done = env_step(st, a_eff, cfg)
+    return st, rs, hist, reward, done

@@ -1,0 +1,110 @@
+"""Hierarchy-in-the-loop env tests (VERDICT r1 missing #1, part 2).
+
+Proves the frozen low-level WBC is load-bearing inside env_step: its 18
+joint targets drive the joint servo, the joint state feeds back into the
+low-level observation history, and the realized base velocity (what
+pushes the object) depends on the policy weights.
+"""
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from alore_legged_manipulator_tpu.models.torch_convert import (
+    convert_low_level_actor)
+from alore_legged_manipulator_tpu.rl.env import (PushEnvConfig, env_reset)
+from alore_legged_manipulator_tpu.rl.hierarchy import (
+    DEFAULT_JOINT_POS, HierarchyConfig, hierarchical_apply_action,
+    hierarchical_env_step, low_level_policy_cfg, robot_reset)
+
+from test_torch_convert import TorchLowAC, _randomize
+
+
+def _converted_params(seed=42):
+    """A 'checkpoint': randomized torch twin -> converted flax params.
+
+    Uses the REAL conversion path so the hierarchy test also exercises
+    checkpoint ingestion end-to-end.
+    """
+    tm = TorchLowAC()
+    sd = _randomize(tm, seed=seed)
+    return convert_low_level_actor(sd)
+
+
+def test_low_level_policy_drives_joints():
+    params = _converted_params()
+    rs = robot_reset()
+    hcfg = HierarchyConfig()
+    vel_cmd = jnp.asarray([0.8, 0.0, 0.3], jnp.float32)
+
+    rs1 = hierarchical_apply_action(rs, vel_cmd, params, hcfg)
+    # joints moved away from the default stance (policy output nonzero)
+    assert float(jnp.abs(rs1.q[:12] - DEFAULT_JOINT_POS[:12]).max()) > 1e-4
+    # arm targets are zeroed (reference :519): arm joints stay at home
+    np.testing.assert_allclose(np.asarray(rs1.q[12:]),
+                               np.asarray(DEFAULT_JOINT_POS[12:]), atol=1e-5)
+    # observation history advanced (not all zeros anymore)
+    assert float(jnp.abs(rs1.low_obs_hist[-1]).max()) > 0
+    # base started tracking the command
+    assert float(rs1.base_vel[0]) > 0.01
+
+
+def test_policy_weights_are_load_bearing():
+    """Different checkpoints => different realized motion."""
+    rs = robot_reset()
+    hcfg = HierarchyConfig()
+    vel_cmd = jnp.asarray([0.8, 0.0, 0.0], jnp.float32)
+
+    pA = _converted_params(seed=1)
+    pB = _converted_params(seed=2)
+    step = jax.jit(lambda rs, p: hierarchical_apply_action(rs, vel_cmd, p,
+                                                           hcfg))
+    rsA, rsB = rs, rs
+    for _ in range(10):
+        rsA = step(rsA, pA)
+        rsB = step(rsB, pB)
+    # the joint trajectories AND the realized base velocity differ
+    assert float(jnp.abs(rsA.q - rsB.q).max()) > 1e-4
+    assert float(jnp.abs(rsA.base_vel - rsB.base_vel).max()) > 1e-6
+
+
+def test_hierarchical_env_step_end_to_end():
+    """Full 50 Hz tick: action -> WBC decimation loop -> object contact."""
+    params = _converted_params()
+    st = env_reset(jax.random.PRNGKey(0))
+    rs = robot_reset()
+    cfg = PushEnvConfig()
+    action = jnp.asarray([0.9, 0.0, 0.1, 0, 0, 0, 0, 0, 0], jnp.float32)
+
+    tick = jax.jit(lambda st, rs: hierarchical_env_step(
+        st, rs, action, params, cfg))
+    for _ in range(25):   # 0.5 s
+        st, rs, hist, reward, done = tick(st, rs)
+
+    # robot walks forward; object follows through the contact surrogate
+    assert float(rs.base_pose[0]) > 0.05
+    assert float(st.obj_vel[0]) > 0.01
+    assert np.isfinite(float(reward))
+    assert not bool(done)
+
+    # the WBC ran: 100 low-level ticks worth of history is populated
+    assert float(jnp.abs(rs.low_obs_hist).sum()) > 0
+    assert float(jnp.abs(rs.prev_low_action[:12]).max()) > 0
+
+
+def test_hierarchy_vmaps_over_fleet():
+    """The whole hierarchy batches over environments (TPU scaling path)."""
+    params = _converted_params()
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    sts = jax.vmap(env_reset)(keys)
+    rss = jax.vmap(lambda _: robot_reset())(jnp.arange(B))
+    actions = jax.random.uniform(jax.random.PRNGKey(2), (B, 9), jnp.float32,
+                                 -1.0, 1.0)
+    step = jax.jit(jax.vmap(
+        lambda st, rs, a: hierarchical_env_step(st, rs, a, params)))
+    sts, rss, hist, rew, done = step(sts, rss, actions)
+    assert rss.q.shape == (B, 18)
+    assert hist.shape[0] == B
+    assert np.all(np.isfinite(np.asarray(rew)))

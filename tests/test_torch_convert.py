@@ -1,0 +1,273 @@
+"""Torch->flax checkpoint conversion equivalence (VERDICT r1 missing #1).
+
+Builds torch twin networks IN-TEST following the reference architecture
+specs (low_level_model.py:39-235, actor_critic_physic.py:26-151,
+physic_estimator.py:7-100, interactive_gnn.py:10-80), randomizes their
+weights, converts the state_dict with models.torch_convert, and asserts
+forward equivalence <= 1e-5 between torch and the flax modules.  The
+twins reproduce the reference's MODULE NAMES so their state dicts have
+the exact key layout of a real checkpoint.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from alore_legged_manipulator_tpu.models.gnn import (EDGES, GraphBatch,
+                                                     InteractiveGNN)
+from alore_legged_manipulator_tpu.models.estimator import PhysicEstimator
+from alore_legged_manipulator_tpu.models.low_level import ActorCriticLow
+from alore_legged_manipulator_tpu.models.actor_critic import (
+    Critic, PhysicActorCritic)
+from alore_legged_manipulator_tpu.models.torch_convert import (
+    convert_critic, convert_low_level_actor, convert_physic_actor_critic,
+    convert_physic_estimator)
+
+torch.manual_seed(0)
+
+NUM_PROP = 71
+NUM_HIST = 10
+NUM_PRIV = 18
+D_OBS = 44   # high-level per-step obs
+T_HIST = 11
+
+
+# ---------------------------------------------------------------------------
+# torch twins (reference spec, reference module names)
+# ---------------------------------------------------------------------------
+
+class TorchHistEncoder(nn.Module):
+    """low_level_model.py:40-86, tsteps=10."""
+
+    def __init__(self, input_size, output_size):
+        super().__init__()
+        ch = 10
+        self.encoder = nn.Sequential(nn.Linear(input_size, 3 * ch), nn.ELU())
+        self.conv_layers = nn.Sequential(
+            nn.Conv1d(3 * ch, 2 * ch, kernel_size=4, stride=2), nn.ELU(),
+            nn.Conv1d(2 * ch, ch, kernel_size=2, stride=1), nn.ELU(),
+            nn.Flatten())
+        self.linear_output = nn.Sequential(
+            nn.Linear(ch * 3, output_size), nn.ELU())
+
+    def forward(self, obs):
+        nd = obs.shape[0]
+        proj = self.encoder(obs.reshape(nd * NUM_HIST, -1))
+        out = self.conv_layers(
+            proj.reshape(nd, NUM_HIST, -1).permute(0, 2, 1))
+        return self.linear_output(out)
+
+
+class TorchLowActor(nn.Module):
+    """low_level_model.py:120-231 Actor with the shipped dims."""
+
+    def __init__(self):
+        super().__init__()
+        self.priv_encoder = nn.Sequential(
+            nn.Linear(NUM_PRIV, 64), nn.ELU(), nn.Linear(64, 20), nn.ELU())
+        self.history_encoder = TorchHistEncoder(NUM_PROP, 20)
+        self.actor_backbone = nn.Sequential(
+            nn.Linear(NUM_PROP + 20, 512), nn.ELU(),
+            nn.Linear(512, 256), nn.ELU(),
+            nn.Linear(256, 128), nn.ELU())
+        self.actor_leg_control_head = nn.Sequential(
+            nn.Linear(128, 128), nn.ELU(), nn.Linear(128, 128), nn.ELU(),
+            nn.Linear(128, 12))
+        self.actor_arm_control_head = nn.Sequential(
+            nn.Linear(128, 128), nn.ELU(), nn.Linear(128, 128), nn.ELU(),
+            nn.Linear(128, 6))
+
+    def forward(self, obs, hist_encoding):
+        prop = obs[:, :NUM_PROP]
+        if hist_encoding:
+            hist = obs[:, -NUM_HIST * NUM_PROP:]
+            latent = self.history_encoder(
+                hist.view(-1, NUM_HIST, NUM_PROP))
+        else:
+            latent = self.priv_encoder(
+                obs[:, NUM_PROP:NUM_PROP + NUM_PRIV])
+        x = torch.cat([prop, latent], dim=1)
+        feat = self.actor_backbone(x)
+        return torch.cat([self.actor_leg_control_head(feat),
+                          self.actor_arm_control_head(feat)], dim=-1)
+
+
+class TorchLowAC(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.actor = TorchLowActor()
+
+
+class TorchPhysicEstimator(nn.Module):
+    def __init__(self, input_dim=D_OBS):
+        super().__init__()
+        self.lstm = nn.LSTM(input_size=input_dim, hidden_size=128,
+                            num_layers=1, batch_first=True)
+        self.output_head = nn.Sequential(
+            nn.Linear(128, 64), nn.ReLU(), nn.Linear(64, 3))
+
+    def forward(self, obs_history):
+        _, (h_n, _) = self.lstm(obs_history)
+        return self.output_head(h_n[-1])
+
+
+class TorchGnnMLP(nn.Module):
+    def __init__(self, in_dim, hidden, out_dim):
+        super().__init__()
+        self.net = nn.Sequential(nn.Linear(in_dim, hidden), nn.ReLU(),
+                                 nn.Linear(hidden, out_dim))
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class TorchGNN(nn.Module):
+    """interactive_gnn.py:57-80 with explicit scatter-max (no pyg)."""
+
+    def __init__(self, node_dim=15, edge_dim=7, hidden=64, out_dim=128):
+        super().__init__()
+        self.edge_mlp1 = TorchGnnMLP(node_dim * 2 + edge_dim, 64, hidden)
+        self.edge_mlp2 = TorchGnnMLP(hidden * 2 + edge_dim, 64, hidden)
+        self.readout = TorchGnnMLP(hidden, 64, out_dim)
+        self.hidden = hidden
+
+    def conv(self, mlp, x, edge_attr):
+        # x: (B, 9, D); same static edge list as the flax module
+        src = torch.as_tensor(EDGES[:, 0], dtype=torch.long)
+        dst = torch.as_tensor(EDGES[:, 1], dtype=torch.long)
+        msg = mlp(torch.cat([x[:, dst], x[:, src], edge_attr], dim=-1))
+        out = torch.full((x.shape[0], 9, msg.shape[-1]), -1e30)
+        out.scatter_reduce_(
+            1, dst.view(1, -1, 1).expand(x.shape[0], -1, msg.shape[-1]),
+            msg, reduce="amax")
+        return torch.where(out <= -1e29, torch.zeros(()), out)
+
+    def forward(self, x, edge_attr):
+        x = torch.relu(self.conv(self.edge_mlp1, x, edge_attr))
+        x = torch.relu(self.conv(self.edge_mlp2, x, edge_attr))
+        return self.readout(x.mean(dim=1))
+
+
+class TorchPhysicAC(nn.Module):
+    """actor_critic_physic.py:26-151 actor path + rsl_rl critic."""
+
+    def __init__(self):
+        super().__init__()
+        dim_a = T_HIST * D_OBS + T_HIST * 3 + 128
+        self.shared_mlp = nn.Sequential(
+            nn.Linear(dim_a, 512), nn.ELU(), nn.Linear(512, 256), nn.ELU(),
+            nn.Linear(256, 128), nn.ELU())
+        self.base_head = nn.Linear(128, 3)
+        self.arm_head = nn.Linear(128, 6)
+        self.physic_estimator = TorchPhysicEstimator()
+        self.interactive_gnn = TorchGNN()
+        self.std = nn.Parameter(torch.ones(9))
+        self.critic = nn.Sequential(
+            nn.Linear(161, 512), nn.ELU(), nn.Linear(512, 256), nn.ELU(),
+            nn.Linear(256, 128), nn.ELU(), nn.Linear(128, 1))
+
+    def act_inference(self, obs_hist, nodes, edge_attr):
+        B = obs_hist.shape[0]
+        vel = self.physic_estimator(obs_hist)
+        vel_t = vel.unsqueeze(1).expand(-1, T_HIST, -1)
+        aug = torch.cat([obs_hist, vel_t], dim=-1)
+        z = self.interactive_gnn(nodes, edge_attr)
+        feat = self.shared_mlp(torch.cat([aug.reshape(B, -1), z], dim=-1))
+        return torch.cat([self.base_head(feat), self.arm_head(feat)],
+                         dim=-1), vel
+
+
+def _randomize(model, scale=0.7, seed=42):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * scale
+                    / max(1.0, np.sqrt(p.shape[-1])))
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# equivalence tests
+# ---------------------------------------------------------------------------
+
+def test_low_level_actor_equivalence():
+    tm = TorchLowAC()
+    sd = _randomize(tm)
+    rng = np.random.default_rng(0)
+    B = 7
+    obs = rng.normal(size=(B, NUM_PROP + NUM_PRIV + NUM_HIST * NUM_PROP)
+                     ).astype(np.float32)
+
+    params = convert_low_level_actor(sd)
+    fm = ActorCriticLow(num_prop=NUM_PROP, num_hist=NUM_HIST,
+                        num_priv=NUM_PRIV, priv_latent=20,
+                        backbone_hidden=(512, 256, 128),
+                        leg_head_hidden=(128, 128),
+                        arm_head_hidden=(128, 128))
+
+    prop = jnp.asarray(obs[:, :NUM_PROP])
+    hist = jnp.asarray(obs[:, -NUM_HIST * NUM_PROP:]).reshape(
+        B, NUM_HIST, NUM_PROP)
+    priv = jnp.asarray(obs[:, NUM_PROP:NUM_PROP + NUM_PRIV])
+
+    with torch.no_grad():
+        ref_hist = tm.actor(torch.as_tensor(obs), True).numpy()
+        ref_priv = tm.actor(torch.as_tensor(obs), False).numpy()
+
+    # deployment path: history encoding (env_train.py:518 hist_encoding=True)
+    mine_hist = np.asarray(fm.apply(params, prop, hist))
+    assert np.abs(mine_hist - ref_hist).max() < 1e-5, \
+        np.abs(mine_hist - ref_hist).max()
+
+    # training path: privileged encoder
+    mine_priv = np.asarray(fm.apply(params, prop, hist, priv))
+    assert np.abs(mine_priv - ref_priv).max() < 1e-5
+
+
+def test_physic_estimator_equivalence():
+    tm = TorchPhysicEstimator()
+    sd = _randomize(tm)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(5, T_HIST, D_OBS)).astype(np.float32)
+
+    params = {"params": convert_physic_estimator(sd, prefix="")}
+    fm = PhysicEstimator()
+    with torch.no_grad():
+        ref = tm(torch.as_tensor(x)).numpy()
+    mine = np.asarray(fm.apply(params, jnp.asarray(x)))
+    assert np.abs(mine - ref).max() < 1e-5, np.abs(mine - ref).max()
+
+
+def test_physic_actor_critic_equivalence():
+    tm = TorchPhysicAC()
+    sd = _randomize(tm)
+    rng = np.random.default_rng(2)
+    B = 4
+    obs_hist = rng.normal(size=(B, T_HIST, D_OBS)).astype(np.float32)
+    nodes = rng.normal(size=(B, 9, 15)).astype(np.float32)
+    edge_attr = rng.normal(size=(B, EDGES.shape[0], 7)).astype(np.float32)
+
+    params = convert_physic_actor_critic(sd)
+    fm = PhysicActorCritic()
+    graph = GraphBatch(nodes=jnp.asarray(nodes),
+                       edge_attr=jnp.asarray(edge_attr))
+    with torch.no_grad():
+        ref_mean, ref_vel = tm.act_inference(
+            torch.as_tensor(obs_hist), torch.as_tensor(nodes),
+            torch.as_tensor(edge_attr))
+    mean, std, vel = fm.apply(params, jnp.asarray(obs_hist), graph)
+    assert np.abs(np.asarray(mean) - ref_mean.numpy()).max() < 1e-5
+    assert np.abs(np.asarray(vel) - ref_vel.numpy()).max() < 1e-5
+    np.testing.assert_allclose(np.asarray(std), sd["std"], atol=1e-7)
+
+    # critic too
+    cobs = rng.normal(size=(B, 161)).astype(np.float32)
+    cr = Critic()
+    cparams = convert_critic(sd)
+    with torch.no_grad():
+        ref_v = tm.critic(torch.as_tensor(cobs)).numpy()[:, 0]
+    mine_v = np.asarray(cr.apply(cparams, jnp.asarray(cobs)))
+    assert np.abs(mine_v - ref_v).max() < 1e-5
