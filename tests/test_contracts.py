@@ -1,0 +1,79 @@
+"""Message-contract schemas + bus-driven mission tests (VERDICT #5)."""
+import numpy as np
+
+from alore_legged_manipulator_tpu.runtime.contracts import (
+    CarControl, CarState, EnvControlData, EnvObs, MocapPerception,
+    RigidBodyPose, SimulatedCarState, TaskState, quat_xyzw_to_yaw,
+    yaw_to_quat_xyzw)
+from alore_legged_manipulator_tpu.runtime.bus_mission import (
+    run_bus_mission)
+
+
+def test_env_control_data_roundtrip():
+    msg = EnvControlData(
+        robot_vel_cmd=np.array([0.5, 0.0, -0.2], np.float32),
+        object_vel_cmd=np.array([0.1, 0.2, 0.3], np.float32),
+        joint_cmd=np.arange(7, dtype=np.float32),
+        task_state=TaskState.OBJECT_TRACKING,
+        object_type=2.0)
+    data = msg.pack()
+    assert data.shape == (15,) and data.dtype == np.float32
+    # reference slot layout (b2z1_highlevel_controller.py:94-99)
+    np.testing.assert_allclose(data[0:3], [0.5, 0.0, -0.2])
+    np.testing.assert_allclose(data[3:6], [0.1, 0.2, 0.3])
+    np.testing.assert_allclose(data[6:13], np.arange(7))
+    assert data[13] == 5.0 and data[14] == 2.0
+    back = EnvControlData.unpack(data)
+    assert back.task_state is TaskState.OBJECT_TRACKING
+    np.testing.assert_allclose(back.joint_cmd, msg.joint_cmd)
+
+
+def test_env_obs_roundtrip_and_layout():
+    obs = EnvObs()
+    obs.robot = RigidBodyPose(xyz=np.array([1, 2, 0], np.float32), yaw=0.3,
+                              quat_xyzw=yaw_to_quat_xyzw(0.3))
+    data = obs.pack()
+    assert data.shape == (40,)   # (1 robot + 4 objects) x 8 floats
+    np.testing.assert_allclose(data[0:3], [1, 2, 0])
+    assert abs(data[3] - 0.3) < 1e-6
+    back = EnvObs.unpack(data)
+    assert abs(back.robot.yaw - 0.3) < 1e-6
+    assert len(back.objects) == 4
+
+
+def test_carstate_contracts():
+    cs = CarState(x=1, y=2, yaw=0.5, v=1.2, omega=-0.3)
+    back = CarState.unpack(cs.pack())
+    assert back.v == np.float32(1.2) and back.omega == np.float32(-0.3)
+    cc = CarControl(0.7, -0.4)
+    assert CarControl.unpack(cc.pack()).left_wheel_speed == np.float32(0.7)
+    scs = SimulatedCarState(x=1, vx=0.9, icr_yr=-0.3, icr_yl=0.3, icr_xv=0.2)
+    back = SimulatedCarState.unpack(scs.pack())
+    assert back.icr_xv == np.float32(0.2)
+    assert scs.pack().shape == (15,)
+
+
+def test_mocap_perception_conventions():
+    """Yaw recoverable; stored quaternion carries the +90deg x correction."""
+    mp = MocapPerception(noise_pos=0.0, noise_yaw=0.0)
+    obs = mp.observe([1.0, 2.0, 0.7], [[3.0, 4.0, -0.5]])
+    assert abs(obs.robot.yaw - 0.7) < 1e-6
+    assert abs(obs.objects[0].yaw - (-0.5)) < 1e-6
+    # the published quaternion is q * q_x(90): NOT a pure-yaw quaternion
+    q = obs.robot.quat_xyzw
+    assert abs(q[0]) > 0.1  # x component from the roll correction
+    # undo the correction recovers the yaw
+    inv_roll = np.array([-np.sin(np.pi / 4), 0, 0, np.cos(np.pi / 4)])
+    from alore_legged_manipulator_tpu.runtime.contracts import _quat_mul_xyzw
+    q0 = _quat_mul_xyzw(q, inv_roll)
+    assert abs(quat_xyzw_to_yaw(q0) - 0.7) < 1e-5
+
+
+def test_bus_mission_end_to_end():
+    """Two objects delivered entirely over /env_obs + /env_control_data."""
+    items = [[2.0, 1.0, 0.0], [1.0, 3.0, 0.0]]
+    targets = [[5.0, 1.5, 0.0], [4.0, 4.0, 0.0]]
+    rep = run_bus_mission(items, targets, robot_start=(0.0, 0.0, 0.0))
+    assert all(rep.delivered), (rep.final_err, rep.ticks)
+    assert rep.ticks < 20000
+    assert max(rep.final_err) < 0.35

@@ -1,0 +1,78 @@
+"""Z1 arm joint runtime tests (VERDICT r1 missing #5 / next-step #8)."""
+import numpy as np
+
+from alore_legged_manipulator_tpu.runtime.z1_arm import (
+    HOME_POSE, LOWER_LIMITS, UPPER_LIMITS, OBJECT_ARM_CONFIGS,
+    Z1ArmController, arm_target_from_ratio, forward_kinematics,
+    grasp_distance_for, grasp_pose_for)
+
+
+def test_rate_limit_and_joint_limits():
+    c = Z1ArmController()
+    q0 = c.state.q.copy()
+    # a far target: per-tick progress bounded by the 0.05 rad rate limit
+    target = np.array([2.0, 2.5, -2.5, 1.0, 1.0, 2.0, -0.5])
+    c.tick(target)
+    assert np.all(np.abs(c.state.q - q0) <= 0.05 + 1e-9)
+    # drive long enough: converges to the CLIPPED target within limits
+    for _ in range(200):
+        c.tick(target)
+    expect = np.clip(target[:6], LOWER_LIMITS[:6], UPPER_LIMITS[:6])
+    np.testing.assert_allclose(c.state.q, expect, atol=0.02)
+    assert LOWER_LIMITS[6] <= c.state.gripper_q <= UPPER_LIMITS[6]
+
+
+def test_moving_average_state_publication():
+    c = Z1ArmController()
+    out = None
+    for _ in range(5):
+        out = c.tick(HOME_POSE)
+    st = out["arm_current_state"]
+    assert st.shape == (13,)  # 7 avg positions + 6 avg velocities
+    np.testing.assert_allclose(st[:6], c.state.q, atol=0.05)
+    hand = out["hand_current_state"]
+    assert hand.shape == (7,)
+    assert abs(np.linalg.norm(hand[3:]) - 1.0) < 1e-6  # unit quaternion
+
+
+def test_forward_kinematics_sanity():
+    # straight-up configuration reaches max height
+    up = forward_kinematics(np.zeros(6))
+    assert up[2] > 0.6  # d1 + a2 + a3 + wrist ~ 0.75
+    assert abs(up[0]) < 1e-9 and abs(up[1]) < 1e-9
+    # yawing the base rotates the hand around z, same height
+    q = np.array([np.pi / 2, 0.8, -0.5, 0.2, 0.0, 0.0])
+    p0 = forward_kinematics(np.array([0.0, 0.8, -0.5, 0.2, 0.0, 0.0]))
+    p1 = forward_kinematics(q)
+    assert abs(p1[2] - p0[2]) < 1e-9
+    np.testing.assert_allclose([p1[0], p1[1]], [-p0[1], p0[0]], atol=1e-9)
+
+
+def test_per_object_grasp_configs():
+    for cls in ("chair", "table", "box"):
+        pose = grasp_pose_for(cls)
+        assert pose.shape == (7,)
+        assert np.all(pose >= LOWER_LIMITS - 1e-9)
+        assert np.all(pose <= UPPER_LIMITS + 1e-9)
+        assert 0.2 <= grasp_distance_for(cls) <= 0.6
+    # distinct classes command distinct postures
+    assert not np.allclose(grasp_pose_for("chair"), grasp_pose_for("table"))
+
+
+def test_grasp_trajectory_interpolation():
+    mid = arm_target_from_ratio("box", 0.5)
+    np.testing.assert_allclose(
+        mid, 0.5 * (HOME_POSE + grasp_pose_for("box")), atol=1e-12)
+    np.testing.assert_allclose(arm_target_from_ratio("box", 0.0), HOME_POSE)
+    np.testing.assert_allclose(arm_target_from_ratio("box", 1.0),
+                               grasp_pose_for("box"))
+
+
+def test_arm_executes_grasp_in_bus_mission():
+    """The mission's grasp phase drives real joint motion on the bus."""
+    from alore_legged_manipulator_tpu.runtime.bus_mission import (
+        run_bus_mission)
+    from alore_legged_manipulator_tpu.runtime.deploy import MessageBus
+
+    rep = run_bus_mission([[1.5, 0.5, 0.0]], [[3.5, 1.0, 0.0]])
+    assert all(rep.delivered)
