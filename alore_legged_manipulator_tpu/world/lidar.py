@@ -131,3 +131,90 @@ def occupancy_classes(state: OccupancyState,
     unknown = ~state.known
     free = state.known & ~occ
     return occ, free, unknown
+
+
+def perspective_points(true_occ, lower, res, pose,
+                       cfg: LidarConfig = LidarConfig()):
+    """Perspective (non-occluded) local cloud: laser_sim_node.cpp:343-421.
+
+    The reference's `perspectivePoints` mode does NOT render rays: it
+    crops the global cloud to `sensing_horizon` around the robot and
+    transforms every point into the sensor frame -- obstacles behind
+    other obstacles are still returned.  Dense equivalent: every
+    occupied cell center within range, expressed in the sensor frame.
+
+    Returns (pts_sensor (H, W, 2), mask (H, W)): mask selects the
+    returned points; pts_sensor rows are only meaningful where mask.
+    """
+    H, W = true_occ.shape
+    dtype = pose.dtype
+    cx = lower[0] + (jnp.arange(H, dtype=dtype) + 0.5) * res
+    cy = lower[1] + (jnp.arange(W, dtype=dtype) + 0.5) * res
+    gx = cx[:, None] - pose[0]
+    gy = cy[None, :] - pose[1]
+    dist = jnp.sqrt(gx * gx + gy * gy)
+    mask = true_occ & (dist <= cfg.max_range)
+    if cfg.fov_rad < 2.0 * jnp.pi - 1e-6:
+        ang = jnp.arctan2(gy, gx) - pose[2]
+        ang = (ang + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+        mask = mask & (jnp.abs(ang) <= cfg.fov_rad / 2.0)
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    # world -> sensor frame (rot.transpose() * (p - t), :363-386)
+    px = c * gx + s * gy
+    py = -s * gx + c * gy
+    return jnp.stack([px, py], axis=-1), mask
+
+
+def circular_support_update(state: OccupancyState, lower, res, pose,
+                            detection_range,
+                            cfg: OccupancyConfig = OccupancyConfig(),
+                            fov_rad: float = None,
+                            n_steps: int = 256):
+    """Free-space carving without sensor returns: cirSupRaycastProcess
+    (sdf_map.cpp:178-235).
+
+    The reference casts rays to every grid-interval-spaced point on the
+    perimeter of the detection SQUARE (clipped to the detection range),
+    marking traversed cells free -- used so no-return directions still
+    clear space.  FOV limiting matches the reference's angle/2.2 gate
+    when `fov_rad` is given.  Hits are never added by this mode.
+    """
+    H, W = state.log_odds.shape
+    dtype = state.log_odds.dtype
+    R = detection_range
+
+    # perimeter points of the square, spaced at the grid interval
+    # (sdf_map.cpp:184-193: two vertical edges + two horizontal edges)
+    n_edge = int(round(2.0 * R / res)) + 1
+    u = jnp.linspace(-R, R, n_edge).astype(dtype)
+    edges = [
+        jnp.stack([jnp.full_like(u, -R), u], -1),
+        jnp.stack([jnp.full_like(u, R), u], -1),
+        jnp.stack([u, jnp.full_like(u, -R)], -1),
+        jnp.stack([u, jnp.full_like(u, R)], -1),
+    ]
+    rel = jnp.concatenate(edges, axis=0)             # (P, 2) robot-relative
+    ang = jnp.arctan2(rel[:, 1], rel[:, 0])
+    if fov_rad is not None:
+        # reference gate: |angle - yaw| < fov/2.2 (sdf_map.cpp:199-205)
+        d = (ang - pose[2] + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+        keep = jnp.abs(d) < fov_rad / 2.2
+    else:
+        keep = jnp.ones(rel.shape[0], bool)
+    length = jnp.minimum(jnp.linalg.norm(rel, axis=-1), R)   # clip :211-214
+
+    fr = jnp.arange(1, n_steps + 1, dtype=dtype) / n_steps
+    ts = fr[None, :] * length[:, None]
+    px = pose[0] + jnp.cos(ang)[:, None] * ts
+    py = pose[1] + jnp.sin(ang)[:, None] * ts
+    ix = jnp.clip(((px - lower[0]) / res).astype(jnp.int32), 0, H - 1)
+    iy = jnp.clip(((py - lower[1]) / res).astype(jnp.int32), 0, W - 1)
+    inside = ((px >= lower[0]) & (px < lower[0] + H * res)
+              & (py >= lower[1]) & (py < lower[1] + W * res))
+    seen = inside & keep[:, None]
+
+    seen_grid = jnp.zeros((H, W), bool).at[ix, iy].max(seen)
+    lo_miss = jnp.asarray(_logit(cfg.p_miss), dtype)
+    log_odds = jnp.clip(state.log_odds + jnp.where(seen_grid, lo_miss, 0.0),
+                        _logit(cfg.p_min), _logit(cfg.p_max))
+    return OccupancyState(log_odds=log_odds, known=state.known | seen_grid)

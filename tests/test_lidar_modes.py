@@ -1,0 +1,89 @@
+"""Perspective scan mode + circular-support raycast (VERDICT #6/#9)."""
+import numpy as np
+import jax.numpy as jnp
+
+from alore_legged_manipulator_tpu.world.lidar import (
+    LidarConfig, OccupancyConfig, circular_support_update, lidar_scan,
+    occupancy_classes, occupancy_init, occupancy_update,
+    perspective_points)
+
+
+def _world_with_occluder():
+    occ = np.zeros((60, 60), bool)
+    occ[30, 28:33] = True     # wall at x = 3.05
+    occ[45, 30] = True        # target BEHIND the wall at x = 4.55
+    return jnp.asarray(occ), jnp.zeros(2), 0.1
+
+
+def test_perspective_sees_through_occlusion():
+    occ, lower, res = _world_with_occluder()
+    pose = jnp.asarray([1.0, 3.0, 0.0])
+    cfg = LidarConfig(max_range=6.0)
+
+    # occlusion-aware mode: the forward beam stops at the wall (~2 m)
+    ranges, hits = lidar_scan(occ, lower, res, pose, cfg)
+    fwd = ranges.shape[0] // 2   # beam at angle 0 (fov centered on yaw)
+    assert float(ranges[fwd]) < 2.5
+
+    # perspective mode: BOTH the wall and the hidden cell are returned
+    pts, mask = perspective_points(occ, lower, res, pose, cfg)
+    got = np.asarray(pts)[np.asarray(mask)]
+    # hidden cell center (4.55, 3.05) -> sensor frame (3.55, 0.05)
+    d = np.linalg.norm(got - np.array([3.55, 0.05]), axis=-1)
+    assert d.min() < 1e-5, "perspective mode must return occluded points"
+    # and respects the sensing radius
+    far = np.linalg.norm(got, axis=-1)
+    assert far.max() <= cfg.max_range + 1e-6
+
+
+def test_perspective_fov_gate():
+    occ, lower, res = _world_with_occluder()
+    pose = jnp.asarray([1.0, 3.0, np.pi])   # facing AWAY
+    cfg = LidarConfig(max_range=6.0, fov_rad=np.pi / 2)
+    _, mask = perspective_points(occ, lower, res, pose, cfg)
+    assert not bool(jnp.any(mask)), "everything is behind the FOV"
+
+
+def test_circular_support_carves_free_space():
+    occ, lower, res = _world_with_occluder()
+    pose = jnp.asarray([1.0, 3.0, 0.0])
+    st = occupancy_init((60, 60))
+    st = circular_support_update(st, lower, res, pose, detection_range=2.0)
+    occ_g, free, unknown = occupancy_classes(st)
+    # cells near the robot are now known-free without any sensor returns
+    assert bool(free[10, 30])     # (1.05, 3.05) right at the robot
+    assert bool(free[25, 30])     # 1.5 m ahead, inside the support square
+    # far cells stay unknown
+    assert bool(unknown[50, 50])
+    # no spurious occupancy
+    assert not bool(occ_g.any())
+
+
+def test_circular_support_fov_limited():
+    occ, lower, res = _world_with_occluder()
+    pose = jnp.asarray([3.0, 3.0, 0.0])     # facing +x
+    st = occupancy_init((60, 60))
+    st = circular_support_update(st, lower, res, pose, detection_range=2.0,
+                                 fov_rad=np.pi / 2)
+    _, free, unknown = occupancy_classes(st)
+    assert bool(free[40, 30])      # ahead: carved
+    assert bool(unknown[20, 30])   # behind: untouched
+
+
+def test_modes_agree_in_open_space():
+    """Without occluders the two scan modes report the same obstacle."""
+    occ = np.zeros((60, 60), bool)
+    occ[40, 30] = True
+    occj = jnp.asarray(occ)
+    lower, res = jnp.zeros(2), 0.1
+    pose = jnp.asarray([1.0, 3.0, 0.0])
+    cfg = LidarConfig(max_range=6.0)
+
+    ranges, hits = lidar_scan(occj, lower, res, pose, cfg)
+    fwd = ranges.shape[0] // 2
+    assert bool(hits[fwd])
+    pts, mask = perspective_points(occj, lower, res, pose, cfg)
+    got = np.asarray(pts)[np.asarray(mask)]
+    assert got.shape[0] == 1
+    # same obstacle distance (cell center 4.05, 3.05)
+    assert abs(np.linalg.norm(got[0]) - float(ranges[fwd])) < 0.1
