@@ -1,0 +1,79 @@
+"""Worker for the 2-process jax.distributed CPU test (run by
+tests/test_distributed.py, not collected by pytest).
+
+Exercises the multi-host path of SURVEY 2.5: jax.distributed.initialize
+over a TCP coordinator (the DCN stand-in), a global mesh spanning both
+processes' devices, and a cross-process psum through a sharded
+computation -- the same program structure a 2-host TPU pod slice runs.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    coord, n_proc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=n_proc, process_id=pid)
+    n_local = jax.local_device_count()
+    n_global = jax.device_count()
+    assert n_global == n_proc * n_local, (n_global, n_proc, n_local)
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
+
+    mesh = Mesh(np.array(jax.devices()), ("scenario",))
+    sharding = NamedSharding(mesh, P("scenario"))
+
+    # per-process local shard of a global scenario batch
+    B_global = 8 * n_global
+    B_local = B_global // n_proc
+    local = np.arange(B_local, dtype=np.float32) + 1000.0 * pid
+
+    garr = multihost_utils.host_local_array_to_global_array(
+        local, mesh, P("scenario"))
+
+    @jax.jit
+    def fleet_reduce(x):
+        # a batched "solve" + global reduction: lowers to a cross-process
+        # (DCN) psum exactly like the scaling harness's fleet metrics
+        y = jnp.sin(x) ** 2 + jnp.cos(x) ** 2    # per-scenario work
+        return jnp.sum(y), jnp.sum(x)
+
+    ones_sum, x_sum = fleet_reduce(garr)
+    ones_sum = float(ones_sum)
+    x_sum = float(x_sum)
+
+    expect_ones = float(B_global)
+    expect_x = sum(float(np.sum(np.arange(B_local) + 1000.0 * p))
+                   for p in range(n_proc))
+    assert abs(ones_sum - expect_ones) < 1e-3, (ones_sum, expect_ones)
+    assert abs(x_sum - expect_x) < 1e-2, (x_sum, expect_x)
+
+    # process-spanning collective via shard_map psum
+    from jax import shard_map
+
+    @jax.jit
+    def psum_fleet(x):
+        f = shard_map(lambda v: jax.lax.psum(jnp.sum(v), "scenario"),
+                      mesh=mesh, in_specs=P("scenario"), out_specs=P())
+        return f(x)
+
+    total = float(psum_fleet(garr))
+    assert abs(total - expect_x) < 1e-2, (total, expect_x)
+
+    print(f"WORKER_OK pid={pid} global_devices={n_global} "
+          f"fleet={B_global} sum={x_sum:.1f}")
+
+
+if __name__ == "__main__":
+    main()
