@@ -36,14 +36,16 @@ reference controller which never calls acado_shift*: mpc.cpp:296-350).
 from __future__ import annotations
 
 from functools import partial
+import functools
+
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..core.dynamics import ICRParams, icr_dynamics
-from ..ops.qp import box_qp_pncg
-from ..utils.precision import heinsum
+from ..ops.qp import box_qp_pncg, box_qp_pncg_op
+from ..utils.precision import heinsum, HIGHEST
 
 NX = 3
 NU = 2
@@ -71,6 +73,13 @@ class NmpcConfig(NamedTuple):
     # (measured on v5e: B=4096 30.6k vs 14.9k solves/s sequential/assoc;
     # B=1 latency 31 ms vs 26 ms; "triangular" is scan-free and fastest)
     condense_mode: str = "triangular"
+    # QP Hessian handling: "matfree" exploits the separable rank
+    # structure of the triangular condensing so H is NEVER materialized
+    # (each CG matvec is O(N) prefix sums instead of streaming a dense
+    # (B, 100, 100) H from HBM -- the measured bandwidth bottleneck of
+    # the batched solver, see ROOFLINE.md); "dense" builds H explicitly
+    # (required for condense_mode != "triangular")
+    qp_mode: str = "matfree"
     # integrator: "exact" (closed-form ICR step, cheapest and exact for
     # piecewise-constant wheels) or "rk4"
     integrator: str = "exact"
@@ -159,6 +168,71 @@ def prepare(carry: NmpcCarry, icr: ICRParams, cfg: NmpcConfig):
         return x_next, A, B
 
     return jax.vmap(lin)(carry.x_traj[:-1], carry.u_traj)
+
+
+def prepare_tri(carry: NmpcCarry, icr: ICRParams, cfg: NmpcConfig):
+    """Closed-form linearization of exact_step -- one elementwise pass.
+
+    jacfwd re-evaluates the step under 5 tangent directions and emits
+    (N, 3, 3)/(N, 3, 2) tensors whose trailing dims waste VPU lanes;
+    measured at B=8192 this made `prepare` 75% of the whole RTI tick
+    (28.9 of 38 ms, see ROOFLINE.md).  The exact step's jacobian is
+    closed-form -- A is unit upper triangular with
+        a02 = dx/dpsi = -v I_s + w xv I_c
+        a12 = dy/dpsi =  v I_c + w xv I_s
+    and the input block needs only dI_c/dw = -J_s, dI_s/dw = J_c with
+        J_c = dt^2 (cos psi A(h) - sin psi B(h)),
+        J_s = dt^2 (sin psi A(h) + cos psi B(h)),
+        A(h) = (cos h + h sin h - 1)/h^2,  B(h) = (sin h - h cos h)/h^2
+    (series-guarded near h=0 for f32).  Returns the separable factors the
+    matrix-free path consumes: (x_int, a02, a12, B0, B1, B2).
+    """
+    dt = cfg.dt
+    x = carry.x_traj[:-1]
+    u = carry.u_traj
+    psi = x[:, 2]
+    vr, vl = u[:, 0], u[:, 1]
+    track = icr.yl - icr.yr
+    v = (vr * icr.yl - vl * icr.yr) / track
+    w = (vr - vl) / track
+    h = w * dt
+    half = 0.5 * h
+    sc = jnp.sinc(half / jnp.pi)
+    c_mid = jnp.cos(psi + half)
+    s_mid = jnp.sin(psi + half)
+    I_c = dt * sc * c_mid
+    I_s = dt * sc * s_mid
+    xv = icr.xv
+    x_int = jnp.stack([x[:, 0] + v * I_c + w * xv * I_s,
+                       x[:, 1] + v * I_s - w * xv * I_c,
+                       psi + h], axis=-1)
+    a02 = -v * I_s + w * xv * I_c
+    a12 = v * I_c + w * xv * I_s
+
+    h2 = h * h
+    small = jnp.abs(h) < 0.1
+    safe_h2 = jnp.where(small, 1.0, h2)
+    A_ex = (jnp.cos(h) + h * jnp.sin(h) - 1.0) / safe_h2
+    B_ex = (jnp.sin(h) - h * jnp.cos(h)) / safe_h2
+    A_se = 0.5 - h2 / 8.0 + h2 * h2 / 144.0
+    B_se = h * (1.0 / 3.0 - h2 / 30.0 + h2 * h2 / 840.0)
+    Af = jnp.where(small, A_se, A_ex)
+    Bf = jnp.where(small, B_se, B_ex)
+    cpsi = jnp.cos(psi)
+    spsi = jnp.sin(psi)
+    J_c = dt * dt * (cpsi * Af - spsi * Bf)
+    J_s = dt * dt * (spsi * Af + cpsi * Bf)
+
+    pv_r = icr.yl / track
+    pv_l = -icr.yr / track
+    pw = 1.0 / track
+    dXdw = -v * J_s + xv * I_s + w * xv * J_c
+    dYdw = v * J_c - xv * I_c + w * xv * J_s
+    B0 = jnp.stack([pv_r * I_c + pw * dXdw, pv_l * I_c - pw * dXdw], -1)
+    B1 = jnp.stack([pv_r * I_s + pw * dYdw, pv_l * I_s - pw * dYdw], -1)
+    b20 = jnp.full_like(h, dt * pw)
+    B2 = jnp.stack([b20, -b20], -1)
+    return x_int, a02, a12, B0, B1, B2
 
 
 def _condense_seq(x_traj, x_int, A, B, dx0, n: int):
@@ -285,6 +359,200 @@ def _condense(x_traj, x_int, A, B, dx0, n: int):
     return C, a_off
 
 
+
+# ---------------------------------------------------------------------------
+# matrix-free triangular-condensing operators
+# ---------------------------------------------------------------------------
+
+class _TriOps(NamedTuple):
+    """Separable representation of the condensing map C.
+
+    With unit-upper-triangular transition Jacobians (see
+    _condense_triangular), C[i, :, j, :] for j < i is
+
+        [[B0_j + (alpha_i - alpha_{j+1}) B2_j],
+         [B1_j + (beta_i  - beta_{j+1})  B2_j],
+         [B2_j]]
+
+    i.e. rank-separable in (i, j): products with C or C^T reduce to
+    prefix/suffix sums of per-stage scalars.  This kills the dense-H
+    bandwidth bottleneck of the batched QP (ROOFLINE.md).
+    """
+
+    B0: jnp.ndarray      # (N, NU)
+    B1: jnp.ndarray      # (N, NU)
+    B2: jnp.ndarray      # (N, NU)
+    alpha: jnp.ndarray   # (N+1,)
+    beta: jnp.ndarray    # (N+1,)
+    a_off: jnp.ndarray   # (N+1, NX)
+
+
+def _tri_ops(x_traj, x_int, A, B, dx0, n: int) -> _TriOps:
+    """Build the separable factors + defect offsets (no C tensor)."""
+    return _tri_ops_factors(x_traj, x_int, A[:, 0, 2], A[:, 1, 2],
+                            B[:, 0, :], B[:, 1, :], B[:, 2, :], dx0)
+
+
+def _tri_ops_factors(x_traj, x_int, a02, a12, B0, B1, B2,
+                     dx0) -> _TriOps:
+    dtype = x_traj.dtype
+    d = x_int - x_traj[1:]
+    zero1 = jnp.zeros((1,), dtype)
+    alpha = jnp.concatenate([zero1, jnp.cumsum(a02)])
+    beta = jnp.concatenate([zero1, jnp.cumsum(a12)])
+    epsi = dx0[2] + jnp.concatenate([zero1, jnp.cumsum(d[:, 2])])
+    ex = dx0[0] + jnp.concatenate(
+        [zero1, jnp.cumsum(d[:, 0] + a02 * epsi[:-1])])
+    ey = dx0[1] + jnp.concatenate(
+        [zero1, jnp.cumsum(d[:, 1] + a12 * epsi[:-1])])
+    a_off = jnp.stack([ex, ey, epsi], axis=-1)
+    return _TriOps(B0=B0, B1=B1, B2=B2, alpha=alpha, beta=beta,
+                   a_off=a_off)
+
+
+def _prefix_excl(x):
+    """(N,) -> (N+1,) with out[i] = sum_{j < i} x_j."""
+    return jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(x)])
+
+
+def _suffix_excl(x):
+    """(N+1,) -> (N,) with out[j] = sum_{i > j} x_i."""
+    cs = jnp.cumsum(x)
+    return cs[-1] - cs[:-1]
+
+
+@functools.lru_cache(maxsize=None)
+def _prefix_mats_np(n: int):
+    """Constant triangular matrices realizing prefix/suffix sums as
+    matmuls: XLA lowers small cumsums to sequential/log-depth chains, but
+    a (N+1, N) triangular matmul over a stacked batch is one MXU pass.
+    P[i, j] = 1[j < i] (prefix, (N+1, N)); S = strict upper ((N, N+1)).
+    Cached as NUMPY (device constants are created per-trace -- caching
+    tracers would leak across jit contexts)."""
+    import numpy as _np
+    P = (_np.arange(n)[None, :] < _np.arange(n + 1)[:, None])
+    S = (_np.arange(n + 1)[None, :] > _np.arange(n)[:, None])
+    return P, S
+
+
+def _prefix_mats(n: int, dtype_name: str):
+    P, S = _prefix_mats_np(n)
+    return jnp.asarray(P, dtype=dtype_name), jnp.asarray(S, dtype=dtype_name)
+
+
+def _tri_cmat(ops: _TriOps, p2):
+    """C @ p: p2 (N, NU) -> (N+1, NX).
+
+    The five exclusive prefix sums are evaluated as ONE (N+1, N) @ (N, 5)
+    matmul against a constant triangular matrix (MXU work; under vmap
+    XLA folds the shared constant into a single large contraction)."""
+    n = p2.shape[0]
+    u = jnp.sum(ops.B0 * p2, axis=-1)
+    v = jnp.sum(ops.B1 * p2, axis=-1)
+    w = jnp.sum(ops.B2 * p2, axis=-1)
+    cols = jnp.stack([u, v, w, ops.alpha[1:] * w, ops.beta[1:] * w],
+                     axis=-1)                       # (N, 5)
+    P, _ = _prefix_mats(n, str(p2.dtype))
+    pref = jnp.matmul(P, cols, precision=HIGHEST)   # (N+1, 5)
+    pu, pv, pw, paw, pbw = [pref[:, k] for k in range(5)]
+    row0 = pu + ops.alpha * pw - paw
+    row1 = pv + ops.beta * pw - pbw
+    return jnp.stack([row0, row1, pw], axis=-1)
+
+
+def _tri_ctmat(ops: _TriOps, y):
+    """C^T @ y: y (N+1, NX) -> (N, NU); suffix sums as one matmul."""
+    n = y.shape[0] - 1
+    cols = jnp.stack([y[:, 0], y[:, 1], y[:, 2],
+                      ops.alpha * y[:, 0], ops.beta * y[:, 1]],
+                     axis=-1)                       # (N+1, 5)
+    _, S = _prefix_mats(n, str(y.dtype))
+    suf = jnp.matmul(S, cols, precision=HIGHEST)    # (N, 5)
+    S0, S1, S2, Sa0, Sb1 = [suf[:, k] for k in range(5)]
+    T = Sa0 + Sb1 + S2 - ops.alpha[1:] * S0 - ops.beta[1:] * S1
+    return (ops.B0 * S0[:, None] + ops.B1 * S1[:, None]
+            + ops.B2 * T[:, None])
+
+
+def _tri_diag_h(ops: _TriOps, q, r_diag):
+    """diag(C^T Q C + R): q (N+1, NX) stage weights, r_diag (N, NU)."""
+    al, be = ops.alpha, ops.beta
+    s0 = _suffix_excl(q[:, 0])
+    s0a = _suffix_excl(q[:, 0] * al)
+    s0a2 = _suffix_excl(q[:, 0] * al * al)
+    s1 = _suffix_excl(q[:, 1])
+    s1b = _suffix_excl(q[:, 1] * be)
+    s1b2 = _suffix_excl(q[:, 1] * be * be)
+    s2 = _suffix_excl(q[:, 2])
+    ac = al[1:]
+    bc = be[1:]
+    c0x = s0a - ac * s0
+    c0xx = s0a2 - 2.0 * ac * s0a + ac * ac * s0
+    c1x = s1b - bc * s1
+    c1xx = s1b2 - 2.0 * bc * s1b + bc * bc * s1
+    d = (ops.B0 * ops.B0 * s0[:, None]
+         + 2.0 * ops.B0 * ops.B2 * c0x[:, None]
+         + ops.B1 * ops.B1 * s1[:, None]
+         + 2.0 * ops.B1 * ops.B2 * c1x[:, None]
+         + ops.B2 * ops.B2 * (c0xx + c1xx + s2)[:, None])
+    return (d + r_diag).reshape(-1)
+
+
+def _feedback_matfree(carry: NmpcCarry, prep, x_est, ref_x, ref_u,
+                      cfg: NmpcConfig):
+    """feedback() without ever materializing C or H.
+
+    Same math as the dense triangular path (parity-gated in
+    tests/test_nmpc.py::test_matfree_matches_dense); per CG iteration the
+    operator touches O(N) floats per scenario instead of the O(N^2 NU^2)
+    dense H -- a ~20x HBM-traffic reduction that converts the QP from
+    bandwidth-bound to compute-light (ROOFLINE.md).
+    """
+    n = cfg.horizon
+    dtype = carry.x_traj.dtype
+    dx0 = x_est - carry.x_traj[0]
+    if len(prep) == 6:       # closed-form factors from prepare_tri
+        x_int, a02, a12, B0, B1, B2 = prep
+        ops = _tri_ops_factors(carry.x_traj, x_int, a02, a12, B0, B1, B2,
+                               dx0)
+    else:
+        x_int, A, B = prep
+        ops = _tri_ops(carry.x_traj, x_int, A, B, dx0, n)
+
+    Qs, Rs, QN = stage_weights(cfg, dtype)
+    xr = ref_x.T
+    ur = ref_u.T[:n]
+    a = carry.x_traj + ops.a_off
+    rx = a - xr
+    ru = carry.u_traj - ur
+
+    qs_diag = jnp.diagonal(Qs, axis1=1, axis2=2)
+    qn_diag = jnp.diagonal(QN)
+    q = jnp.concatenate([jnp.zeros((1, NX), dtype), qs_diag[1:],
+                         qn_diag[None]], axis=0)          # (N+1, NX)
+    r_diag = jnp.diagonal(Rs, axis1=1, axis2=2)           # (N, NU)
+
+    def matvec(p_flat):
+        p2 = p_flat.reshape(n, NU)
+        y = q * _tri_cmat(ops, p2)
+        hp = _tri_ctmat(ops, y) + r_diag * p2
+        return hp.reshape(-1)
+
+    diag_h = _tri_diag_h(ops, q, r_diag)
+    g = (_tri_ctmat(ops, q * rx) + r_diag * ru).reshape(-1)
+
+    lb = jnp.full((n * NU,), cfg.u_min, dtype) - carry.u_traj.reshape(-1)
+    ub = jnp.full((n * NU,), cfg.u_max, dtype) - carry.u_traj.reshape(-1)
+
+    du = box_qp_pncg_op(matvec, diag_h, g, lb, ub, iters=cfg.qp_iters,
+                        cg_iters=cfg.cg_iters)
+
+    u_new = carry.u_traj + du.reshape(n, NU)
+    dx = _tri_cmat(ops, du.reshape(n, NU)) + ops.a_off
+    x_new = carry.x_traj + dx
+    return NmpcCarry(x_traj=x_new, u_traj=u_new), x_new, u_new
+
+
 def feedback(carry: NmpcCarry, prep, x_est, ref_x, ref_u, icr: ICRParams,
              cfg: NmpcConfig):
     """Condense + box QP + expand (acado_feedbackStep analogue).
@@ -293,6 +561,8 @@ def feedback(carry: NmpcCarry, prep, x_est, ref_x, ref_u, icr: ICRParams,
     (last column unused for the stage cost, matching ACADO yN layout).
     Returns (new_carry, predicted_states (N+1,3), predicted_inputs (N,2)).
     """
+    if cfg.qp_mode == "matfree" and cfg.condense_mode == "triangular":
+        return _feedback_matfree(carry, prep, x_est, ref_x, ref_u, cfg)
     n = cfg.horizon
     dtype = carry.x_traj.dtype
     x_int, A, B = prep
@@ -356,7 +626,10 @@ def nmpc_rti_step(carry: NmpcCarry, x_est, ref_x, ref_u, icr: ICRParams,
     halves are one fused program and the \"overlap\" is batch pipelining.
     Returns (new_carry, u_cmd (2,), predicted (x, u) trajectories).
     """
-    prep = prepare(carry, icr, cfg)
+    fast = (cfg.qp_mode == "matfree"
+            and cfg.condense_mode == "triangular"
+            and cfg.integrator == "exact")
+    prep = (prepare_tri if fast else prepare)(carry, icr, cfg)
     new_carry, x_pred, u_pred = feedback(carry, prep, x_est, ref_x, ref_u,
                                          icr, cfg)
     u_cmd = u_pred[cfg.delay_num]

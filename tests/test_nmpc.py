@@ -170,3 +170,38 @@ def test_exact_step_matches_fine_rk4():
         # oracle is fine Euler; its own global error is ~1e-7
         np.testing.assert_allclose(np.asarray(ex), np.asarray(fine),
                                    atol=5e-7)
+
+
+def test_matfree_matches_dense_feedback():
+    """The matrix-free triangular QP path is algebraically identical to
+    the dense one (same H, g, bounds -- only the operator realization
+    differs).  f64: agreement to solver tolerance."""
+    import numpy as np
+    from alore_legged_manipulator_tpu.control.nmpc import (
+        NmpcCarry, NmpcConfig, feedback, prepare)
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        cfg_dense = NmpcConfig(qp_mode="dense", state_cost_scaling=0.3,
+                               input_cost_scaling=0.2)
+        cfg_free = cfg_dense._replace(qp_mode="matfree")
+        n = cfg_dense.horizon
+        dtype = jnp.float64
+        carry = NmpcCarry(
+            x_traj=jnp.asarray(rng.normal(size=(n + 1, 3)) * 0.5, dtype),
+            u_traj=jnp.asarray(rng.normal(size=(n, 2)) * 0.8, dtype))
+        x_est = jnp.asarray(rng.normal(size=3) * 0.5, dtype)
+        ref_x = jnp.asarray(rng.normal(size=(3, n + 1)) * 0.5, dtype)
+        ref_u = jnp.asarray(rng.normal(size=(2, n + 1)) * 0.5, dtype)
+
+        prep = prepare(carry, icr, cfg_dense)
+        cd, xd, ud = feedback(carry, prep, x_est, ref_x, ref_u, icr,
+                              cfg_dense)
+        cf, xf, uf = feedback(carry, prep, x_est, ref_x, ref_u, icr,
+                              cfg_free)
+        np.testing.assert_allclose(np.asarray(uf), np.asarray(ud),
+                                   atol=2e-8, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(xf), np.asarray(xd),
+                                   atol=2e-8, rtol=1e-6)
