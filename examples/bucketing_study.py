@@ -1,0 +1,114 @@
+"""Quantify the piece-count-bucketing trajectory-quality delta.
+
+VERDICT r1 weak #6: `planner/frontend.py` rounds piece counts up to
+{3, 4, 6, 8, ...} so the jitted backend compiles a handful of static
+shapes, whereas the reference uses exactly ceil(total_t / 0.4) pieces
+(global_planning3ms.yaml timeResolution).  This study runs the SAME
+scenario through the backend at the exact count and at its bucket and
+compares what the user sees: total duration, final-position error, and
+collision clearance.
+
+Run on CPU (f64): python examples/bucketing_study.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from alore_legged_manipulator_tpu.core.flow import (  # noqa: E402
+    flow_state_sequence)
+from alore_legged_manipulator_tpu.core.poly import PolyTraj  # noqa: E402
+from alore_legged_manipulator_tpu.ops.esdf import (  # noqa: E402
+    esdf_from_occupancy, sample_dist_bilinear)
+from alore_legged_manipulator_tpu.planner.backend import (  # noqa: E402
+    BackendConfig, plan_backend)
+from alore_legged_manipulator_tpu.planner.flat_traj import FlatTraj  # noqa: E402
+
+CFG = BackendConfig()
+
+
+def flat_traj(start_xy, goal_xy, n_pieces):
+    start_xy = np.asarray(start_xy, float)
+    goal_xy = np.asarray(goal_xy, float)
+    d = goal_xy - start_xy
+    L = float(np.hypot(*d))
+    yaw = float(np.arctan2(d[1], d[0]))
+    fr = np.arange(1, n_pieces) / n_pieces
+    inner = np.stack([np.full(n_pieces - 1, yaw), L * fr])
+    pos = np.concatenate([start_xy[None] + fr[:, None] * d[None],
+                          goal_xy[None]], 0)
+    pos = np.concatenate([pos, np.full((n_pieces, 1), yaw)], 1)
+    total_t = max(L / 3.0 * 2.0, 1.0)
+    dt = jnp.float64
+    return FlatTraj(
+        inner_yaw_s=jnp.asarray(inner, dt),
+        init_piece_time=jnp.asarray(total_t / n_pieces, dt),
+        inner_positions=jnp.asarray(pos, dt),
+        start_state=jnp.asarray([[yaw, 0, 0], [0, 0, 0]], dt),
+        final_state=jnp.asarray([[yaw, 0, 0], [L, 0, 0]], dt),
+        start_xytheta=jnp.asarray([*start_xy, yaw], dt),
+        final_xytheta=jnp.asarray([*goal_xy, yaw], dt),
+        if_cut=jnp.asarray(False))
+
+
+def metrics(res, flat, esdf):
+    traj = PolyTraj(coeffs=res.coeffs, times=res.times)
+    seq, _ = flow_state_sequence(traj, flat.start_xytheta,
+                                 CFG.icr_xv, 256)
+    d = sample_dist_bilinear(esdf, seq[:, :2])
+    return dict(
+        total_t=float(res.times.sum()),
+        final_err=float(jnp.linalg.norm(res.final_xy_err)),
+        min_clearance=float(jnp.min(d)),
+        collision=bool(res.collision))
+
+
+def main():
+    occ = np.zeros((80, 80), bool)
+    occ[30:40, 44:50] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+
+    # scenario family: path lengths hitting different exact piece counts
+    rows = []
+    for goal_x in (3.0, 4.2, 5.4, 6.6):
+        L = float(np.hypot(goal_x - 1.0, 0.0))
+        total_t = max(L / 3.0 * 2.0, 1.0)
+        exact_n = max(int(total_t / 0.4 + 0.5), 3)   # reference count
+        bucket_n = next(b for b in (3, 4, 6, 8, 12, 16, 24, 32)
+                        if b >= exact_n)
+        if bucket_n == exact_n:
+            continue
+        m = {}
+        for tag, n in (("exact", exact_n), ("bucket", bucket_n)):
+            res = plan_backend(flat_traj([1.0, 4.0], [goal_x, 4.0], n),
+                               esdf, CFG)
+            m[tag] = metrics(res, flat_traj([1.0, 4.0], [goal_x, 4.0], n),
+                             esdf)
+        rows.append((goal_x, exact_n, bucket_n, m))
+        e, b = m["exact"], m["bucket"]
+        print(f"goal_x={goal_x}: exact N={exact_n} vs bucket N={bucket_n}")
+        print(f"  total_T   {e['total_t']:.3f} vs {b['total_t']:.3f} s "
+              f"({(b['total_t'] / e['total_t'] - 1) * 100:+.1f}%)")
+        print(f"  final_err {e['final_err'] * 100:.2f} vs "
+              f"{b['final_err'] * 100:.2f} cm")
+        print(f"  clearance {e['min_clearance']:.3f} vs "
+              f"{b['min_clearance']:.3f} m  "
+              f"collision: {e['collision']} / {b['collision']}")
+
+    dts = [abs(m['bucket']['total_t'] / m['exact']['total_t'] - 1)
+           for (_, _, _, m) in rows]
+    print(f"\nmax |duration delta| across scenarios: "
+          f"{max(dts) * 100:.1f}%")
+
+
+if __name__ == "__main__":
+    main()
