@@ -30,10 +30,10 @@ import jax
 import jax.numpy as jnp
 
 from ..models.low_level import ActorCriticLow
+from ..runtime.obs_assembly import (HIST as LOW_HIST, N_PROP as LOW_OBS,
+                                    LowObsState, assemble_low_level_obs)
 
 N_JOINTS = 18          # 12 leg + 6 arm
-LOW_OBS = 71           # per-step low-level proprio width (num_proprio)
-LOW_HIST = 10          # history_len
 
 
 class HierarchyConfig(NamedTuple):
@@ -69,7 +69,7 @@ class RobotState(NamedTuple):
     q: jnp.ndarray           # (18,) joint positions
     dq: jnp.ndarray          # (18,) joint velocities
     prev_low_action: jnp.ndarray  # (18,)
-    low_obs_hist: jnp.ndarray     # (LOW_HIST, LOW_OBS)
+    obs_state: LowObsState        # exact 799-d assembly carry
 
 
 def robot_reset(dtype=jnp.float32) -> RobotState:
@@ -79,33 +79,25 @@ def robot_reset(dtype=jnp.float32) -> RobotState:
         q=DEFAULT_JOINT_POS.astype(dtype),
         dq=jnp.zeros((N_JOINTS,), dtype),
         prev_low_action=jnp.zeros((N_JOINTS,), dtype),
-        low_obs_hist=jnp.zeros((LOW_HIST, LOW_OBS), dtype))
-
-
-def low_level_observation(rs: RobotState, vel_cmd, cfg: HierarchyConfig):
-    """71-d proprio vector (structure of :545-601: commands, base angular
-    velocity + gravity direction, joint pos/vel offsets, previous
-    low-level action, padding to the reference width)."""
-    dtype = rs.q.dtype
-    parts = [
-        vel_cmd,                                   # 3 commanded base vel
-        rs.base_vel,                               # 3
-        jnp.sin(rs.base_pose[2:3]), jnp.cos(rs.base_pose[2:3]),  # 2
-        rs.q - DEFAULT_JOINT_POS.astype(dtype),    # 18
-        0.05 * rs.dq,                              # 18
-        rs.prev_low_action,                        # 18
-    ]
-    obs = jnp.concatenate(parts)
-    pad = LOW_OBS - obs.shape[0]
-    return jnp.concatenate([obs, jnp.zeros((pad,), dtype)])
+        obs_state=LowObsState.create(dtype))
 
 
 def hierarchical_substep(rs: RobotState, vel_cmd, low_params,
                          cfg: HierarchyConfig, policy: ActorCriticLow):
-    """One 200 Hz low-level tick (reference :516-543)."""
+    """One 200 Hz low-level tick (reference :516-543).
+
+    Observation assembly uses the EXACT deployment layout
+    (runtime/obs_assembly.py, 71-d proprio / 799-d policy input); the
+    planar surrogate supplies roll = pitch = 0 and body angular velocity
+    (0, 0, wz)."""
     dtype = rs.q.dtype
-    obs = low_level_observation(rs, vel_cmd, cfg)
-    hist = jnp.concatenate([rs.low_obs_hist[1:], obs[None]], axis=0)
+    zero = jnp.zeros((), dtype)
+    ang_vel = jnp.stack([zero, zero, rs.base_vel[2]])
+    obs_state, obs, _ = assemble_low_level_obs(
+        rs.obs_state._replace(prev_leg_action=rs.prev_low_action[:12]),
+        zero, zero, ang_vel, rs.q, rs.dq,
+        DEFAULT_JOINT_POS.astype(dtype), vel_cmd, cfg.sim_dt)
+    hist = obs_state.hist
 
     # frozen policy, history encoding (hist_encoding=True, :518)
     act = policy.apply(low_params, obs[None], hist[None])[0]
@@ -131,7 +123,7 @@ def hierarchical_substep(rs: RobotState, vel_cmd, low_params,
     base_pose = rs.base_pose + cfg.sim_dt * dpos
 
     return RobotState(base_pose=base_pose, base_vel=base_vel, q=q, dq=dq,
-                      prev_low_action=act, low_obs_hist=hist)
+                      prev_low_action=act, obs_state=obs_state)
 
 
 def hierarchical_apply_action(rs: RobotState, vel_cmd, low_params,

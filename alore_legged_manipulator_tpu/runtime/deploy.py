@@ -158,3 +158,45 @@ class DeployController:
 
         self.bus.publish("low_cmd", cmd)
         return cmd
+
+
+def make_low_level_fn(low_params):
+    """Checkpoint-faithful low-level policy callable for the controller.
+
+    Wraps a converted reference checkpoint (models/torch_convert) in the
+    deployment call convention: jitted flax forward with
+    hist_encoding=True semantics (the priv slot of the 799-d layout is
+    ignored by the history-encoding path, low_level_model.py:231).
+    """
+    from ..rl.hierarchy import low_level_policy_cfg
+
+    policy = low_level_policy_cfg()
+
+    @jax.jit
+    def fn(prop, prop_hist):
+        return policy.apply(low_params, prop[None], prop_hist[None])[0]
+
+    return fn
+
+
+def run_obs_assembly_tick(obs_state, low_state, vel_cmd, cfg: DeployConfig):
+    """One 50 Hz observation-assembly tick in the deployment layout.
+
+    low_state: dict with roll, pitch, ang_vel (3,), q (18,), dq (18,)
+    (the fields a DDS LowState bridge provides).  Returns
+    (new_obs_state, prop (71,), obs799) -- obs799 is what the reference
+    feeds its jit-exported policy (configs/b2z1.yaml num_obs 799).
+    """
+    from .obs_assembly import assemble_low_level_obs
+
+    dtype = jnp.float32
+    return assemble_low_level_obs(
+        obs_state,
+        jnp.asarray(low_state.get("roll", 0.0), dtype),
+        jnp.asarray(low_state.get("pitch", 0.0), dtype),
+        jnp.asarray(low_state.get("ang_vel", np.zeros(3)), dtype),
+        jnp.asarray(low_state["q"], dtype),
+        jnp.asarray(low_state["dq"], dtype),
+        jnp.asarray(cfg.default_pose, dtype),
+        jnp.asarray(vel_cmd, dtype),
+        cfg.control_dt)

@@ -56,3 +56,45 @@ def test_emergency_stop_damps():
     cmd = ctrl.tick()
     assert ctrl.state == DeployState.EMERGENCY
     assert np.all(cmd.kp == 0) and np.all(cmd.kd > 0)  # damping only
+
+
+def test_deploy_runs_converted_checkpoint_with_799d_assembly():
+    """End-to-end deploy tick: raw low-state -> 799-d assembly ->
+    converted frozen policy -> joint command (VERDICT partial #32)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_torch_convert import TorchLowAC, _randomize
+    from alore_legged_manipulator_tpu.models.torch_convert import (
+        convert_low_level_actor)
+    from alore_legged_manipulator_tpu.runtime.deploy import (
+        DeployConfig, DeployController, DeployState, MessageBus,
+        make_low_level_fn, run_obs_assembly_tick)
+    from alore_legged_manipulator_tpu.runtime.obs_assembly import (
+        LowObsState, split_obs799)
+
+    params = convert_low_level_actor(_randomize(TorchLowAC(), seed=11))
+    fn = make_low_level_fn(params)
+
+    bus = MessageBus()
+    cfg = DeployConfig(move_to_default_s=0.04)
+    ctl = DeployController(bus=bus, low_level_fn=fn, cfg=cfg)
+    obs_state = LowObsState.create()
+    q = np.zeros(18)
+
+    ctl.request_policy()
+    cmds = []
+    for k in range(10):
+        low = {"q": q, "dq": np.zeros(18), "ang_vel": np.zeros(3)}
+        obs_state, prop, obs799 = run_obs_assembly_tick(
+            obs_state, low, np.array([0.6, 0.0, 0.1]), cfg)
+        p, priv, hist = split_obs799(np.asarray(obs799))
+        bus.publish("low_state", {"q": q, "dq": np.zeros(18),
+                                  "prop": p, "prop_hist": hist})
+        cmds.append(ctl.tick())
+
+    assert ctl.state == DeployState.POLICY
+    last = cmds[-1]
+    # policy-driven joint targets: legs move, arm passthrough to default
+    assert np.abs(last.q_target[:12] - cfg.default_pose[:12]).max() > 1e-4
+    np.testing.assert_allclose(last.q_target[12:], cfg.default_pose[12:])
+    assert last.kp[0] == cfg.kp and last.kd[0] == cfg.kd

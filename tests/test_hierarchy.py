@@ -45,7 +45,7 @@ def test_low_level_policy_drives_joints():
     np.testing.assert_allclose(np.asarray(rs1.q[12:]),
                                np.asarray(DEFAULT_JOINT_POS[12:]), atol=1e-5)
     # observation history advanced (not all zeros anymore)
-    assert float(jnp.abs(rs1.low_obs_hist[-1]).max()) > 0
+    assert float(jnp.abs(rs1.obs_state.hist[-1]).max()) > 0
     # base started tracking the command
     assert float(rs1.base_vel[0]) > 0.01
 
@@ -89,7 +89,7 @@ def test_hierarchical_env_step_end_to_end():
     assert not bool(done)
 
     # the WBC ran: 100 low-level ticks worth of history is populated
-    assert float(jnp.abs(rs.low_obs_hist).sum()) > 0
+    assert float(jnp.abs(rs.obs_state.hist).sum()) > 0
     assert float(jnp.abs(rs.prev_low_action[:12]).max()) > 0
 
 

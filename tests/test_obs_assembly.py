@@ -1,0 +1,63 @@
+"""Exact 799-d low-level observation layout (VERDICT partial #32)."""
+import numpy as np
+import jax.numpy as jnp
+
+from alore_legged_manipulator_tpu.runtime.obs_assembly import (
+    EE_GOAL_LOCAL, FROZEN_PRIV, HIST, N_PROP, OBS_799, LowObsState,
+    assemble_low_level_obs, split_obs799)
+
+
+def _tick(state, q=None, vel_cmd=(0.5, 0.0, 0.2), dt=0.005):
+    dtype = jnp.float32
+    q = jnp.asarray(np.arange(18) * 0.01 if q is None else q, dtype)
+    return assemble_low_level_obs(
+        state, jnp.asarray(0.01, dtype), jnp.asarray(-0.02, dtype),
+        jnp.asarray([0.0, 0.0, 0.3], dtype), q,
+        jnp.asarray(np.ones(18) * 0.1, dtype), jnp.zeros(18, dtype),
+        jnp.asarray(vel_cmd, dtype), dt)
+
+
+def test_layout_slots():
+    st = LowObsState.create()
+    st = st._replace(prev_leg_action=jnp.full((12,), 0.7))
+    st, prop, obs = _tick(st)
+    prop = np.asarray(prop)
+    assert prop.shape == (N_PROP,) and obs.shape == (OBS_799,)
+    # slot-by-slot (env_train.py:572-586)
+    np.testing.assert_allclose(prop[0:2], [0.01, -0.02], atol=1e-7)
+    np.testing.assert_allclose(prop[2:5], [0, 0, 0.3 * 0.25], atol=1e-7)
+    np.testing.assert_allclose(prop[5:23], np.arange(18) * 0.01, atol=1e-6)
+    np.testing.assert_allclose(prop[23:41], 0.1 * 0.05, atol=1e-7)
+    np.testing.assert_allclose(prop[41:53], 0.7)            # prev legs
+    np.testing.assert_allclose(prop[53:57], 0.0)            # zeros 4
+    np.testing.assert_allclose(prop[57:60], [0.5, 0, 0.2], atol=1e-7)
+    np.testing.assert_allclose(prop[60:63], EE_GOAL_LOCAL, atol=1e-7)
+    np.testing.assert_allclose(prop[63:66], 0.0)            # zeros 3
+    assert 0.0 < prop[66] < 1.0                             # gait phase
+    assert np.all(np.abs(prop[67:71]) <= 1.0)               # clock sines
+
+    p, priv, hist = split_obs799(obs)
+    np.testing.assert_allclose(np.asarray(priv), FROZEN_PRIV, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(hist[-1]), prop, atol=1e-7)
+
+
+def test_gait_clock_advances_and_wraps():
+    st = LowObsState.create()
+    phases = []
+    for _ in range(120):
+        st, prop, _ = _tick(st, dt=0.005)
+        phases.append(float(st.gait_phase))
+    assert max(phases) < 1.0 and min(phases) >= 0.0
+    # 2 Hz at 200 Hz ticks: exactly one wrap inside 120 ticks
+    d = np.diff(phases)
+    assert (d < 0).sum() == 1 and d.min() < -0.9
+
+
+def test_history_shifts():
+    st = LowObsState.create()
+    st, p1, _ = _tick(st, q=np.zeros(18))
+    st, p2, o = _tick(st, q=np.ones(18))
+    _, _, hist = split_obs799(o)
+    np.testing.assert_allclose(np.asarray(hist[-1]), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(hist[-2]), np.asarray(p1))
+    assert float(jnp.abs(hist[0]).sum()) == 0.0
