@@ -160,10 +160,11 @@ def hierarchical_env_step(st, rs: RobotState, action, low_params,
     from .env import PushEnvConfig, env_step
 
     cfg = cfg or PushEnvConfig()
-    a = jnp.clip(action, -1.0, 1.0)
+    dtype = st.obj_vel.dtype
+    a = jnp.clip(action, -1.0, 1.0).astype(dtype)
     vel_cmd = a[:3] * jnp.asarray(
         [cfg.action_scale_lin, cfg.action_scale_lin, cfg.action_scale_ang],
-        a.dtype)
+        dtype)
 
     rs = hierarchical_apply_action(rs, vel_cmd, low_params, hcfg)
 

@@ -16,6 +16,7 @@ from ..models.actor_critic import Critic, PhysicActorCritic
 from ..models.gnn import build_interaction_graph, GraphBatch
 from .env import (PushEnvConfig, critic_observation, env_reset, env_step,
                   graph_features)
+from .hierarchy import HierarchyConfig, hierarchical_env_step, robot_reset
 from .ppo import PpoConfig, PpoState, Rollout, gaussian_log_prob, ppo_init, \
     ppo_update
 
@@ -29,6 +30,12 @@ class TrainConfig(NamedTuple):
     seed: int = 0
     checkpoint_every: int = 100
     checkpoint_dir: str | None = None
+    # hierarchy-in-the-loop training (reference mode): when a converted
+    # frozen low-level checkpoint is supplied, every env step runs the
+    # WBC decimation loop (rl/hierarchy.py) and the object is pushed by
+    # the ROBOT'S REALIZED velocity (env_train.py:438-543)
+    low_level_params: object = None
+    hierarchy: HierarchyConfig = HierarchyConfig()
 
 
 class Models(NamedTuple):
@@ -71,8 +78,31 @@ def train(cfg: TrainConfig = TrainConfig(), progress=None):
 
     key = jax.random.PRNGKey(cfg.seed + 1)
     key, sub = jax.random.split(key)
-    env_states = jax.vmap(lambda k: env_reset(k, cfg.env))(
-        jax.random.split(sub, cfg.num_envs))
+
+    hier = cfg.low_level_params is not None
+    if hier:
+        def reset_one(k):
+            return (env_reset(k, cfg.env), robot_reset())
+
+        def step_one(s, a):
+            st, rs = s
+            st, rs, hist, r, d = hierarchical_env_step(
+                st, rs, a, cfg.low_level_params, cfg.env, cfg.hierarchy)
+            return (st, rs), hist, r, d
+
+        def push_of(s):
+            return s[0]
+    else:
+        def reset_one(k):
+            return env_reset(k, cfg.env)
+
+        def step_one(s, a):
+            return env_step(s, a, cfg.env)
+
+        def push_of(s):
+            return s
+
+    env_states = jax.vmap(reset_one)(jax.random.split(sub, cfg.num_envs))
 
     apply_all = lambda p, oh, nd, ed, co: _apply_all(models, p, oh, nd, ed,
                                                      co)
@@ -81,21 +111,21 @@ def train(cfg: TrainConfig = TrainConfig(), progress=None):
         def step(carry, _):
             env_states, key = carry
             key, ka, kr = jax.random.split(key, 3)
-            graphs = jax.vmap(_graph_of)(env_states)
-            obs_hist = env_states.obs_hist
-            cobs = jax.vmap(lambda s: critic_observation(s, cfg.env))(
-                env_states)
+            push = jax.vmap(push_of)(env_states) if hier else env_states
+            graphs = jax.vmap(_graph_of)(push)
+            obs_hist = push.obs_hist
+            cobs = jax.vmap(lambda s: critic_observation(s, cfg.env))(push)
             mean, std, value, _ = apply_all(params, obs_hist, graphs.nodes,
                                             graphs.edge_attr, cobs)
             noise = jax.random.normal(ka, mean.shape, mean.dtype)
             action = mean + std * noise
             logp = gaussian_log_prob(mean, std, action)
 
-            new_states, hist, reward, done = jax.vmap(
-                lambda s, a: env_step(s, a, cfg.env))(env_states, action)
+            new_states, hist, reward, done = jax.vmap(step_one)(
+                env_states, action)
             # auto-reset finished envs
             reset_keys = jax.random.split(kr, cfg.num_envs)
-            fresh = jax.vmap(lambda k: env_reset(k, cfg.env))(reset_keys)
+            fresh = jax.vmap(reset_one)(reset_keys)
             new_states = jax.tree_util.tree_map(
                 lambda f, n: jnp.where(
                     done.reshape((-1,) + (1,) * (n.ndim - 1)), f, n),
@@ -106,15 +136,16 @@ def train(cfg: TrainConfig = TrainConfig(), progress=None):
                 graph_edges=graphs.edge_attr, critic_obs=cobs,
                 actions=action, log_probs=logp, values=value,
                 rewards=reward, dones=done,
-                vel_targets=env_states.obj_vel)
+                vel_targets=push.obj_vel)
             return (new_states, key), out
 
         (env_states, key), rollout = jax.lax.scan(
             step, (env_states, key), None, length=cfg.steps_per_env)
 
-        graphs = jax.vmap(_graph_of)(env_states)
-        cobs = jax.vmap(lambda s: critic_observation(s, cfg.env))(env_states)
-        _, _, last_value, _ = apply_all(params, env_states.obs_hist,
+        push = jax.vmap(push_of)(env_states) if hier else env_states
+        graphs = jax.vmap(_graph_of)(push)
+        cobs = jax.vmap(lambda s: critic_observation(s, cfg.env))(push)
+        _, _, last_value, _ = apply_all(params, push.obs_hist,
                                         graphs.nodes, graphs.edge_attr, cobs)
         return env_states, rollout, last_value, key
 

@@ -1,0 +1,129 @@
+"""Batched full mission legs per chip (VERDICT r1 weak #7).
+
+One mission LEG = everything between two FSM waypoints: MINCO back-end
+plan (stage-1 + stage-2 ALM + collision anneal) for a randomized goal,
+Polynome handoff, TrajAnal rebuild, then closed-loop tracking (NMPC RTI
++ ICR-EKF + 500 Hz noisy plant) to the end of the trajectory -- the
+whole planner->controller stack, vmapped over a scenario fleet in ONE
+jitted program.  This extends the "thousands per chip" story beyond the
+NMPC tick to complete legs.
+
+Run:  LEGS_FLEET=256 LEGS_TICKS=200 python examples/bench_mission_legs.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from alore_legged_manipulator_tpu.control.tracked_traj import (
+        build_tracked_traj)
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.planner.backend import (BackendConfig,
+                                                              plan_backend)
+    from alore_legged_manipulator_tpu.planner.flat_traj import (FlatTraj,
+                                                                Polynome)
+    from alore_legged_manipulator_tpu.runtime.closed_loop import (
+        LoopConfig, simulate_tracking)
+
+    B = int(os.environ.get("LEGS_FLEET", "256"))
+    n_ticks = int(os.environ.get("LEGS_TICKS", "200"))
+    n_pieces = 6
+    dtype = jnp.float32
+
+    occ = np.zeros((80, 80), bool)
+    occ[30:40, 44:50] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    cfg = BackendConfig()
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+    loop_cfg = LoopConfig()
+
+    rng = np.random.default_rng(0)
+    goals = np.stack([rng.uniform(5.0, 7.0, B), rng.uniform(3.0, 5.0, B)], 1)
+
+    def make_flat(goal_xy):
+        start = jnp.asarray([1.0, 4.0], dtype)
+        d = goal_xy - start
+        L = jnp.linalg.norm(d)
+        yaw = jnp.arctan2(d[1], d[0])
+        fr = jnp.arange(1, n_pieces, dtype=dtype) / n_pieces
+        inner = jnp.stack([jnp.full((n_pieces - 1,), yaw, dtype), L * fr])
+        pos = jnp.concatenate(
+            [start[None] + fr[:, None] * d[None], goal_xy[None]], 0)
+        pos = jnp.concatenate(
+            [pos, jnp.full((n_pieces, 1), yaw, dtype)], 1)
+        total_t = jnp.maximum(L / 3.0 * 2.0, 1.0)
+        z3 = jnp.zeros((), dtype)
+        return FlatTraj(
+            inner_yaw_s=inner,
+            init_piece_time=total_t / n_pieces,
+            inner_positions=pos,
+            start_state=jnp.stack([jnp.stack([yaw, z3, z3]),
+                                   jnp.stack([z3, z3, z3])]),
+            final_state=jnp.stack([jnp.stack([yaw, z3, z3]),
+                                   jnp.stack([L, z3, z3])]),
+            start_xytheta=jnp.concatenate([start, yaw[None]]),
+            final_xytheta=jnp.concatenate([goal_xy, yaw[None]]),
+            if_cut=jnp.asarray(False))
+
+    def one_leg(goal_xy, seed):
+        flat = make_flat(goal_xy)
+        res = plan_backend(flat, esdf, cfg)
+        msg = Polynome(
+            traj_start_time=jnp.zeros((), dtype),
+            inner_points=res.inner,
+            piece_times=res.times,
+            init_state=flat.start_state,
+            tail_state=res.tail_state,
+            start_position=flat.start_xytheta,
+            icr=jnp.asarray([icr.yr, icr.yl, icr.xv], dtype))
+        tt = build_tracked_traj(msg, n_grid=256)
+        tr = simulate_tracking(tt, icr, n_ticks, loop_cfg, seed=0)
+        return (jnp.max(tr.pos_err), jnp.linalg.norm(res.final_xy_err),
+                res.collision)
+
+    @jax.jit
+    def fleet(goals, seeds):
+        return jax.vmap(one_leg)(goals, seeds)
+
+    gj = jnp.asarray(goals, dtype)
+    seeds = jnp.arange(B)
+    t0 = time.perf_counter()
+    out = fleet(gj, seeds)
+    max_err = np.asarray(out[0])
+    float(out[0].sum())
+    compile_and_first = time.perf_counter() - t0
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = fleet(gj, seeds)
+        float(out[0].sum())
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+
+    ok = float(np.mean(np.asarray(out[1]) < 0.05))
+    coll = float(np.mean(np.asarray(out[2])))
+    print(json.dumps({
+        "metric": "full_mission_legs_per_s_per_chip",
+        "fleet": B,
+        "ticks_per_leg": n_ticks,
+        "legs_per_s": round(B / med, 1),
+        "first_call_s": round(compile_and_first, 1),
+        "tracking_err_p95_m": round(float(np.percentile(max_err, 95)), 4),
+        "goal_ok_frac": ok,
+        "collision_frac": coll,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,3 +108,17 @@ def test_hierarchy_vmaps_over_fleet():
     assert rss.q.shape == (B, 18)
     assert hist.shape[0] == B
     assert np.all(np.isfinite(np.asarray(rew)))
+
+
+def test_ppo_trains_with_hierarchy_in_loop():
+    """PPO runner smoke with the frozen WBC inside every env step."""
+    from alore_legged_manipulator_tpu.rl.runner import TrainConfig, train
+    from alore_legged_manipulator_tpu.rl.ppo import PpoConfig
+
+    params = _converted_params(seed=5)
+    cfg = TrainConfig(num_envs=6, steps_per_env=4, iterations=2,
+                      ppo=PpoConfig(epochs=1, minibatches=1),
+                      low_level_params=params)
+    state, history = train(cfg)
+    assert len(history) == 2
+    assert all(np.isfinite(v) for m in history for v in m.values())
