@@ -1,0 +1,190 @@
+"""Perception node analogues vs independent geometry (scipy) and the
+reference semantics (apriltag_pose.py / yolo_pose.py /
+env_perception_auto.py)."""
+import math
+
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.runtime.deploy import MessageBus
+from alore_legged_manipulator_tpu.runtime.perception import (
+    SE3, AprilTagDetector, AutoPerception, CameraIntrinsics,
+    YoloPoseDetector, TOPIC_TAG_TRIGGER, TOPIC_TAG_RESULT,
+    TOPIC_YOLO_TRIGGER, TOPIC_YOLO_POSE, TOPIC_ENV_OBS,
+    euler_xyz_from_rot, quat_xyzw_from_rot, rot_from_euler_zyx,
+    rot_from_quat_xyzw)
+from alore_legged_manipulator_tpu.runtime.contracts import EnvObs
+
+scipy_rot = pytest.importorskip("scipy.spatial.transform").Rotation
+
+
+def test_rotation_helpers_match_scipy():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        ypr = rng.uniform(-math.pi, math.pi, 3)
+        ypr[1] /= 2.1  # keep pitch off the gimbal singularity
+        R_ours = rot_from_euler_zyx(*ypr)
+        R_sp = scipy_rot.from_euler("zyx", ypr).as_matrix()
+        np.testing.assert_allclose(R_ours, R_sp, atol=1e-12)
+
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        np.testing.assert_allclose(rot_from_quat_xyzw(q),
+                                   scipy_rot.from_quat(q).as_matrix(),
+                                   atol=1e-12)
+
+        e_ours = euler_xyz_from_rot(R_ours)
+        e_sp = scipy_rot.from_matrix(R_ours).as_euler("xyz")
+        np.testing.assert_allclose(e_ours, e_sp, atol=1e-9)
+
+        q_back = quat_xyzw_from_rot(R_ours)
+        np.testing.assert_allclose(rot_from_quat_xyzw(q_back), R_ours,
+                                   atol=1e-9)
+
+
+def _camera_looking_at(cam_p, yaw):
+    """Camera at cam_p with optical axis (+z_cam) along world yaw,
+    x_cam right, y_cam down (standard pinhole frame)."""
+    fwd = np.array([math.cos(yaw), math.sin(yaw), 0.0])
+    right = np.array([math.sin(yaw), -math.cos(yaw), 0.0])
+    down = np.array([0.0, 0.0, -1.0])
+    R = np.stack([right, down, fwd], axis=1)  # columns = camera axes
+    return SE3(R, np.asarray(cam_p, float))
+
+
+class TestAprilTag:
+    def test_recovers_relative_pose_and_roll(self):
+        bus = MessageBus()
+        det = AprilTagDetector(bus, CameraIntrinsics(), noise_t=0.0,
+                               noise_r=0.0)
+        cam = _camera_looking_at([1.0, 2.0, 0.5], yaw=0.3)
+        # tag 2.5 m ahead of the camera, slightly off-axis, tilted
+        tag_R = rot_from_euler_zyx(0.3 + math.pi, 0.1, 0.2)
+        tag_p = cam.p + cam.R @ np.array([0.2, -0.1, 2.5])
+        results = []
+        bus.subscribe(TOPIC_TAG_RESULT, results.append)
+
+        bus.publish(TOPIC_TAG_TRIGGER, True)
+        out = det.process_frame(cam, SE3(tag_R, tag_p))
+        assert out is not None and len(results) == 1
+        # translation is the camera-frame tag position (PnP output)
+        np.testing.assert_allclose(out[:3], [0.2, -0.1, 2.5], atol=1e-5)
+        # roll matches an independent extraction of the relative rotation
+        rel = cam.R.T @ tag_R
+        expected_roll = math.atan2(rel[2, 1], rel[2, 2])
+        assert abs(float(out[3]) - expected_roll) < 1e-6
+
+    def test_trigger_is_one_shot_and_cleared_on_miss(self):
+        bus = MessageBus()
+        det = AprilTagDetector(bus, CameraIntrinsics(), noise_t=0.0,
+                               noise_r=0.0)
+        cam = _camera_looking_at([0.0, 0.0, 0.5], yaw=0.0)
+        tag = SE3(np.eye(3), np.array([3.0, 0.0, 0.5]))
+
+        # no trigger -> no detection (apriltag_pose.py:35-36)
+        assert det.process_frame(cam, tag) is None
+        bus.publish(TOPIC_TAG_TRIGGER, True)
+        assert det.process_frame(cam, tag) is not None
+        # consumed: second frame publishes nothing (apriltag_pose.py:79)
+        assert det.process_frame(cam, tag) is None
+
+        # tag behind the camera: no publish, trigger still consumed
+        bus.publish(TOPIC_TAG_TRIGGER, True)
+        behind = SE3(np.eye(3), np.array([-3.0, 0.0, 0.5]))
+        assert det.process_frame(cam, behind) is None
+        assert det.start_detect is False
+
+
+class TestYoloPose:
+    def _run(self, det, bus, cam, obj_pose, obj_yaw, n_frames=60):
+        final = None
+        for _ in range(n_frames):
+            out = det.process_frame(cam, obj_pose, obj_yaw)
+            if out is not None:
+                final = out
+                break
+        return final
+
+    def test_buffering_and_geometry(self):
+        bus = MessageBus()
+        det = YoloPoseDetector(bus, depth_noise=0.0)
+        cam = _camera_looking_at([0.0, 0.0, 0.5], yaw=0.0)
+        # object 3 m ahead, 0.4 m to the camera's right, facing ~90 deg
+        obj_p = cam.p + cam.R @ np.array([0.4, 0.0, 3.0])
+        obj_yaw = math.radians(92.0)
+        published = []
+        bus.subscribe(TOPIC_YOLO_POSE, published.append)
+
+        bus.publish(TOPIC_YOLO_TRIGGER, True)
+        final = self._run(det, bus, cam, SE3(np.eye(3), obj_p), obj_yaw)
+        assert final is not None and len(published) == 1
+        # 10 samples, one per 3 frames (yolo_pose.py:92,98)
+        assert det.frame_count == 30
+        assert abs(float(final[0]) - 3.0) < 1e-6        # avg depth
+        assert abs(float(final[1]) - 0.4) < 1e-5        # lateral offset
+        assert abs(float(final[3]) - math.radians(90.0)) < 1e-6  # 45° bin
+        assert det.state_finding is False
+
+    def test_depth_window_gate(self):
+        bus = MessageBus()
+        det = YoloPoseDetector(bus, depth_noise=0.0)
+        cam = _camera_looking_at([0.0, 0.0, 0.5], yaw=0.0)
+        # 5 m away: outside the [2, 4] m window -> avg_dist 0, offset 0
+        obj_p = cam.p + cam.R @ np.array([0.4, 0.0, 5.0])
+        bus.publish(TOPIC_YOLO_TRIGGER, True)
+        final = self._run(det, bus, cam, SE3(np.eye(3), obj_p), 0.0)
+        assert final is not None
+        assert float(final[0]) == 0.0 and float(final[1]) == 0.0
+
+    def test_retrigger_while_finding_is_ignored(self):
+        bus = MessageBus()
+        det = YoloPoseDetector(bus, depth_noise=0.0)
+        cam = _camera_looking_at([0.0, 0.0, 0.5], yaw=0.0)
+        obj = SE3(np.eye(3), cam.p + cam.R @ np.array([0.0, 0.0, 3.0]))
+        bus.publish(TOPIC_YOLO_TRIGGER, True)
+        for _ in range(9):   # 3 samples in
+            det.process_frame(cam, obj, 0.0)
+        buffered = len(det.pose_buffer)
+        bus.publish(TOPIC_YOLO_TRIGGER, True)  # must NOT reset the buffer
+        assert len(det.pose_buffer) == buffered
+
+
+class TestAutoPerception:
+    def test_lidar_to_base_matches_reference_algebra(self):
+        bus = MessageBus()
+        node = AutoPerception(bus)
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            p_lidar = rng.uniform(-5, 5, 3)
+            q_lidar = rng.normal(size=4)
+            q_lidar /= np.linalg.norm(q_lidar)
+            node.on_odom(p_lidar, q_lidar)
+
+            # independent scipy version of env_perception_auto.py:48-76
+            r_odom_lidar = scipy_rot.from_quat(q_lidar)
+            p_base_lidar = np.array([-0.37, 0.0, 0.0])
+            r_base_lidar = scipy_rot.from_euler(
+                "zyx", [np.pi, -np.deg2rad(30), 0.0])
+            r_odom_base = r_odom_lidar * r_base_lidar.inv()
+            p_odom_base = p_lidar - r_odom_base.apply(p_base_lidar)
+            yaw_b = r_odom_base.as_euler("xyz")[2]
+
+            np.testing.assert_allclose(node.robot.xyz, p_odom_base,
+                                       atol=1e-5)
+            assert abs(node.robot.yaw - yaw_b) < 1e-5
+            np.testing.assert_allclose(
+                rot_from_quat_xyzw(node.robot.quat_xyzw),
+                r_odom_base.as_matrix(), atol=1e-5)
+
+    def test_publishes_env_obs_contract(self):
+        bus = MessageBus()
+        node = AutoPerception(bus)
+        node.on_odom([1.0, 2.0, 0.3], [0, 0, 0, 1])
+        seen = []
+        bus.subscribe(TOPIC_ENV_OBS, seen.append)
+        node.publish()
+        assert len(seen) == 1 and seen[0].shape == (40,)
+        obs = EnvObs.unpack(seen[0])
+        # default object table (env_perception_auto.py:18-21)
+        np.testing.assert_allclose(obs.objects[0].xyz[:2], [-17, -17])
+        np.testing.assert_allclose(obs.objects[3].xyz[:2], [14, -16])
