@@ -1,0 +1,44 @@
+"""Child process for the cross-process UdpBus test: an echo node.
+
+Subscribes /ping on its own UdpBus, republishes the payload (+1) on
+/pong back to the parent's endpoint.  Prints its bound port on stdout so
+the parent can peer with it.  Exits after echoing `n_msgs` messages or
+on timeout.
+"""
+import os
+import sys
+import threading
+
+# the session sitecustomize imports jax at interpreter start against the
+# live TPU; this worker is pure transport -- force CPU before anything else
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, sys.argv[1])
+
+import numpy as np  # noqa: E402
+
+from alore_legged_manipulator_tpu.runtime.transport import UdpBus  # noqa: E402
+
+
+def main():
+    parent_port = int(sys.argv[2])
+    n_msgs = int(sys.argv[3])
+    bus = UdpBus(peers=[("127.0.0.1", parent_port)])
+    print(bus.address[1], flush=True)
+
+    done = threading.Event()
+    count = [0]
+
+    def on_ping(arr):
+        bus.publish("/pong", np.asarray(arr) + 1.0)
+        count[0] += 1
+        if count[0] >= n_msgs:
+            done.set()
+
+    bus.subscribe("/ping", on_ping)
+    done.wait(timeout=20.0)
+    bus.close()
+
+
+if __name__ == "__main__":
+    main()
