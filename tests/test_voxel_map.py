@@ -1,0 +1,129 @@
+"""3-D voxel map (octomap analogue): behaviors mirrored from octomap's
+own vendored tests (test_raycasting.cpp, test_bbx.cpp, test_pruning.cpp)
+plus the global_map extrusion/transform roles."""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from alore_legged_manipulator_tpu.world.voxel_map import (
+    VoxelMapConfig, bbx_occupied, cast_rays, from_grid_map,
+    insert_point_cloud, occupancy_at_depth, occupied_mask, pyramid,
+    state_from_occupied, to_point_cloud, voxel_map_init, world_to_voxel)
+
+LOWER = np.array([0.0, 0.0, 0.0])
+RES = 0.1
+SHAPE = (32, 32, 16)
+
+
+def test_insert_marks_hits_and_carves_free():
+    st = voxel_map_init(SHAPE)
+    origin = np.array([0.55, 0.55, 0.55])
+    hits = np.array([[2.05, 0.55, 0.55],
+                     [0.55, 2.05, 0.55]])
+    for _ in range(4):  # several scans push past the occupancy threshold
+        st = insert_point_cloud(st, LOWER, RES, origin, hits)
+    occ = np.asarray(occupied_mask(st))
+    assert occ[20, 5, 5] and occ[5, 20, 5]
+    # cells along the ray are known free
+    known = np.asarray(st.known)
+    assert known[10, 5, 5] and not occ[10, 5, 5]
+    assert known[5, 10, 5] and not occ[5, 10, 5]
+    # untouched cells stay unknown
+    assert not known[5, 5, 12]
+
+
+def test_max_range_truncation_registers_no_hit():
+    st = voxel_map_init(SHAPE)
+    origin = np.array([0.55, 0.55, 0.55])
+    far = np.array([[3.05, 0.55, 0.55]])           # 2.5 m away
+    for _ in range(4):
+        st = insert_point_cloud(st, LOWER, RES, origin, far, max_range=1.0)
+    occ = np.asarray(occupied_mask(st))
+    known = np.asarray(st.known)
+    assert not occ.any()                           # truncated: no endpoint
+    assert known[10, 5, 5]                         # carved up to 1 m
+    assert not known[25, 5, 5]                     # nothing past max_range
+
+
+def test_log_odds_clamping():
+    cfg = VoxelMapConfig()
+    st = voxel_map_init(SHAPE, cfg)
+    origin = np.array([0.55, 0.55, 0.55])
+    hit = np.array([[2.05, 0.55, 0.55]])
+    for _ in range(50):
+        st = insert_point_cloud(st, LOWER, RES, origin, hit, cfg=cfg)
+    lmax = math.log(cfg.p_clamp_max / (1 - cfg.p_clamp_max))
+    lmin = math.log(cfg.p_clamp_min / (1 - cfg.p_clamp_min))
+    lo = np.asarray(st.log_odds)
+    assert abs(lo[20, 5, 5] - lmax) < 1e-5         # clamped high
+    assert lo.min() >= lmin - 1e-5                 # clamped low
+
+
+def test_cast_rays_against_known_wall():
+    # wall at x index 20 (x in [2.0, 2.1))
+    occ = np.zeros(SHAPE, bool)
+    occ[20, :, :] = True
+    st = state_from_occupied(occ)
+    origin = np.array([0.55, 0.55, 0.55])
+    dirs = np.array([[1.0, 0.0, 0.0],
+                     [0.0, 1.0, 0.0],
+                     [-1.0, 0.0, 0.0]])
+    hit, rng, vox = cast_rays(st, LOWER, RES, origin, dirs, max_range=3.0,
+                              cfg=VoxelMapConfig(n_steps=512))
+    hit, rng, vox = np.asarray(hit), np.asarray(rng), np.asarray(vox)
+    assert hit[0] and abs(rng[0] - (2.0 - 0.55)) < 2 * RES
+    assert vox[0, 0] == 20
+    assert not hit[1] and rng[1] == 3.0            # parallel to the wall
+    assert not hit[2]                              # leaves the map
+
+
+def test_pyramid_child_maximum_policy():
+    occ = np.zeros(SHAPE, bool)
+    occ[7, 3, 1] = True                            # a single leaf
+    st = state_from_occupied(occ)
+    levels = pyramid(st, 3)
+    assert np.asarray(levels[0]).sum() == 1
+    for k in (1, 2, 3):
+        lv = np.asarray(levels[k])
+        assert lv.sum() == 1                       # exactly one super-voxel
+        assert lv[7 // 2**k, 3 // 2**k, 1 // 2**k]
+    assert bool(occupancy_at_depth(st, 2, (7, 3, 1)))
+    assert not bool(occupancy_at_depth(st, 1, (0, 0, 0)))
+
+
+def test_bbx_query():
+    occ = np.zeros(SHAPE, bool)
+    occ[5, 5, 5] = True
+    occ[25, 25, 10] = True
+    st = state_from_occupied(occ)
+    pts = bbx_occupied(st, LOWER, RES, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0])
+    assert pts.shape == (1, 3)
+    np.testing.assert_allclose(pts[0], [0.55, 0.55, 0.55])
+
+
+def test_grid_extrusion_matches_global_map():
+    occ2d = np.zeros((8, 8), bool)
+    occ2d[3, 4] = True
+    vox = np.asarray(from_grid_map(occ2d, z_levels=10))
+    assert vox.shape == (8, 8, 10)
+    assert vox[3, 4].all() and vox.sum() == 10     # full z-band, one column
+
+
+def test_point_cloud_export_with_transform():
+    occ = np.zeros(SHAPE, bool)
+    occ[10, 5, 3] = True
+    st = state_from_occupied(occ)
+    yaw = math.pi / 2
+    Rz = np.array([[math.cos(yaw), -math.sin(yaw), 0],
+                   [math.sin(yaw), math.cos(yaw), 0], [0, 0, 1]])
+    pts = to_point_cloud(st, LOWER, RES, rotation=Rz,
+                         translation=[0.0, 0.0, 0.95])
+    center = np.array([1.05, 0.55, 0.35])
+    np.testing.assert_allclose(pts[0], Rz @ center + [0, 0, 0.95],
+                               atol=1e-6)
+
+
+def test_world_to_voxel_roundtrip():
+    idx = world_to_voxel(LOWER, RES, np.array([[1.05, 0.55, 0.35]]))
+    np.testing.assert_array_equal(np.asarray(idx)[0], [10, 5, 3])
