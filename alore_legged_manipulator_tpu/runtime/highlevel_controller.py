@@ -1,0 +1,167 @@
+"""High-level policy controller node: the Isaac runtime twin.
+
+Rebuild of Simulation/isaac_b2_controller/b2z1_highlevel_controller.py:
+the process that loads the trained high-level policy, subscribes the
+mission FSM's 15-float `/env_control_data` (env_control_callback
+:92-100), steps the environment with the policy's actions
+(`actions = policy(obs, critic_obs); env.step(actions)` :233-235), and
+publishes the robot+object poses on `/env_obs` (publish_obs_data
+:103-111, 230).
+
+Here the environment is the TPU surrogate (rl/env.py) instead of Isaac
+Sim, and the policy is the flax PhysicActorCritic -- either freshly
+trained by rl/runner or converted from a reference torch checkpoint via
+models/torch_convert.  The node honors the task-state gating the
+reference FSM relies on:
+
+  * ROBOT_TRACKING / GRASPING -- the robot base tracks robot_vel_cmd
+    (realized by the low-level WBC on the real robot; kinematic here,
+    as in the reference's planner-facing abstraction);
+  * OBJECT_TRACKING -- the POLICY is in the loop: `/env_control_data`'s
+    object_vel_cmd becomes the env command, the policy produces the
+    9-d action from its observation history + interaction graph, and
+    `env_step` advances the pushed object through the contact surrogate;
+    the robot stays attached behind the object;
+  * other states -- commands idle, the object coasts to rest.
+
+The policy NEVER sees ground truth: it acts on the env's own
+observation pipeline (obs history, graph features), exactly like the
+reference inference policy.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gnn import GraphBatch, build_interaction_graph
+from ..rl.env import (HIST, OBS_DIM, PushEnvConfig, PushEnvState, env_reset,
+                      env_step, graph_features)
+from .bus_mission import TOPIC_CTRL, TOPIC_OBS, WorldState
+from .contracts import EnvControlData, EnvObs, TaskState
+from .deploy import MessageBus
+
+ATTACH_DIST = 0.55   # robot base behind the pushed object (FSM grasp servo)
+
+
+def _graph_of(st: PushEnvState) -> GraphBatch:
+    return build_interaction_graph(*graph_features(st))
+
+
+def make_actor_policy(actor, actor_params) -> Callable:
+    """Inference policy from a PhysicActorCritic (runner
+    get_inference_policy analogue): deterministic mean action."""
+
+    @jax.jit
+    def policy_fn(obs_hist, graph: GraphBatch):
+        g = GraphBatch(nodes=graph.nodes[None],
+                       edge_attr=graph.edge_attr[None])
+        mean, _, _ = actor.apply(actor_params, obs_hist[None], g)
+        return mean[0]
+
+    return policy_fn
+
+
+def make_oracle_policy(cfg: PushEnvConfig = PushEnvConfig()) -> Callable:
+    """Perfect-tracking stand-in policy for tests/demos without a trained
+    checkpoint: reads the commanded velocity out of its OWN observation
+    (slots 0:3 of the newest obs row, rl/env._observe layout) and emits
+    the action that requests exactly that velocity."""
+    scales = np.array([cfg.action_scale_lin, cfg.action_scale_lin,
+                       cfg.action_scale_ang], np.float32)
+
+    def policy_fn(obs_hist, graph: GraphBatch):
+        cmd = np.asarray(obs_hist[-1, :3])
+        a = np.zeros(9, np.float32)
+        a[:3] = np.clip(cmd / scales, -1.0, 1.0)
+        return a
+
+    return policy_fn
+
+
+@dataclass
+class HighLevelControllerNode:
+    """`/env_control_data` -> policy -> env step -> `/env_obs` world update.
+
+    Mutates `world` (the shared ground truth the perception node
+    observes), mirroring how the Isaac process owns the scene state.
+    """
+
+    bus: MessageBus
+    world: WorldState
+    policy_fn: Callable                    # (obs_hist, graph) -> action (9,)
+    env_cfg: PushEnvConfig = field(default_factory=PushEnvConfig)
+    seed: int = 0
+
+    def __post_init__(self):
+        self._latest: Optional[EnvControlData] = None
+        self._active_obj: Optional[int] = None
+        self.env_state: PushEnvState = env_reset(
+            jax.random.PRNGKey(self.seed), self.env_cfg)
+        self._step = jax.jit(
+            lambda st, a: env_step(st, a, self.env_cfg))
+        self.bus.subscribe(TOPIC_CTRL, self._on_ctrl)
+
+    def _on_ctrl(self, data):
+        self._latest = EnvControlData.unpack(data)
+
+    def _anchor_env_to(self, obj_id: int):
+        """Re-anchor the env to the object being pushed (object_type slot
+        of /env_control_data selects it; env class = id mod 3)."""
+        pose = jnp.asarray(self.world.objects[obj_id], jnp.float32)
+        self.env_state = self.env_state._replace(
+            obj_pose=pose,
+            obj_vel=jnp.zeros(3, jnp.float32),
+            obj_type=jnp.asarray(obj_id % 3, jnp.int32))
+        self._active_obj = obj_id
+
+    def tick(self, dt: float = 0.02):
+        if self._latest is None:
+            return
+        cmd = self._latest
+        w = self.world
+        st_task = cmd.task_state
+
+        if st_task in (TaskState.ROBOT_TRACKING, TaskState.GRASPING):
+            v = cmd.robot_vel_cmd
+            w.robot[0] += v[0] * np.cos(w.robot[2]) * dt
+            w.robot[1] += v[0] * np.sin(w.robot[2]) * dt
+            w.robot[2] += v[2] * dt
+            w.grasped = None
+        elif st_task == TaskState.OBJECT_TRACKING:
+            obj_id = int(cmd.object_type)
+            if self._active_obj != obj_id:
+                self._anchor_env_to(obj_id)
+            w.grasped = obj_id
+            # the FSM's commanded object velocity becomes the env command
+            es = self.env_state._replace(
+                cmd=jnp.asarray(cmd.object_vel_cmd, jnp.float32))
+            action = self.policy_fn(es.obs_hist, _graph_of(es))
+            es, _, _, _ = self._step(es, jnp.asarray(action, jnp.float32))
+            self.env_state = es
+            pose = np.asarray(es.obj_pose, float)
+            w.objects[obj_id][:] = pose
+            # robot attached behind the object (bus_mission convention)
+            w.robot[:] = [pose[0] - ATTACH_DIST * np.cos(pose[2]),
+                          pose[1] - ATTACH_DIST * np.sin(pose[2]), pose[2]]
+        else:
+            # idle states: active object coasts to rest under zero command
+            if self._active_obj is not None and w.grasped is not None:
+                es = self.env_state._replace(cmd=jnp.zeros(3, jnp.float32))
+                es, _, _, _ = self._step(es, jnp.zeros(9, jnp.float32))
+                self.env_state = es
+                w.objects[w.grasped][:] = np.asarray(es.obj_pose, float)
+
+    def publish_obs(self):
+        """publish_obs_data twin: robot + object rows on /env_obs."""
+        obs = EnvObs()
+        obs.robot.xyz[:2] = self.world.robot[:2]
+        obs.robot.yaw = float(self.world.robot[2])
+        for i, p in enumerate(self.world.objects[:4]):
+            obs.objects[i].xyz[:2] = p[:2]
+            obs.objects[i].yaw = float(p[2])
+        self.bus.publish(TOPIC_OBS, obs.pack())
+        return obs

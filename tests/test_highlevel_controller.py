@@ -1,0 +1,121 @@
+"""HighLevelControllerNode: the Isaac-runtime twin with the policy in
+the loop (b2z1_highlevel_controller.py:92-111, 228-235)."""
+import numpy as np
+
+from alore_legged_manipulator_tpu.rl.env import PushEnvConfig
+from alore_legged_manipulator_tpu.rl.runner import init_models
+from alore_legged_manipulator_tpu.runtime.bus_mission import (MissionFsmNode,
+                                                              PerceptionNode,
+                                                              WorldState)
+from alore_legged_manipulator_tpu.runtime.contracts import (EnvControlData,
+                                                            EnvObs,
+                                                            TaskState)
+from alore_legged_manipulator_tpu.runtime.deploy import MessageBus
+from alore_legged_manipulator_tpu.runtime.highlevel_controller import (
+    HighLevelControllerNode, make_actor_policy, make_oracle_policy)
+from alore_legged_manipulator_tpu.mission.object_fsm import FsmState
+
+
+def _world(objects):
+    return WorldState(robot=np.zeros(3),
+                      objects=[np.asarray(o, float).copy() for o in objects]
+                      + [np.zeros(3) for _ in range(4 - len(objects))])
+
+
+def _ctrl(bus, node, **kw):
+    msg = EnvControlData(**kw)
+    bus.publish("/env_control_data", msg.pack())
+
+
+def test_robot_tracking_moves_base():
+    bus = MessageBus()
+    world = _world([(3.0, 0.0, 0.0)])
+    node = HighLevelControllerNode(bus, world, make_oracle_policy())
+    _ctrl(bus, node, robot_vel_cmd=np.array([1.0, 0.0, 0.0], np.float32),
+          task_state=TaskState.ROBOT_TRACKING)
+    for _ in range(50):
+        node.tick(dt=0.02)
+    assert abs(world.robot[0] - 1.0) < 1e-6  # 1 m/s for 1 s
+    obs = node.publish_obs()
+    assert abs(obs.robot.xyz[0] - 1.0) < 1e-6
+
+
+def test_policy_in_loop_pushes_object():
+    """OBJECT_TRACKING must flow through the policy + contact surrogate:
+    the object accelerates toward the commanded velocity (first-order
+    lag), and the robot stays attached behind it."""
+    bus = MessageBus()
+    world = _world([(2.0, 1.0, 0.0)])
+    node = HighLevelControllerNode(bus, world, make_oracle_policy())
+    _ctrl(bus, node,
+          object_vel_cmd=np.array([0.5, 0.0, 0.0], np.float32),
+          task_state=TaskState.OBJECT_TRACKING, object_type=0.0)
+    for _ in range(150):  # 3 s
+        node.tick(dt=0.02)
+    moved = world.objects[0][0] - 2.0
+    assert moved > 0.5, moved                  # pushed forward
+    assert abs(world.objects[0][1] - 1.0) < 0.3
+    # realized velocity approaches the command through the contact lag
+    vel = np.asarray(node.env_state.obj_vel)
+    assert abs(vel[0] - 0.5) < 0.15
+    # attachment
+    d = np.linalg.norm(world.robot[:2] - world.objects[0][:2])
+    assert abs(d - 0.55) < 1e-6
+
+
+def test_idle_state_coasts_to_rest():
+    bus = MessageBus()
+    world = _world([(2.0, 0.0, 0.0)])
+    node = HighLevelControllerNode(bus, world, make_oracle_policy())
+    _ctrl(bus, node, object_vel_cmd=np.array([0.8, 0.0, 0.0], np.float32),
+          task_state=TaskState.OBJECT_TRACKING, object_type=0.0)
+    for _ in range(50):
+        node.tick(dt=0.02)
+    v_push = float(np.asarray(node.env_state.obj_vel)[0])
+    assert v_push > 0.3
+    _ctrl(bus, node, task_state=TaskState.RELEASING, object_type=0.0)
+    for _ in range(200):
+        node.tick(dt=0.02)
+    assert float(np.abs(np.asarray(node.env_state.obj_vel)).max()) < 0.05
+
+
+def test_flax_actor_policy_runs_in_node():
+    """A real PhysicActorCritic (random init) drives the node: the jit
+    pipeline obs->graph->actor->env_step executes and stays finite."""
+    from alore_legged_manipulator_tpu.rl.runner import TrainConfig
+
+    models, params = init_models(TrainConfig())
+    policy = make_actor_policy(models.actor, params["actor"])
+    bus = MessageBus()
+    world = _world([(2.0, 0.0, 0.0)])
+    node = HighLevelControllerNode(bus, world, policy)
+    _ctrl(bus, node, object_vel_cmd=np.array([0.5, 0.0, 0.0], np.float32),
+          task_state=TaskState.OBJECT_TRACKING, object_type=0.0)
+    for _ in range(5):
+        node.tick(dt=0.02)
+    assert np.all(np.isfinite(np.asarray(node.env_state.obj_pose)))
+    assert np.all(np.isfinite(world.objects[0]))
+
+
+def test_full_mission_over_bus_with_policy_controller():
+    """End-to-end: perception -> FSM -> POLICY controller, all over the
+    bus -- the reference's sim-runtime process graph with the policy in
+    the loop (vs bus_mission's kinematic ControllerNode)."""
+    bus = MessageBus()
+    items = [(2.0, 0.5, 0.0)]
+    targets = [(4.5, 2.0, 0.0)]
+    world = _world(items)
+    percept = PerceptionNode(bus, seed=1)
+    fsm_node = MissionFsmNode(bus, items, targets, order=[0], dt=0.02)
+    ctrl = HighLevelControllerNode(bus, world, make_oracle_policy())
+
+    ticks = 0
+    while fsm_node.fsm.state != FsmState.DONE and ticks < 20000:
+        percept.tick(world)
+        fsm_node.tick()
+        ctrl.tick(dt=0.02)
+        ticks += 1
+    assert fsm_node.fsm.state == FsmState.DONE, (
+        fsm_node.fsm.state, ticks, world.objects[0])
+    err = np.linalg.norm(world.objects[0][:2] - np.asarray(targets[0])[:2])
+    assert err < 0.5, err
