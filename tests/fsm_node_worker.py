@@ -1,0 +1,46 @@
+"""Child process for the cross-process mission test: the mission FSM
+executive as its own node over UdpBus (the reference's ROS topology --
+object_arrangement_fsm runs as a separate process from the controller,
+exchanging only /env_obs and /env_control_data).
+
+argv: repo_root parent_port items_json targets_json dt
+Prints its bound port, then runs the FSM off incoming /env_obs until
+DONE (prints "DONE") or a 60 s timeout.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, sys.argv[1])
+
+from alore_legged_manipulator_tpu.mission.object_fsm import FsmState  # noqa: E402
+from alore_legged_manipulator_tpu.runtime.bus_mission import MissionFsmNode  # noqa: E402
+from alore_legged_manipulator_tpu.runtime.transport import UdpBus  # noqa: E402
+
+
+def main():
+    parent_port = int(sys.argv[2])
+    items = json.loads(sys.argv[3])
+    targets = json.loads(sys.argv[4])
+    dt = float(sys.argv[5])
+
+    bus = UdpBus(peers=[("127.0.0.1", parent_port)])
+    print(bus.address[1], flush=True)
+
+    node = MissionFsmNode(bus, items, targets,
+                          order=list(range(len(items))), dt=dt)
+    t0 = time.time()
+    while time.time() - t0 < 60.0:
+        node.tick()          # consumes the latest /env_obs datagram
+        if node.fsm.state == FsmState.DONE:
+            print("DONE", flush=True)
+            break
+        time.sleep(0.001)
+    bus.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Two-process arrangement mission over UDP datagrams only: the
+reference's ROS process graph (object_arrangement_fsm process <-> Isaac
+controller process over /env_obs and /env_control_data,
+b2z1_highlevel_controller.py:228-235) reproduced with real transport.
+
+Parent process: perception + high-level policy controller (the plant
+side).  Child process: the mission FSM executive.  Nothing is shared but
+datagrams."""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+from alore_legged_manipulator_tpu.runtime.bus_mission import (PerceptionNode,
+                                                              WorldState)
+from alore_legged_manipulator_tpu.runtime.highlevel_controller import (
+    HighLevelControllerNode, make_oracle_policy)
+from alore_legged_manipulator_tpu.runtime.transport import UdpBus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DT = 0.05
+
+
+def test_two_process_mission_over_udp():
+    items = [[1.2, 0.3, 0.0]]
+    targets = [[2.4, 1.2, 0.0]]
+    world = WorldState(robot=np.zeros(3),
+                       objects=[np.asarray(items[0], float).copy()]
+                       + [np.zeros(3) for _ in range(3)])
+
+    with UdpBus() as bus:
+        percept = PerceptionNode(bus, seed=2)
+        ctrl = HighLevelControllerNode(bus, world, make_oracle_policy())
+
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests",
+                                          "fsm_node_worker.py"),
+             REPO, str(bus.address[1]), json.dumps(items),
+             json.dumps(targets), str(DT)],
+            stdout=subprocess.PIPE, text=True)
+        try:
+            child_port = int(proc.stdout.readline().strip())
+            bus.add_peer("127.0.0.1", child_port)
+
+            t0 = time.time()
+            done = False
+            while time.time() - t0 < 90.0:
+                percept.tick(world)       # -> /env_obs datagram to child
+                ctrl.tick(dt=DT)          # <- /env_control_data datagrams
+                if proc.poll() is not None:
+                    done = True
+                    break
+                time.sleep(0.001)
+            assert done, ("child FSM did not finish; object at "
+                          f"{world.objects[0]}")
+            out = proc.stdout.read()
+            assert "DONE" in out, out
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+            proc.wait()
+
+    err = np.linalg.norm(world.objects[0][:2] - np.asarray(targets[0])[:2])
+    assert err < 0.5, (err, world.objects[0])
