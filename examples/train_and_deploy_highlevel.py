@@ -1,0 +1,143 @@
+"""Train the high-level pushing policy on the TPU, then deploy it.
+
+The full reference story in one script (Training -> Simulation runtime):
+
+  1. PPO-train PhysicActorCritic on the batched push env
+     (rl/runner.train; reference train.py + PhysicOnPolicyRunner),
+  2. evaluate open-loop velocity-command tracking,
+  3. drive a complete perception -> FSM -> policy-controller mission over
+     the MessageBus with the TRAINED policy in the loop
+     (runtime/highlevel_controller; reference
+     b2z1_highlevel_controller.py + b2z1_object_fsm.py),
+
+and report tracking error + mission delivery.
+
+Run: python examples/train_and_deploy_highlevel.py [--iters N]
+(defaults tuned so the whole script takes a few minutes on one v5e).
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--num-envs", type=int, default=1536)
+    ap.add_argument("--ckpt-dir", type=str, default=None)
+    args = ap.parse_args()
+
+    from alore_legged_manipulator_tpu.rl.runner import (TrainConfig, train,
+                                                        init_models,
+                                                        save_checkpoint)
+    from alore_legged_manipulator_tpu.rl.env import (PushEnvConfig, env_reset,
+                                                     env_step)
+
+    print("devices:", jax.devices())
+    cfg = TrainConfig(num_envs=args.num_envs, steps_per_env=24,
+                      iterations=args.iters)
+
+    t0 = time.time()
+    log_every = max(args.iters // 10, 1)
+
+    def progress(it, m):
+        if (it + 1) % log_every == 0:
+            print(f"  iter {it+1:4d}  reward {m['mean_reward']:7.3f}  "
+                  f"est_loss {m.get('estimator_loss', float('nan')):7.4f}  "
+                  f"kl {m.get('kl', float('nan')):.4f}", flush=True)
+
+    ppo_state, history = train(cfg, progress=progress)
+    t_train = time.time() - t0
+    steps = args.iters * args.num_envs * cfg.steps_per_env
+    print(f"trained {steps:.2e} env steps in {t_train:.1f} s "
+          f"({steps / t_train:.0f} steps/s)")
+    print(f"reward {history[0]['mean_reward']:.3f} -> "
+          f"{history[-1]['mean_reward']:.3f}")
+
+    if args.ckpt_dir:
+        save_checkpoint(args.ckpt_dir, ppo_state, args.iters)
+        print("checkpoint saved to", args.ckpt_dir)
+
+    # ---- open-loop tracking eval: fixed commands, measure realized vel
+    models, _ = init_models(cfg)
+    env_cfg = cfg.env
+
+    @jax.jit
+    def eval_rollout(params, key):
+        from alore_legged_manipulator_tpu.rl.env import graph_features
+        from alore_legged_manipulator_tpu.models.gnn import (
+            build_interaction_graph)
+
+        keys = jax.random.split(key, 256)
+        states = jax.vmap(lambda k: env_reset(k, env_cfg))(keys)
+        cmds = jnp.concatenate([
+            jnp.tile(jnp.array([[0.5, 0.0, 0.0]]), (128, 1)),
+            jnp.tile(jnp.array([[0.3, 0.0, 0.8]]), (128, 1))]).astype(
+                jnp.float32)
+        states = states._replace(cmd=cmds)
+
+        def step(states, _):
+            graphs = jax.vmap(
+                lambda s: build_interaction_graph(*graph_features(s)))(states)
+            mean, _, _ = models.actor.apply(params["actor"], states.obs_hist,
+                                            graphs)
+            states, _, _, _ = jax.vmap(
+                lambda s, a: env_step(s, a, env_cfg))(states, mean)
+            return states, states.obj_vel
+
+        states, vels = jax.lax.scan(step, states, None, length=100)
+        # steady-state tracking error over the last 50 steps
+        err = jnp.abs(vels[50:] - cmds[None, :, :]).mean(axis=(0, 1))
+        return err
+
+    err = np.asarray(eval_rollout(ppo_state.params,
+                                  jax.random.PRNGKey(123)))
+    print(f"steady-state |vel err| per axis: vx {err[0]:.3f}  "
+          f"vy {err[1]:.3f}  wz {err[2]:.3f}  (m/s, m/s, rad/s)")
+
+    # ---- mission with the trained policy in the loop (host loop on CPU
+    # numpy + jitted policy/env on the TPU)
+    from alore_legged_manipulator_tpu.mission.object_fsm import FsmState
+    from alore_legged_manipulator_tpu.runtime.bus_mission import (
+        MissionFsmNode, PerceptionNode, WorldState)
+    from alore_legged_manipulator_tpu.runtime.deploy import MessageBus
+    from alore_legged_manipulator_tpu.runtime.highlevel_controller import (
+        HighLevelControllerNode, make_actor_policy)
+
+    items = [(2.0, 0.5, 0.0)]
+    targets = [(4.0, 2.0, 0.0)]
+    bus = MessageBus()
+    world = WorldState(robot=np.zeros(3),
+                       objects=[np.asarray(items[0], float).copy()]
+                       + [np.zeros(3)] * 3)
+    percept = PerceptionNode(bus, seed=7)
+    fsm_node = MissionFsmNode(bus, items, targets, order=[0], dt=0.02)
+    policy = make_actor_policy(models.actor, ppo_state.params["actor"])
+    ctrl = HighLevelControllerNode(bus, world, policy)
+
+    t0 = time.time()
+    ticks = 0
+    while fsm_node.fsm.state != FsmState.DONE and ticks < 20000:
+        percept.tick(world)
+        fsm_node.tick()
+        ctrl.tick(dt=0.02)
+        ticks += 1
+    t_mission = time.time() - t0
+    errm = float(np.linalg.norm(world.objects[0][:2]
+                                - np.asarray(targets[0])[:2]))
+    print(f"mission: state={fsm_node.fsm.state.name} ticks={ticks} "
+          f"({t_mission:.1f} s wall)  final object error {errm*100:.1f} cm")
+    ok = fsm_node.fsm.state == FsmState.DONE and errm < 0.5
+    print("TRAINED-POLICY MISSION", "DELIVERED" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
