@@ -165,6 +165,50 @@ class CarControl:
 
 
 @dataclass
+class KinematicState:
+    """carstatemsgs/KinematicState.msg: constraint-monitoring telemetry
+    the simulator publishes per tick (simulator.h:350-360) -- the moment
+    4-plane surrogate and the centripetal acceleration, each with their
+    bounds."""
+
+    moment: float = 0.0
+    max_moment: float = 0.0
+    min_moment: float = 0.0
+    centripetal_acc: float = 0.0
+    max_centripetal_acc: float = 0.0
+    min_centripetal_acc: float = 0.0
+
+    @classmethod
+    def from_rates(cls, v: float, omega: float, max_v: float,
+                   max_omega: float,
+                   max_centripetal_acc: float) -> "KinematicState":
+        """The reference's exact formulas (simulator.h:353-359):
+        moment = |v|*max_omega + |omega|*max_v, centripetal = omega*v."""
+        return cls(
+            moment=abs(v) * max_omega + abs(omega) * max_v,
+            max_moment=max_v * max_omega,
+            min_moment=-max_v * max_omega,
+            centripetal_acc=omega * v,
+            max_centripetal_acc=max_centripetal_acc,
+            min_centripetal_acc=-max_centripetal_acc)
+
+    def pack(self) -> np.ndarray:
+        return np.array([self.moment, self.max_moment, self.min_moment,
+                         self.centripetal_acc, self.max_centripetal_acc,
+                         self.min_centripetal_acc], np.float32)
+
+    @classmethod
+    def unpack(cls, d) -> "KinematicState":
+        d = np.asarray(d, np.float32)
+        return cls(*[float(v) for v in d])
+
+    def within_bounds(self) -> bool:
+        return (self.min_moment <= self.moment <= self.max_moment
+                and self.min_centripetal_acc <= self.centripetal_acc
+                <= self.max_centripetal_acc)
+
+
+@dataclass
 class SimulatedCarState(CarState):
     """carstatemsgs/SimulatedCarState.msg: CarState + true vx/vy + ICR."""
 

@@ -77,3 +77,21 @@ def test_bus_mission_end_to_end():
     assert all(rep.delivered), (rep.final_err, rep.ticks)
     assert rep.ticks < 20000
     assert max(rep.final_err) < 0.35
+
+
+def test_kinematic_state_contract():
+    """KinematicState telemetry formulas (simulator.h:350-360)."""
+    from alore_legged_manipulator_tpu.runtime.contracts import KinematicState
+
+    ks = KinematicState.from_rates(v=1.5, omega=-0.8, max_v=3.0,
+                                   max_omega=3.0, max_centripetal_acc=2.0)
+    assert abs(ks.moment - (1.5 * 3.0 + 0.8 * 3.0)) < 1e-9
+    assert ks.max_moment == 9.0 and ks.min_moment == -9.0
+    assert abs(ks.centripetal_acc - (-0.8 * 1.5)) < 1e-9
+    assert ks.within_bounds()
+    back = KinematicState.unpack(ks.pack())
+    assert abs(back.moment - ks.moment) < 1e-5
+    # violation detected
+    hot = KinematicState.from_rates(v=3.0, omega=3.0, max_v=3.0,
+                                    max_omega=3.0, max_centripetal_acc=2.0)
+    assert not hot.within_bounds()
