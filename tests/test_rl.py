@@ -125,3 +125,28 @@ def test_ppo_learns_on_push_env():
     last = np.mean([h["mean_reward"] for h in history[-3:]])
     assert last > first + 0.2, f"no learning progress: {first} -> {last}"
     assert history[-1]["estimator_loss"] < history[0]["estimator_loss"]
+
+
+def test_task_registry():
+    """Task ids resolve to full TrainConfigs (reference gym registration,
+    Training/.../__init__.py:18-41)."""
+    from alore_legged_manipulator_tpu.rl import registry
+
+    ids = registry.list_tasks()
+    assert "Alore-Push-Flat-v0" in ids and "Alore-Push-Rough-v0" in ids
+    flat = registry.make("Alore-Push-Flat-v0")
+    rough = registry.make("Alore-Push-Rough-v0", num_envs=48, iterations=3)
+    assert rough.num_envs == 48 and rough.iterations == 3
+    assert rough.env.mass_range[1] > flat.env.mass_range[1]
+    try:
+        registry.make("Nope-v0")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+    # a registered task trains end to end (tiny budget)
+    from alore_legged_manipulator_tpu.rl.runner import train
+    cfg = registry.make("Alore-Push-Rough-v0", num_envs=6, steps_per_env=8,
+                        iterations=2)
+    _, hist = train(cfg)
+    assert len(hist) == 2 and np.isfinite(hist[-1]["mean_reward"])
