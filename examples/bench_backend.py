@@ -1,0 +1,104 @@
+"""Isolated back-end planner throughput: full MINCO plans/s per chip.
+
+The reference budgets `max_replan_time` 0.05 s per plan on one CPU
+(plan_manager/launch/planner_sim.launch:65), i.e. ~20 plans/s.  This
+bench vmaps the COMPLETE back end -- stage-1 path pre-process, stage-2
+L-BFGS under the ALM outer loop, collision recheck + time-weight anneal
+(planner/backend.plan_backend; reference optimizer.cpp:169-472) -- over a
+randomized goal fleet and reports plans/s plus solution quality.
+
+Run:  BACKEND_FLEET=512 python examples/bench_backend.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.planner.backend import (BackendConfig,
+                                                              plan_backend)
+    from alore_legged_manipulator_tpu.planner.flat_traj import FlatTraj
+
+    B = int(os.environ.get("BACKEND_FLEET", "512"))
+    n_pieces = 6
+    dtype = jnp.float32
+
+    occ = np.zeros((80, 80), bool)
+    occ[30:40, 44:50] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    cfg = BackendConfig()
+
+    rng = np.random.default_rng(0)
+    goals = np.stack([rng.uniform(5.0, 7.0, B), rng.uniform(3.0, 5.0, B)], 1)
+
+    def make_flat(goal_xy):
+        start = jnp.asarray([1.0, 4.0], dtype)
+        d = goal_xy - start
+        L = jnp.linalg.norm(d)
+        yaw = jnp.arctan2(d[1], d[0])
+        fr = jnp.arange(1, n_pieces, dtype=dtype) / n_pieces
+        inner = jnp.stack([jnp.full((n_pieces - 1,), yaw, dtype), L * fr])
+        pos = jnp.concatenate(
+            [start[None] + fr[:, None] * d[None], goal_xy[None]], 0)
+        pos = jnp.concatenate(
+            [pos, jnp.full((n_pieces, 1), yaw, dtype)], 1)
+        total_t = jnp.maximum(L / 3.0 * 2.0, 1.0)
+        z3 = jnp.zeros((), dtype)
+        return FlatTraj(
+            inner_yaw_s=inner,
+            init_piece_time=total_t / n_pieces,
+            inner_positions=pos,
+            start_state=jnp.stack([jnp.stack([yaw, z3, z3]),
+                                   jnp.stack([z3, z3, z3])]),
+            final_state=jnp.stack([jnp.stack([yaw, z3, z3]),
+                                   jnp.stack([L, z3, z3])]),
+            start_xytheta=jnp.concatenate([start, yaw[None]]),
+            final_xytheta=jnp.concatenate([goal_xy, yaw[None]]),
+            if_cut=jnp.asarray(False))
+
+    @jax.jit
+    def fleet(goals):
+        def one(goal_xy):
+            res = plan_backend(make_flat(goal_xy), esdf, cfg)
+            return (jnp.linalg.norm(res.final_xy_err), res.collision,
+                    jnp.sum(res.times))
+        return jax.vmap(one)(goals)
+
+    gj = jnp.asarray(goals, dtype)
+    t0 = time.perf_counter()
+    out = fleet(gj)
+    float(out[0].sum())
+    first = time.perf_counter() - t0
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = fleet(gj)
+        float(out[0].sum())
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+
+    err = np.asarray(out[0])
+    print(json.dumps({
+        "metric": "backend_full_plans_per_s_per_chip",
+        "fleet": B,
+        "plans_per_s": round(B / med, 1),
+        "ms_per_fleet_call": round(med * 1e3, 1),
+        "first_call_s": round(first, 1),
+        "goal_ok_frac": float(np.mean(err < 0.05)),
+        "collision_frac": float(np.mean(np.asarray(out[1]))),
+        "vs_ref_20_plans_per_s": round(B / med / 20.0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

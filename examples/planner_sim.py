@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--start", nargs=3, type=float, default=[1.0, 4.0, 0.0])
     ap.add_argument("--goal", nargs=3, type=float, default=[7.0, 4.5, 0.0])
     ap.add_argument("--noise", type=float, default=0.01)
+    ap.add_argument("--plot", type=str, default=None,
+                    help="save a tracking figure PNG to this path")
     args = ap.parse_args()
 
     from alore_legged_manipulator_tpu.core.dynamics import ICRParams
@@ -69,6 +71,14 @@ def main():
     print(f"  EKF ICR error: {float(res.icr_err[-1]):.3f} "
           f"(initial guess error "
           f"{np.linalg.norm(np.array(loop_cfg.icr_guess) - np.array([true_icr.yr, true_icr.yl, true_icr.xv])):.3f})")
+
+    if args.plot:
+        from alore_legged_manipulator_tpu.utils import viz
+
+        fig = viz.tracking_figure(res, tt=pm.tracked, occ=occ,
+                                  lower=(0.0, 0.0), res=0.1)
+        viz.save_figure(fig, args.plot)
+        print(f"  figure saved to {args.plot}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,66 @@
+"""Visualization module smoke tests (the RViz marker layer analogue).
+
+Mirrors the reference's visualizer roles (simulator.h:362-470 trajectory
+markers, plan_manager visualizer.hpp path/ESDF markers) as matplotlib
+figures; here we only assert the figures build and save from synthetic
+data -- rendering correctness is eyeballed via examples/planner_sim.py
+--plot.
+"""
+import types
+
+import numpy as np
+import pytest
+
+matplotlib = pytest.importorskip("matplotlib")
+matplotlib.use("Agg", force=True)
+
+from alore_legged_manipulator_tpu.utils import viz
+
+
+def _occ():
+    occ = np.zeros((40, 40), bool)
+    occ[15:20, 22:25] = True
+    return occ
+
+
+def test_tracking_figure_builds_and_saves(tmp_path):
+    T = 50
+    xs = np.stack([np.linspace(1, 5, T), np.full(T, 4.0),
+                   np.zeros(T)], 1)
+    res = types.SimpleNamespace(xytheta=xs,
+                                pos_err=np.abs(np.sin(np.arange(T) * 0.1)),
+                                icr_err=np.exp(-np.arange(T) * 0.05))
+    tt = types.SimpleNamespace(seq=xs + 0.02)
+    fig = viz.tracking_figure(res, tt=tt, occ=_occ(), lower=(0.0, 0.0),
+                              res=0.1)
+    out = viz.save_figure(fig, str(tmp_path / "track.png"))
+    assert (tmp_path / "track.png").stat().st_size > 1000
+    assert out.endswith("track.png")
+
+
+def test_mission_figure_builds_and_saves(tmp_path):
+    items = np.array([[1.0, 1.0], [2.5, 3.0]])
+    targets = np.array([[3.0, 1.5], [1.5, 3.5]])
+    tracks = [np.stack([np.linspace(a[0], b[0], 20),
+                        np.linspace(a[1], b[1], 20)], 1)
+              for a, b in zip(items, targets)]
+    robot = np.stack([np.linspace(0.5, 3.0, 30),
+                      np.linspace(0.5, 3.0, 30)], 1)
+    fig = viz.mission_figure(_occ(), (0.0, 0.0), 0.1, items, targets,
+                             object_tracks=tracks, robot_track=robot)
+    viz.save_figure(fig, str(tmp_path / "mission.png"))
+    assert (tmp_path / "mission.png").stat().st_size > 1000
+
+
+def test_map_with_esdf_field(tmp_path):
+    import matplotlib.pyplot as plt
+
+    occ = _occ()
+    yy, xx = np.meshgrid(np.arange(40), np.arange(40))
+    dist = np.hypot(xx - 17, yy - 23) * 0.1
+    fig, ax = plt.subplots()
+    viz.plot_map(ax, occ, (0.0, 0.0), 0.1, esdf_dist=dist, title="esdf")
+    viz.plot_poses(ax, np.array([[1.0, 1.0, 0.0], [2.0, 2.0, 1.0]]),
+                   slot=1, every=1)
+    viz.save_figure(fig, str(tmp_path / "esdf.png"))
+    assert (tmp_path / "esdf.png").stat().st_size > 1000
