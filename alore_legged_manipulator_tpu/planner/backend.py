@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from ..core.flow import simpson_flow_positions
 from ..core.smoothing import positive_smoothed_l1
 from ..ops.esdf import ESDF, sample_dist_bilinear, dist_at_cell
+from ..solvers.bfgs import flat_lbfgs_minimize
 from ..solvers.lbfgs import LbfgsParams, lbfgs_minimize
 from ..solvers.minco import minco_coeffs, minco_energy
 from .flat_traj import FlatTraj
@@ -117,6 +118,11 @@ class BackendConfig(NamedTuple):
                                           max_iterations=0, hard_iter_cap=300)
     shot_path_past: int = 8
     shot_path_horizon: float = 0.5
+    # inner solver: the flattened dense-BFGS (solvers/bfgs.py) pays one
+    # cost eval per loop trip under vmap instead of the nested line
+    # search's max-over-lanes amplification; False restores the
+    # reference-shaped L-BFGS ring-buffer solver
+    flat_bfgs: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -350,6 +356,8 @@ def _alm_stage(x0, flat, esdf, safe_dis, cfg: BackendConfig, alm: AlmConfig,
     """Stage-2 L-BFGS under an ALM outer loop (optimizer.cpp:376-418)."""
     cfg_tw = cfg._replace(weights=cfg.weights._replace(time_weight=0.0))
 
+    minimize = flat_lbfgs_minimize if cfg.flat_bfgs else lbfgs_minimize
+
     def run_lbfgs(x, lam, rho):
         def fun(z):
             def cost_with_tw(z):
@@ -357,7 +365,7 @@ def _alm_stage(x0, flat, esdf, safe_dis, cfg: BackendConfig, alm: AlmConfig,
                 _, _, tau = unpack_vars(z, flat.num_pieces)
                 return c + time_weight * jnp.sum(virtual_to_real_time(tau))
             return jax.value_and_grad(cost_with_tw)(z)
-        xs, f, status, k = lbfgs_minimize(fun, x, cfg.lbfgs)
+        xs, f, status, k = minimize(fun, x, cfg.lbfgs)
         return xs, k
 
     lam0 = jnp.asarray(alm.lambda0, x0.dtype)
@@ -409,7 +417,8 @@ def plan_backend(flat: FlatTraj, esdf: ESDF, cfg: BackendConfig = BackendConfig(
     def s1(params):
         def fun(z):
             return jax.value_and_grad(lambda q: stage1_cost(q, flat, cfg))(z)
-        xs, _, _, _ = lbfgs_minimize(fun, x0, params)
+        minimize = flat_lbfgs_minimize if cfg.flat_bfgs else lbfgs_minimize
+        xs, _, _, _ = minimize(fun, x0, params)
         return xs
 
     # `past` is a static int -> pick branch with lax.cond over two jitted fns

@@ -1,0 +1,297 @@
+"""Flattened dense-BFGS with Lewis-Overton weak-Wolfe line search.
+
+Drop-in alternative to `solvers.lbfgs.lbfgs_minimize` for the back-end
+planner's small decision vectors (dim ~17 for N=6 pieces).  Same outer
+semantics as the reference optimizer (gcopter/lbfgs.hpp:440-751): weak
+Wolfe Lewis-Overton search (:276-390) with its fast exit, the cautious
+update gate, and the g_epsilon / past-delta convergence tests.  Two
+deliberate TPU-first departures:
+
+1. **One cost evaluation per loop iteration.**  The reference (and our
+   `lbfgs_minimize`) nests the line search inside the iteration loop.
+   Under `vmap`, JAX batches a `while_loop` by running its body until
+   EVERY lane's condition is false -- so with nesting, every L-BFGS
+   iteration costs `max_over_lanes(line_search_evals)` evaluations for
+   all lanes.  At fleet 512 one unlucky lane makes everybody pay.  Here
+   line search and iteration advance are one flat state machine: each
+   loop trip evaluates the cost exactly once, and a lane's total cost is
+   its own eval count; the batch pays `max(total_evals)` instead of
+   `sum_iters(max(ls_evals))`.
+
+2. **Dense inverse-Hessian instead of the two-loop recursion.**  The
+   two-loop over an m-slot ring buffer is 2m sequential dot/axpy steps
+   (m=64 in the planner profile -> 128 dependent tiny ops per iteration,
+   pure latency on the TensorCore).  At dim <= ~40 a dense H is exact
+   full-memory BFGS: the direction is one (n,n)@(n,) matvec and the
+   update three outer products -- a handful of MXU-friendly ops that
+   also vmap into large batched matmuls.  Full-memory BFGS converges at
+   least as fast as the 64-slot ring it replaces.
+
+Statuses mirror lbfgs.py: 0 converged / 1 past-delta stop / 2 max
+iterations / -1 line-search failure.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.precision import hdot
+from .lbfgs import (LbfgsParams, STATUS_CONVERGED, STATUS_STOP,
+                    STATUS_MAXITER, STATUS_LS_FAIL)
+
+
+class _S(NamedTuple):
+    # accepted point
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    # current direction + line-search state
+    d: jnp.ndarray
+    step: jnp.ndarray
+    dginit: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+    brackt: jnp.ndarray
+    touched: jnp.ndarray
+    ls_iters: jnp.ndarray
+    # curvature model (dense-H mode: H used; ring mode: lm_* used)
+    H: jnp.ndarray
+    first_update: jnp.ndarray
+    lm_s: jnp.ndarray
+    lm_y: jnp.ndarray
+    lm_ys: jnp.ndarray
+    end: jnp.ndarray
+    bound: jnp.ndarray
+    # bookkeeping
+    k: jnp.ndarray            # accepted iterations
+    evals: jnp.ndarray        # total function evaluations
+    pf: jnp.ndarray
+    done: jnp.ndarray
+    status: jnp.ndarray
+
+
+def bfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams(),
+                  direction: str = "dense"):
+    """Minimize fun: x -> (f, grad).  Returns (x, f, status, n_iters).
+
+    jit/vmap friendly; `n_iters` counts accepted iterations (line-search
+    evals excluded), matching lbfgs_minimize's counter.
+
+    direction='dense': full-memory BFGS inverse Hessian (best on smooth
+    well-scaled problems, e.g. QP-like costs).
+    direction='ring': the reference's exact L-BFGS two-loop over an
+    m-slot ring buffer with per-iteration gamma rescaling -- same
+    iterates as `lbfgs_minimize`, but in the flat one-eval-per-trip
+    loop (more robust on the planner's heavily-penalized nonsmooth
+    costs, where frozen-scale dense BFGS stalls under the fast exit).
+    """
+    p = params
+    n = x0.shape[0]
+    m = p.mem_size
+    past = max(p.past, 1)
+    dtype = x0.dtype
+    dense = direction == "dense"
+
+    max_iter = p.max_iterations if p.max_iterations > 0 else p.hard_iter_cap
+    max_iter = min(max_iter, p.hard_iter_cap)
+    # eval budget: flat loop bound.  A line search rarely exceeds a few
+    # evals on accepted steps; failures exit.  2x iter cap + slack is
+    # far beyond what the nested formulation could do useful work in.
+    max_evals = 2 * max_iter + 4 * p.max_linesearch
+
+    f0, g0 = fun(x0)
+
+    gnorm = jnp.max(jnp.abs(g0))
+    xnorm = jnp.max(jnp.abs(x0))
+    already = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
+
+    eye = jnp.eye(n, dtype=dtype)
+    zero_i = jnp.zeros((), jnp.int32)
+    init = _S(
+        x=x0, f=f0, g=g0, d=-g0,
+        step=1.0 / jnp.maximum(jnp.linalg.norm(g0), 1e-30),
+        dginit=-hdot(g0, g0),
+        mu=jnp.zeros((), dtype), nu=jnp.asarray(p.max_step, dtype),
+        brackt=jnp.asarray(False), touched=jnp.asarray(False),
+        ls_iters=jnp.zeros((), jnp.int32),
+        H=eye if dense else jnp.zeros((0, 0), dtype),
+        first_update=jnp.asarray(True),
+        lm_s=jnp.zeros((m if not dense else 0, n), dtype),
+        lm_y=jnp.zeros((m if not dense else 0, n), dtype),
+        lm_ys=jnp.ones((m if not dense else 0,), dtype),
+        end=zero_i, bound=zero_i,
+        k=jnp.ones((), jnp.int32), evals=jnp.zeros((), jnp.int32),
+        pf=jnp.full((past,), jnp.inf, dtype).at[0].set(f0),
+        done=jnp.logical_or(already, -hdot(g0, g0) >= 0.0),
+        status=jnp.where(already, STATUS_CONVERGED, STATUS_MAXITER),
+    )
+
+    def cond(s: _S):
+        return jnp.logical_not(s.done)
+
+    def body(s: _S):
+        x_new = s.x + s.step * s.d
+        f_new, g_new = fun(x_new)
+        evals = s.evals + 1
+        ls_iters = s.ls_iters + 1
+
+        bad = jnp.logical_not(jnp.isfinite(f_new))
+        dgtest = p.f_dec_coeff * s.dginit
+        dstest = p.s_curv_coeff * s.dginit
+
+        fast = (jnp.abs(s.f - f_new) / (jnp.abs(s.f) + 1.0)
+                < (p.delta / past))
+        armijo_fail = f_new > s.f + s.step * dgtest
+        wolfe_fail = hdot(g_new, s.d) < dstest
+        accept = jnp.logical_and(jnp.logical_not(armijo_fail),
+                                 jnp.logical_not(wolfe_fail))
+        accept = jnp.logical_or(accept, fast)
+        accept = jnp.logical_and(accept, jnp.logical_not(bad))
+
+        # --- line-search bracket advance (lbfgs.hpp:332-371) ---
+        nu_n = jnp.where(armijo_fail, s.step, s.nu)
+        brackt_n = jnp.logical_or(s.brackt, armijo_fail)
+        mu_n = jnp.where(jnp.logical_and(jnp.logical_not(armijo_fail),
+                                         wolfe_fail), s.step, s.mu)
+        width_fail = jnp.logical_and(brackt_n,
+                                     (nu_n - mu_n) < p.machine_prec * nu_n)
+        count_fail = ls_iters >= p.max_linesearch
+        step_next = jnp.where(brackt_n, 0.5 * (mu_n + nu_n), s.step * 2.0)
+        min_fail = step_next < p.min_step
+        over_max = step_next > p.max_step
+        step_next = jnp.where(jnp.logical_and(over_max,
+                                              jnp.logical_not(s.touched)),
+                              p.max_step, step_next)
+        max_fail = jnp.logical_and(over_max, s.touched)
+        touched_n = jnp.logical_or(s.touched, over_max)
+        ls_fail = bad | width_fail | count_fail | min_fail | max_fail
+        ls_fail = jnp.logical_and(ls_fail, jnp.logical_not(accept))
+
+        # --- accepted-step bookkeeping ---
+        s_vec = x_new - s.x
+        y_vec = g_new - s.g
+        ys = hdot(y_vec, s_vec)
+        yy = hdot(y_vec, y_vec)
+        cau = hdot(s_vec, s_vec) * jnp.linalg.norm(s.g) * p.cautious_factor
+
+        gnorm = jnp.max(jnp.abs(g_new))
+        xnorm = jnp.max(jnp.abs(x_new))
+        conv = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
+        rate = (jnp.abs(s.pf[s.k % past] - f_new)
+                / jnp.maximum(1.0, jnp.abs(f_new)))
+        stop = jnp.logical_and(s.k >= past, rate < p.delta) \
+            if p.past > 0 else jnp.asarray(False)
+        maxed = s.k >= max_iter
+        finished = conv | stop | maxed
+
+        use = jnp.logical_and(accept, ys > cau)
+        use = jnp.logical_and(use, jnp.logical_not(finished))
+        gamma = ys / jnp.maximum(yy, 1e-30)
+
+        if dense:
+            # BFGS inverse update (first accepted pair rescales H0)
+            H0 = jnp.where(s.first_update, gamma * eye, s.H)
+            rho_i = 1.0 / jnp.maximum(ys, 1e-30)
+            Hy = H0 @ y_vec
+            yHy = hdot(y_vec, Hy)
+            H_new = (H0
+                     - rho_i * (jnp.outer(s_vec, Hy) + jnp.outer(Hy, s_vec))
+                     + (rho_i + rho_i * rho_i * yHy)
+                     * jnp.outer(s_vec, s_vec))
+            H = jnp.where(use, H_new, s.H)
+            first_update = jnp.where(use, False, s.first_update)
+            d_new = -(H @ g_new)
+            d_new = jnp.where(first_update, -g_new, d_new)
+            lm_s, lm_y, lm_ys = s.lm_s, s.lm_y, s.lm_ys
+            end, bound = s.end, s.bound
+        else:
+            # exact lbfgs.py semantics: ring-buffer + two-loop with
+            # per-iteration gamma rescale (lbfgs.hpp:709-739)
+            lm_s = jnp.where(use, s.lm_s.at[s.end].set(s_vec), s.lm_s)
+            lm_y = jnp.where(use, s.lm_y.at[s.end].set(y_vec), s.lm_y)
+            lm_ys = jnp.where(use, s.lm_ys.at[s.end].set(ys), s.lm_ys)
+            bound = jnp.where(use, jnp.minimum(s.bound + 1, m), s.bound)
+            end = jnp.where(use, (s.end + 1) % m, s.end)
+            H, first_update = s.H, s.first_update
+
+            d0 = -g_new
+
+            def loop1(i, carry):
+                d, alpha = carry
+                jj = (end - 1 - i) % m
+                valid = i < bound
+                a = jnp.where(valid, hdot(lm_s[jj], d) / lm_ys[jj], 0.0)
+                d = d - a * lm_y[jj]
+                alpha = alpha.at[jj].set(a)
+                return d, alpha
+
+            d_new, alpha = jax.lax.fori_loop(
+                0, m, loop1, (d0, jnp.zeros((m,), dtype)))
+            gscale = jnp.where(use, gamma, 1.0)
+            d_new = d_new * jnp.where(bound > 0, gscale, 1.0)
+
+            def loop2(i, d):
+                jj = (end - bound + i) % m
+                valid = i < bound
+                beta = jnp.where(valid, hdot(lm_y[jj], d) / lm_ys[jj], 0.0)
+                return d + (alpha[jj] - beta) * lm_s[jj]
+
+            d_new = jax.lax.fori_loop(0, m, loop2, d_new)
+            d_new = jnp.where(bound > 0, d_new, -g_new)
+
+        dginit_new = hdot(g_new, d_new)
+        descent_bad = dginit_new >= 0.0
+        # fall back to steepest descent if the model direction fails
+        d_new = jnp.where(descent_bad, -g_new, d_new)
+        if dense:
+            H = jnp.where(descent_bad, eye, H)
+            first_update = jnp.logical_or(first_update, descent_bad)
+        dginit_new = jnp.where(descent_bad, -hdot(g_new, g_new), dginit_new)
+        # model state may only change on an accepted step (the trial
+        # g_new is otherwise a mid-line-search point)
+        if dense:
+            H = jnp.where(accept, H, s.H)
+            first_update = jnp.where(accept, first_update, s.first_update)
+        else:
+            lm_s = jnp.where(accept, lm_s, s.lm_s)
+            lm_y = jnp.where(accept, lm_y, s.lm_y)
+            lm_ys = jnp.where(accept, lm_ys, s.lm_ys)
+            end = jnp.where(accept, end, s.end)
+            bound = jnp.where(accept, bound, s.bound)
+
+        evals_out = evals >= max_evals
+        done = ls_fail | (accept & finished) | evals_out
+        status = jnp.where(ls_fail, STATUS_LS_FAIL,
+                   jnp.where(conv, STATUS_CONVERGED,
+                    jnp.where(stop, STATUS_STOP, STATUS_MAXITER)))
+        status = jnp.where(done, status, s.status)
+
+        def sel(a, b):
+            return jnp.where(accept, a, b)
+
+        return _S(
+            x=sel(x_new, s.x), f=sel(f_new, s.f), g=sel(g_new, s.g),
+            d=sel(d_new, s.d),
+            step=sel(jnp.ones((), dtype), step_next),
+            dginit=sel(dginit_new, s.dginit),
+            mu=sel(jnp.zeros((), dtype), mu_n),
+            nu=sel(jnp.asarray(p.max_step, dtype), nu_n),
+            brackt=sel(jnp.asarray(False), brackt_n),
+            touched=sel(jnp.asarray(False), touched_n),
+            ls_iters=sel(jnp.zeros((), jnp.int32), ls_iters),
+            H=H, first_update=first_update,
+            lm_s=lm_s, lm_y=lm_y, lm_ys=lm_ys, end=end, bound=bound,
+            k=sel(s.k + 1, s.k), evals=evals,
+            pf=jnp.where(accept, s.pf.at[s.k % past].set(f_new), s.pf),
+            done=done, status=status)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out.x, out.f, out.status, out.k
+
+
+def flat_lbfgs_minimize(fun: Callable, x0,
+                        params: LbfgsParams = LbfgsParams()):
+    """L-BFGS iterates in the flat one-eval-per-trip loop."""
+    return bfgs_minimize(fun, x0, params, direction="ring")

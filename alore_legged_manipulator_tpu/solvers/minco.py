@@ -144,15 +144,138 @@ def minco_system(head, tail, inner, times):
     return A, b
 
 
-def minco_coeffs(head, tail, inner, times):
-    """Solve for piece coefficients, shape (N, 6, 2) ascending powers.
+def minco_coeffs_dense(head, tail, inner, times):
+    """Reference-layout solve: assemble the full 6N x 6N system.
 
-    inner: (2, N-1) waypoints; times: (N,).
+    Kept as the structural twin of minco.hpp:829-892 for parity tests;
+    the production path is the reduced Hermite solve below (identical
+    result, ~13x smaller linear system).
     """
     n = times.shape[0]
     A, b = minco_system(head, tail, inner, times)
     c = jnp.linalg.solve(A, b)            # (6N, 2)
     return c.reshape(n, NCOEF, 2)
+
+
+def _hermite_to_monomial(p0, v0, a0, p1, v1, a1, T):
+    """Quintic Hermite -> ascending monomial coefficients.
+
+    All args (..., D); T broadcastable.  Returns (..., 6, D).
+    """
+    T = T[..., None]
+    dp = p1 - p0
+    T2 = T * T
+    T3 = T2 * T
+    c0 = p0
+    c1 = v0
+    c2 = 0.5 * a0
+    c3 = (20.0 * dp - (8.0 * v1 + 12.0 * v0) * T
+          - (3.0 * a0 - a1) * T2) / (2.0 * T3)
+    c4 = (-30.0 * dp + (14.0 * v1 + 16.0 * v0) * T
+          + (3.0 * a0 - 2.0 * a1) * T2) / (2.0 * T3 * T)
+    c5 = (12.0 * dp - 6.0 * (v1 + v0) * T
+          + (a1 - a0) * T2) / (2.0 * T3 * T2)
+    return jnp.stack([c0, c1, c2, c3, c4, c5], axis=-2)
+
+
+def minco_coeffs(head, tail, inner, times):
+    """Solve for piece coefficients, shape (N, 6, 2) ascending powers.
+
+    inner: (2, N-1) waypoints; times: (N,).
+
+    TPU-native reduction (same spline as MINCO_S3NU, minco.hpp:772-898,
+    different algorithm): parameterize each piece by its endpoint states
+    (p, v, a).  C0-C2 continuity is then automatic; the only unknowns
+    are (v_j, a_j) at the N-1 interior joints, fixed by jerk (C3) and
+    snap (C4) continuity.  That is a 2(N-1) x 2(N-1) block-tridiagonal
+    system instead of the reference's 6N x 6N band -- for the planner's
+    N=6 a 10x10 solve replaces a 36x36 one, and the batched LU is the
+    dominant cost of every back-end cost/gradient evaluation.  The
+    monomial coefficients then come from the closed-form quintic Hermite
+    map, fully parallel over pieces.
+    """
+    n = times.shape[0]
+    if n == 1:
+        return _hermite_to_monomial(
+            head[None, :, 0], head[None, :, 1], head[None, :, 2],
+            tail[None, :, 0], tail[None, :, 1], tail[None, :, 2], times)
+
+    A, b, p = _reduced_system(head, tail, inner, times)
+    u = jnp.linalg.solve(A, b)                       # (2m, 2)
+    v_in = u[0::2]                                   # (m, 2)
+    a_in = u[1::2]
+
+    v = jnp.concatenate([head[:, 1][None], v_in, tail[:, 1][None]], 0)
+    a = jnp.concatenate([head[:, 2][None], a_in, tail[:, 2][None]], 0)
+    return _hermite_to_monomial(p[:-1], v[:-1], a[:-1],
+                                p[1:], v[1:], a[1:], times)
+
+
+def _reduced_system(head, tail, inner, times):
+    """Assemble the 2(N-1) x 2(N-1) jerk/snap continuity system.
+
+    Returns (A, b, p) with p the (N+1, 2) joint positions; the unknowns
+    are interleaved [v_1, a_1, v_2, a_2, ...] at interior joints.
+    """
+    n = times.shape[0]
+    dtype = times.dtype
+    # joint positions: p_0 (head), p_1..p_{N-1} (waypoints), p_N (tail)
+    p = jnp.concatenate([head[:, 0][None, :], inner.T,
+                         tail[:, 0][None, :]], axis=0)   # (N+1, 2)
+    dp = p[1:] - p[:-1]                                   # (N, 2) per piece
+
+    L = times[:-1]          # piece j-1 duration at joint j (j = 1..N-1)
+    R = times[1:]           # piece j duration
+    Li = 1.0 / L
+    Ri = 1.0 / R
+    Li2, Ri2 = Li * Li, Ri * Ri
+    Li3, Ri3 = Li2 * Li, Ri2 * Ri
+    dpL = dp[:-1]           # Δp of piece j-1, (N-1, 2)
+    dpR = dp[1:]            # Δp of piece j
+
+    m = n - 1               # number of interior joints / unknown blocks
+    # unknown u = [v_1, a_1, v_2, a_2, ...] interleaved, size 2m
+    A = jnp.zeros((2 * m, 2 * m), dtype)
+    b = jnp.zeros((2 * m, 2), dtype)
+    j = jnp.arange(m)
+    rj, rs = 2 * j, 2 * j + 1          # jerk row, snap row of joint j
+    cv, ca = 2 * j, 2 * j + 1          # v_j, a_j columns
+
+    # jerk-continuity row:  -24/L² v_{j-1} - 3/L a_{j-1}
+    #   + (36/R² - 36/L²) v_j + (9/L + 9/R) a_j + 24/R² v_{j+1} - 3/R a_{j+1}
+    #   = -60 ΔpL/L³ + 60 ΔpR/R³  ... moved to RHS with sign flip below
+    A = A.at[rj, cv].set(36.0 * Ri2 - 36.0 * Li2)
+    A = A.at[rj, ca].set(9.0 * Li + 9.0 * Ri)
+    A = A.at[rj[1:], cv[:-1]].set(-24.0 * Li2[1:])
+    A = A.at[rj[1:], ca[:-1]].set(-3.0 * Li[1:])
+    A = A.at[rj[:-1], cv[1:]].set(24.0 * Ri2[:-1])
+    A = A.at[rj[:-1], ca[1:]].set(-3.0 * Ri[:-1])
+    rhs_j = -60.0 * dpL * Li3[:, None] + 60.0 * dpR * Ri3[:, None]
+
+    # snap-continuity row: -168/L³ v_{j-1} - 24/L² a_{j-1}
+    #   - (192/L³ + 192/R³) v_j + (36/L² - 36/R²) a_j
+    #   - 168/R³ v_{j+1} + 24/R² a_{j+1} = -360 ΔpL/L⁴ - 360 ΔpR/R⁴
+    A = A.at[rs, cv].set(-192.0 * Li3 - 192.0 * Ri3)
+    A = A.at[rs, ca].set(36.0 * Li2 - 36.0 * Ri2)
+    A = A.at[rs[1:], cv[:-1]].set(-168.0 * Li3[1:])
+    A = A.at[rs[1:], ca[:-1]].set(-24.0 * Li2[1:])
+    A = A.at[rs[:-1], cv[1:]].set(-168.0 * Ri3[:-1])
+    A = A.at[rs[:-1], ca[1:]].set(24.0 * Ri2[:-1])
+    rhs_s = -360.0 * dpL * (Li3 * Li)[:, None] \
+        - 360.0 * dpR * (Ri3 * Ri)[:, None]
+
+    # boundary knowns (v_0, a_0) and (v_N, a_N) move to the RHS
+    rhs_j = rhs_j.at[0].add(24.0 * Li2[0] * head[:, 1] + 3.0 * Li[0] * head[:, 2])
+    rhs_s = rhs_s.at[0].add(168.0 * Li3[0] * head[:, 1]
+                            + 24.0 * Li2[0] * head[:, 2])
+    rhs_j = rhs_j.at[-1].add(-24.0 * Ri2[-1] * tail[:, 1]
+                             + 3.0 * Ri[-1] * tail[:, 2])
+    rhs_s = rhs_s.at[-1].add(168.0 * Ri3[-1] * tail[:, 1]
+                             - 24.0 * Ri2[-1] * tail[:, 2])
+
+    b = b.at[rj].set(rhs_j)
+    b = b.at[rs].set(rhs_s)
+    return A, b, p
 
 
 def minco_traj(head, tail, inner, times) -> PolyTraj:

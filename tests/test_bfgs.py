@@ -1,0 +1,102 @@
+"""Flat one-eval-per-trip solver (solvers/bfgs.py) vs the nested L-BFGS.
+
+The ring mode must reproduce `lbfgs_minimize`'s iterates exactly (same
+direction algebra, same Lewis-Overton decisions -- only the eval
+scheduling is flattened); the dense mode must solve smooth problems at
+least as fast in iteration count.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.solvers.bfgs import (bfgs_minimize,
+                                                       flat_lbfgs_minimize)
+from alore_legged_manipulator_tpu.solvers.lbfgs import (LbfgsParams,
+                                                        lbfgs_minimize)
+
+
+def _quad_batch(B=32, n=17):
+    key = jax.random.PRNGKey(0)
+    A = jax.random.normal(key, (B, n, n))
+    Q = jnp.einsum("bij,bkj->bik", A, A) + 0.1 * jnp.eye(n)
+    b = jax.random.normal(jax.random.PRNGKey(1), (B, n))
+    return Q, b
+
+
+def _mkfun(Qi, bi):
+    def fun(x):
+        return 0.5 * x @ Qi @ x - bi @ x, Qi @ x - bi
+    return fun
+
+
+@pytest.mark.parametrize("direction", ["dense", "ring"])
+def test_quadratic_batch_converges(direction):
+    Q, b = _quad_batch()
+    params = LbfgsParams(g_epsilon=1e-8, delta=0, past=0, hard_iter_cap=300)
+    sol = jnp.linalg.solve(Q, b[..., None]).squeeze(-1)
+    out = jax.vmap(lambda Qi, bi: bfgs_minimize(
+        _mkfun(Qi, bi), jnp.zeros_like(bi), params, direction))(Q, b)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(sol),
+                               atol=1e-5)
+
+
+def test_dense_beats_ring_iterations_on_smooth():
+    Q, b = _quad_batch()
+    params = LbfgsParams(g_epsilon=1e-8, delta=0, past=0, hard_iter_cap=300,
+                         mem_size=8)
+    it = {}
+    for d in ("dense", "ring"):
+        out = jax.vmap(lambda Qi, bi: bfgs_minimize(
+            _mkfun(Qi, bi), jnp.zeros_like(bi), params, d))(Q, b)
+        it[d] = float(out[3].mean())
+    assert it["dense"] <= it["ring"]
+
+
+def test_ring_matches_nested_lbfgs_iterates():
+    """Same memory algebra => same accepted points on a nonconvex path."""
+    def rosen(x):
+        def c(z):
+            return jnp.sum(100 * (z[1:] - z[:-1] ** 2) ** 2
+                           + (1 - z[:-1]) ** 2)
+        return c(x), jax.grad(c)(x)
+
+    x0 = jnp.asarray(np.linspace(-1.2, 0.7, 11))
+    params = LbfgsParams(g_epsilon=1e-9, delta=1e-8, past=3,
+                         hard_iter_cap=400, mem_size=16)
+    xa, fa, sta, ka = lbfgs_minimize(rosen, x0, params)
+    xb, fb, stb, kb = flat_lbfgs_minimize(rosen, x0, params)
+    assert int(ka) == int(kb)
+    assert int(sta) == int(stb)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-12)
+
+
+def test_nonsmooth_smoothed_l1():
+    from alore_legged_manipulator_tpu.core.smoothing import \
+        positive_smoothed_l1
+
+    def ns(x):
+        def c(z):
+            return (jnp.sum(positive_smoothed_l1(z, 0.01))
+                    + 0.5 * jnp.sum((z - 0.3) ** 2))
+        return c(x), jax.grad(c)(x)
+
+    x0 = jnp.linspace(-2, 2, 17)
+    params = LbfgsParams(g_epsilon=0.0, delta=1e-9, past=3,
+                         hard_iter_cap=500)
+    xr, fr, str_, kr = flat_lbfgs_minimize(ns, x0, params)
+    xn, fn, stn, kn = lbfgs_minimize(ns, x0, params)
+    assert abs(float(fr) - float(fn)) < 1e-6 * max(1.0, abs(float(fn)))
+
+
+def test_vmap_heterogeneous_lanes():
+    """Lanes with different iteration counts must all converge."""
+    Q, b = _quad_batch(B=8, n=5)
+    scales = jnp.asarray([1.0, 10.0, 100.0, 0.1, 1.0, 5.0, 50.0, 2.0])
+    Q = Q * scales[:, None, None]
+    params = LbfgsParams(g_epsilon=1e-9, delta=0, past=0, hard_iter_cap=500)
+    sol = jnp.linalg.solve(Q, b[..., None]).squeeze(-1)
+    out = jax.vmap(lambda Qi, bi: bfgs_minimize(
+        _mkfun(Qi, bi), jnp.zeros_like(bi), params, "ring"))(Q, b)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(sol),
+                               atol=1e-5)

@@ -135,3 +135,15 @@ def test_minco_vmap_batch():
     assert coeffs.shape == (16, 6, 6, 2)
     c0 = minco.minco_coeffs(*[p[0] for p in probs])
     np.testing.assert_allclose(np.asarray(coeffs[0]), np.asarray(c0), atol=1e-9)
+
+
+@pytest.mark.parametrize("n_pieces", [1, 2, 3, 6, 12])
+def test_reduced_solve_matches_dense_layout(n_pieces):
+    """The production Hermite-reduction solve (2(N-1) unknowns) must give
+    the same spline as the reference-layout 6N x 6N assembly."""
+    key = jax.random.PRNGKey(n_pieces)
+    head, tail, inner, times = _random_problem(key, n_pieces)
+    a = minco.minco_coeffs(head, tail, inner, times)
+    b = minco.minco_coeffs_dense(head, tail, inner, times)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-8, atol=1e-8)
