@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..core.flow import simpson_flow_positions
 from ..core.smoothing import positive_smoothed_l1
 from ..ops.esdf import ESDF, sample_dist_bilinear, dist_at_cell
-from ..solvers.bfgs import flat_lbfgs_minimize
+from ..solvers.bfgs import alm_minimize, flat_lbfgs_minimize
 from ..solvers.lbfgs import LbfgsParams, lbfgs_minimize
 from ..solvers.minco import minco_coeffs, minco_energy
 from .flat_traj import FlatTraj
@@ -283,10 +283,12 @@ def stage1_cost(x, flat: FlatTraj, cfg: BackendConfig):
     return jnp.where(guard, INF, cost)
 
 
-def stage2_cost(x, flat: FlatTraj, esdf: ESDF, safe_dis, lam, rho,
-                cfg: BackendConfig):
+def stage2_cost_aux(x, flat: FlatTraj, esdf: ESDF, safe_dis, lam, rho,
+                    cfg: BackendConfig):
     """Formal optimization cost (costFunctionCallback :631-692 +
-    attachPenaltyFunctional :694-1067)."""
+    attachPenaltyFunctional :694-1067).  Also returns the final-XY
+    equality residual h (free: the flow integral computes it anyway),
+    which the flat ALM loop consumes as an aux output."""
     n = flat.num_pieces
     inner, tail_s, tau = unpack_vars(x, n)
     coeffs, times = _spline(flat, inner, tail_s, tau)
@@ -308,7 +310,12 @@ def stage2_cost(x, flat: FlatTraj, esdf: ESDF, safe_dis, lam, rho,
                    + rho[1] * (h[1] + lam[1] / rho[1]) ** 2)
 
     guard = jnp.linalg.norm(x) > 1e4
-    return jnp.where(guard, INF, cost)
+    return jnp.where(guard, INF, cost), h
+
+
+def stage2_cost(x, flat: FlatTraj, esdf: ESDF, safe_dis, lam, rho,
+                cfg: BackendConfig):
+    return stage2_cost_aux(x, flat, esdf, safe_dis, lam, rho, cfg)[0]
 
 
 def final_xy_error(x, flat: FlatTraj, cfg: BackendConfig):
@@ -353,10 +360,47 @@ class BackendResult(NamedTuple):
 
 def _alm_stage(x0, flat, esdf, safe_dis, cfg: BackendConfig, alm: AlmConfig,
                time_weight):
-    """Stage-2 L-BFGS under an ALM outer loop (optimizer.cpp:376-418)."""
+    """Stage-2 solve under the ALM outer loop (optimizer.cpp:376-418).
+
+    flat_bfgs path: the whole ALM program (inner L-BFGS + multiplier
+    updates + restarts) is ONE flat while_loop (solvers/bfgs.py
+    alm_minimize) -- one cost eval per trip, no per-outer vmap sync,
+    and the equality residual h rides along as a cost aux instead of a
+    separate evaluation.  Fallback path: the reference-shaped nested
+    loops."""
     cfg_tw = cfg._replace(weights=cfg.weights._replace(time_weight=0.0))
 
-    minimize = flat_lbfgs_minimize if cfg.flat_bfgs else lbfgs_minimize
+    lam0 = jnp.asarray(alm.lambda0, x0.dtype)
+    rho0 = jnp.asarray(alm.rho0, x0.dtype)
+    rho_max = jnp.asarray(alm.rho_max, x0.dtype)
+    gamma = jnp.asarray(alm.gamma, x0.dtype)
+
+    if cfg.flat_bfgs:
+        def fun(z, ostate):
+            lam, rho = ostate
+
+            def cost_with_tw(q):
+                c, h = stage2_cost_aux(q, flat, esdf, safe_dis, lam, rho,
+                                       cfg_tw)
+                _, _, tau = unpack_vars(q, flat.num_pieces)
+                c = c + time_weight * jnp.sum(virtual_to_real_time(tau))
+                return c, h
+
+            (f, h), g = jax.value_and_grad(cost_with_tw, has_aux=True)(z)
+            return f, g, (h,)
+
+        def outer_update(ostate, x, aux):
+            lam, rho = ostate
+            (h,) = aux
+            done = jnp.linalg.norm(h) < alm.tolerance
+            lam = lam + rho * h
+            rho = jnp.minimum((1.0 + gamma) * rho, rho_max)
+            return (lam, rho), done
+
+        x, f, aux, status, k_total, n_outer = alm_minimize(
+            fun, x0, (lam0, rho0), outer_update, cfg.lbfgs,
+            max_outer=alm.max_outer)
+        return x, k_total
 
     def run_lbfgs(x, lam, rho):
         def fun(z):
@@ -365,13 +409,8 @@ def _alm_stage(x0, flat, esdf, safe_dis, cfg: BackendConfig, alm: AlmConfig,
                 _, _, tau = unpack_vars(z, flat.num_pieces)
                 return c + time_weight * jnp.sum(virtual_to_real_time(tau))
             return jax.value_and_grad(cost_with_tw)(z)
-        xs, f, status, k = minimize(fun, x, cfg.lbfgs)
+        xs, f, status, k = lbfgs_minimize(fun, x, cfg.lbfgs)
         return xs, k
-
-    lam0 = jnp.asarray(alm.lambda0, x0.dtype)
-    rho0 = jnp.asarray(alm.rho0, x0.dtype)
-    rho_max = jnp.asarray(alm.rho_max, x0.dtype)
-    gamma = jnp.asarray(alm.gamma, x0.dtype)
 
     def cond(carry):
         _, _, _, it, done, _ = carry

@@ -1,13 +1,13 @@
-"""Flattened dense-BFGS with Lewis-Overton weak-Wolfe line search.
+"""Flat one-eval-per-trip solvers (BFGS / L-BFGS / ALM-wrapped).
 
-Drop-in alternative to `solvers.lbfgs.lbfgs_minimize` for the back-end
+Drop-in alternatives to `solvers.lbfgs.lbfgs_minimize` for the back-end
 planner's small decision vectors (dim ~17 for N=6 pieces).  Same outer
 semantics as the reference optimizer (gcopter/lbfgs.hpp:440-751): weak
 Wolfe Lewis-Overton search (:276-390) with its fast exit, the cautious
-update gate, and the g_epsilon / past-delta convergence tests.  Two
+update gate, and the g_epsilon / past-delta convergence tests.  Three
 deliberate TPU-first departures:
 
-1. **One cost evaluation per loop iteration.**  The reference (and our
+1. **One cost evaluation per loop trip.**  The reference (and our
    `lbfgs_minimize`) nests the line search inside the iteration loop.
    Under `vmap`, JAX batches a `while_loop` by running its body until
    EVERY lane's condition is false -- so with nesting, every L-BFGS
@@ -18,14 +18,23 @@ deliberate TPU-first departures:
    its own eval count; the batch pays `max(total_evals)` instead of
    `sum_iters(max(ls_evals))`.
 
-2. **Dense inverse-Hessian instead of the two-loop recursion.**  The
-   two-loop over an m-slot ring buffer is 2m sequential dot/axpy steps
-   (m=64 in the planner profile -> 128 dependent tiny ops per iteration,
-   pure latency on the TensorCore).  At dim <= ~40 a dense H is exact
-   full-memory BFGS: the direction is one (n,n)@(n,) matvec and the
-   update three outer products -- a handful of MXU-friendly ops that
-   also vmap into large batched matmuls.  Full-memory BFGS converges at
-   least as fast as the 64-slot ring it replaces.
+2. **The ALM outer loop lives inside the same state machine**
+   (`alm_minimize`).  The reference restarts L-BFGS per multiplier
+   update (optimizer.cpp:376-418), which under vmap is another nesting
+   level: each outer trip bills `max_over_lanes(inner_evals)`, plus a
+   separate constraint-residual evaluation and a fresh f/g evaluation
+   per restart.  Here a finished inner solve transitions the lane's own
+   (lambda, rho) and the next trip doubles as the restart evaluation;
+   the constraint residual rides along as an aux output of the cost.
+
+3. **Optional dense inverse-Hessian** (`direction='dense'`) instead of
+   the two-loop recursion: at dim <= ~40, full-memory BFGS is one
+   (n,n)@(n,) matvec + three outer products -- MXU-friendly and free of
+   the 2m sequential dots.  NOTE: on the planner's heavily-penalized
+   nonsmooth costs the ring mode is the robust default -- dense BFGS
+   lacks L-BFGS's per-iteration gamma rescale and stalls under the
+   Lewis-Overton fast exit (measured ~1.2x worse final cost); it wins
+   on smooth well-scaled problems only.
 
 Statuses mirror lbfgs.py: 0 converged / 1 past-delta stop / 2 max
 iterations / -1 line-search failure.
@@ -47,6 +56,7 @@ class _S(NamedTuple):
     x: jnp.ndarray
     f: jnp.ndarray
     g: jnp.ndarray
+    aux: tuple               # aux outputs of fun at the accepted point
     # current direction + line-search state
     d: jnp.ndarray
     step: jnp.ndarray
@@ -64,28 +74,33 @@ class _S(NamedTuple):
     lm_ys: jnp.ndarray
     end: jnp.ndarray
     bound: jnp.ndarray
-    # bookkeeping
-    k: jnp.ndarray            # accepted iterations
+    # inner bookkeeping
+    k: jnp.ndarray            # accepted iterations, current inner solve
+    k_total: jnp.ndarray      # accepted iterations across outer restarts
     evals: jnp.ndarray        # total function evaluations
     pf: jnp.ndarray
-    done: jnp.ndarray
     status: jnp.ndarray
+    # outer (ALM) machine
+    ostate: tuple
+    outer: jnp.ndarray
+    reinit: jnp.ndarray       # next trip is a restart evaluation
+    done: jnp.ndarray
 
 
-def bfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams(),
-                  direction: str = "dense"):
-    """Minimize fun: x -> (f, grad).  Returns (x, f, status, n_iters).
+def _tsel(cond, a, b):
+    return jax.tree_util.tree_map(
+        lambda u, v: jnp.where(cond, u, v), a, b)
 
-    jit/vmap friendly; `n_iters` counts accepted iterations (line-search
-    evals excluded), matching lbfgs_minimize's counter.
 
-    direction='dense': full-memory BFGS inverse Hessian (best on smooth
-    well-scaled problems, e.g. QP-like costs).
-    direction='ring': the reference's exact L-BFGS two-loop over an
-    m-slot ring buffer with per-iteration gamma rescaling -- same
-    iterates as `lbfgs_minimize`, but in the flat one-eval-per-trip
-    loop (more robust on the planner's heavily-penalized nonsmooth
-    costs, where frozen-scale dense BFGS stalls under the fast exit).
+def _flat_minimize(fun, x0, params: LbfgsParams, direction,
+                   ostate0, outer_update, max_outer):
+    """Shared flat loop.  fun(x, ostate) -> (f, g, aux:tuple).
+
+    outer_update(ostate, x, aux) -> (ostate', outer_done: bool array).
+    The inner solve runs to its own convergence; then outer_update
+    fires; unless outer_done or `max_outer` reached, the next trip
+    re-evaluates at the current x under the new ostate and restarts the
+    inner solver (fresh memory / pf window / iteration counter).
     """
     p = params
     n = x0.shape[0]
@@ -96,47 +111,66 @@ def bfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams(),
 
     max_iter = p.max_iterations if p.max_iterations > 0 else p.hard_iter_cap
     max_iter = min(max_iter, p.hard_iter_cap)
-    # eval budget: flat loop bound.  A line search rarely exceeds a few
-    # evals on accepted steps; failures exit.  2x iter cap + slack is
-    # far beyond what the nested formulation could do useful work in.
-    max_evals = 2 * max_iter + 4 * p.max_linesearch
+    # global eval budget across all outer restarts
+    max_evals = max_outer * (2 * max_iter + 4 * p.max_linesearch)
 
-    f0, g0 = fun(x0)
+    f0, g0, aux0 = fun(x0, ostate0)
 
-    gnorm = jnp.max(jnp.abs(g0))
-    xnorm = jnp.max(jnp.abs(x0))
-    already = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
+    gnorm0 = jnp.max(jnp.abs(g0))
+    xnorm0 = jnp.max(jnp.abs(x0))
+    already = gnorm0 / jnp.maximum(1.0, xnorm0) < p.g_epsilon
 
     eye = jnp.eye(n, dtype=dtype)
     zero_i = jnp.zeros((), jnp.int32)
     init = _S(
-        x=x0, f=f0, g=g0, d=-g0,
+        x=x0, f=f0, g=g0, aux=aux0, d=-g0,
         step=1.0 / jnp.maximum(jnp.linalg.norm(g0), 1e-30),
         dginit=-hdot(g0, g0),
         mu=jnp.zeros((), dtype), nu=jnp.asarray(p.max_step, dtype),
         brackt=jnp.asarray(False), touched=jnp.asarray(False),
-        ls_iters=jnp.zeros((), jnp.int32),
+        ls_iters=zero_i,
         H=eye if dense else jnp.zeros((0, 0), dtype),
         first_update=jnp.asarray(True),
         lm_s=jnp.zeros((m if not dense else 0, n), dtype),
         lm_y=jnp.zeros((m if not dense else 0, n), dtype),
         lm_ys=jnp.ones((m if not dense else 0,), dtype),
         end=zero_i, bound=zero_i,
-        k=jnp.ones((), jnp.int32), evals=jnp.zeros((), jnp.int32),
+        k=jnp.ones((), jnp.int32), k_total=zero_i,
+        evals=zero_i,
         pf=jnp.full((past,), jnp.inf, dtype).at[0].set(f0),
-        done=jnp.logical_or(already, -hdot(g0, g0) >= 0.0),
         status=jnp.where(already, STATUS_CONVERGED, STATUS_MAXITER),
+        ostate=ostate0, outer=zero_i,
+        reinit=jnp.asarray(False),
+        done=jnp.logical_and(already, max_outer == 1),
     )
 
     def cond(s: _S):
         return jnp.logical_not(s.done)
 
     def body(s: _S):
-        x_new = s.x + s.step * s.d
-        f_new, g_new = fun(x_new)
+        x_trial = jnp.where(s.reinit, s.x, s.x + s.step * s.d)
+        f_new, g_new, aux_new = fun(x_trial, s.ostate)
         evals = s.evals + 1
         ls_iters = s.ls_iters + 1
 
+        # ============ restart-evaluation trip ============
+        re = _S(
+            x=s.x, f=f_new, g=g_new, aux=aux_new, d=-g_new,
+            step=1.0 / jnp.maximum(jnp.linalg.norm(g_new), 1e-30),
+            dginit=-hdot(g_new, g_new),
+            mu=jnp.zeros((), dtype), nu=jnp.asarray(p.max_step, dtype),
+            brackt=jnp.asarray(False), touched=jnp.asarray(False),
+            ls_iters=jnp.zeros((), jnp.int32),
+            H=eye if dense else s.H, first_update=jnp.asarray(True),
+            lm_s=jnp.zeros_like(s.lm_s), lm_y=jnp.zeros_like(s.lm_y),
+            lm_ys=jnp.ones_like(s.lm_ys),
+            end=jnp.zeros((), jnp.int32), bound=jnp.zeros((), jnp.int32),
+            k=jnp.ones((), jnp.int32), k_total=s.k_total, evals=evals,
+            pf=jnp.full((past,), jnp.inf, dtype).at[0].set(f_new),
+            status=s.status, ostate=s.ostate, outer=s.outer,
+            reinit=jnp.asarray(False), done=jnp.asarray(False))
+
+        # ============ normal trip ============
         bad = jnp.logical_not(jnp.isfinite(f_new))
         dgtest = p.f_dec_coeff * s.dginit
         dstest = p.s_curv_coeff * s.dginit
@@ -170,14 +204,14 @@ def bfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams(),
         ls_fail = jnp.logical_and(ls_fail, jnp.logical_not(accept))
 
         # --- accepted-step bookkeeping ---
-        s_vec = x_new - s.x
+        s_vec = x_trial - s.x
         y_vec = g_new - s.g
         ys = hdot(y_vec, s_vec)
         yy = hdot(y_vec, y_vec)
         cau = hdot(s_vec, s_vec) * jnp.linalg.norm(s.g) * p.cautious_factor
 
         gnorm = jnp.max(jnp.abs(g_new))
-        xnorm = jnp.max(jnp.abs(x_new))
+        xnorm = jnp.max(jnp.abs(x_trial))
         conv = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
         rate = (jnp.abs(s.pf[s.k % past] - f_new)
                 / jnp.maximum(1.0, jnp.abs(f_new)))
@@ -262,17 +296,32 @@ def bfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams(),
             bound = jnp.where(accept, bound, s.bound)
 
         evals_out = evals >= max_evals
-        done = ls_fail | (accept & finished) | evals_out
+        inner_done = ls_fail | (accept & finished)
         status = jnp.where(ls_fail, STATUS_LS_FAIL,
                    jnp.where(conv, STATUS_CONVERGED,
                     jnp.where(stop, STATUS_STOP, STATUS_MAXITER)))
-        status = jnp.where(done, status, s.status)
+        status = jnp.where(inner_done, status, s.status)
 
         def sel(a, b):
             return jnp.where(accept, a, b)
 
-        return _S(
-            x=sel(x_new, s.x), f=sel(f_new, s.f), g=sel(g_new, s.g),
+        x_acc = sel(x_trial, s.x)
+        f_acc = sel(f_new, s.f)
+        g_acc = sel(g_new, s.g)
+        aux_acc = _tsel(accept, aux_new, s.aux)
+
+        # --- outer transition on inner finish ---
+        ostate_next, outer_ok = outer_update(s.ostate, x_acc, aux_acc)
+        outer_next = s.outer + 1
+        outer_exhausted = outer_next >= max_outer
+        fire = inner_done
+        ostate_out = _tsel(fire, ostate_next, s.ostate)
+        outer_out = jnp.where(fire, outer_next, s.outer)
+        done = (fire & (outer_ok | outer_exhausted)) | evals_out
+        want_reinit = fire & jnp.logical_not(done)
+
+        nrm = _S(
+            x=x_acc, f=f_acc, g=g_acc, aux=aux_acc,
             d=sel(d_new, s.d),
             step=sel(jnp.ones((), dtype), step_next),
             dginit=sel(dginit_new, s.dginit),
@@ -283,11 +332,34 @@ def bfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams(),
             ls_iters=sel(jnp.zeros((), jnp.int32), ls_iters),
             H=H, first_update=first_update,
             lm_s=lm_s, lm_y=lm_y, lm_ys=lm_ys, end=end, bound=bound,
-            k=sel(s.k + 1, s.k), evals=evals,
+            k=sel(s.k + 1, s.k),
+            k_total=jnp.where(accept, s.k_total + 1, s.k_total),
+            evals=evals,
             pf=jnp.where(accept, s.pf.at[s.k % past].set(f_new), s.pf),
-            done=done, status=status)
+            status=status, ostate=ostate_out, outer=outer_out,
+            reinit=want_reinit, done=done)
+
+        return _tsel(s.reinit, re, nrm)
 
     out = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+def bfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams(),
+                  direction: str = "dense"):
+    """Minimize fun: x -> (f, grad).  Returns (x, f, status, n_iters).
+
+    jit/vmap friendly; `n_iters` counts accepted iterations (line-search
+    evals excluded), matching lbfgs_minimize's counter.
+    """
+    def fun2(x, _):
+        f, g = fun(x)
+        return f, g, ()
+
+    def no_outer(ostate, x, aux):
+        return ostate, jnp.asarray(True)
+
+    out = _flat_minimize(fun2, x0, params, direction, (), no_outer, 1)
     return out.x, out.f, out.status, out.k
 
 
@@ -295,3 +367,22 @@ def flat_lbfgs_minimize(fun: Callable, x0,
                         params: LbfgsParams = LbfgsParams()):
     """L-BFGS iterates in the flat one-eval-per-trip loop."""
     return bfgs_minimize(fun, x0, params, direction="ring")
+
+
+def alm_minimize(fun: Callable, x0, ostate0, outer_update,
+                 params: LbfgsParams = LbfgsParams(), max_outer: int = 10,
+                 direction: str = "ring"):
+    """Inner solver + ALM-style outer updates in ONE flat loop.
+
+    fun(x, ostate) -> (f, grad, aux) where aux is a tuple of arrays
+    (e.g. the constraint residual h, already computed by the cost).
+    outer_update(ostate, x, aux) -> (ostate', outer_done).  Fires each
+    time the inner solve finishes; the loop exits when outer_done or
+    after `max_outer` inner solves.  Mirrors the reference's ALM loop
+    (optimizer.cpp:376-418) without the per-outer vmap sync barriers.
+
+    Returns (x, f, aux, status, total_accepted_iters, n_outer).
+    """
+    out = _flat_minimize(fun, x0, params, direction, ostate0,
+                         outer_update, max_outer)
+    return out.x, out.f, out.aux, out.status, out.k_total, out.outer
