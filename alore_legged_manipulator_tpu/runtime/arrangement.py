@@ -36,6 +36,10 @@ class MissionReport:
     sim_time_s: float
     push_tracking_err_p95: float
     final_object_err: List[float]
+    # recorded when run(record_tracks=True): robot XY-theta samples and
+    # one pushed-object track per task (for utils/viz.mission_figure)
+    robot_track: Optional[np.ndarray] = None
+    object_tracks: Optional[List[np.ndarray]] = None
 
 
 @dataclass
@@ -65,7 +69,8 @@ class ArrangementMission:
         return float((np.abs(d).max(1)
                       + (np.sqrt(2) - 1) * np.abs(d).min(1)).sum()) * self.res
 
-    def run(self, robot_start, verbose: bool = False) -> MissionReport:
+    def run(self, robot_start, verbose: bool = False,
+            record_tracks: bool = False) -> MissionReport:
         pm = PlanManager(occ=self.occ.copy(), lower=self.lower, res=self.res,
                          cfg=self.pm_cfg)
         n = len(self.items)
@@ -93,6 +98,8 @@ class ArrangementMission:
         t_sim = 0.0
         push_errs: List[float] = []
         delivered = [False] * n
+        robot_track: List[np.ndarray] = []
+        object_tracks: List[np.ndarray] = []
 
         guard = 0
         while fsm.state != FsmState.DONE and guard < 20000:
@@ -111,6 +118,8 @@ class ArrangementMission:
                 robot[1] += rv[0] * np.sin(robot[2]) * self.robot_dt
                 robot[2] += rv[2] * self.robot_dt
                 t_sim += self.robot_dt
+                if record_tracks and guard % 5 == 0:
+                    robot_track.append(robot.copy())
 
             elif fsm.state == FsmState.WAIT_ROBOT_PATH:
                 # unlock the item area for approach (MapUpdateThread :526-533)
@@ -147,6 +156,8 @@ class ArrangementMission:
                 )(pm.tracked)
                 perr = np.asarray(res.pos_err)
                 push_errs.append(float(np.percentile(perr, 95)))
+                if record_tracks:
+                    object_tracks.append(np.asarray(res.xytheta))
                 final = np.asarray(res.xytheta[-1])
                 obj_poses[cur_i] = final.copy()
                 robot[:2] = final[:2] - 0.6 * np.array(
@@ -178,4 +189,7 @@ class ArrangementMission:
             delivered=delivered, order=item_order, sim_time_s=t_sim,
             push_tracking_err_p95=float(np.max(push_errs)) if push_errs
             else 0.0,
-            final_object_err=errs)
+            final_object_err=errs,
+            robot_track=(np.asarray(robot_track) if record_tracks
+                         and robot_track else None),
+            object_tracks=object_tracks if record_tracks else None)

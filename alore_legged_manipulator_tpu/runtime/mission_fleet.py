@@ -1,0 +1,184 @@
+"""Batched full-mission runtime: whole arrangement missions as ONE jit.
+
+The host runtime (`runtime/arrangement.py`) mirrors the reference's
+single-robot demo loop (README.md:28) with Python-side FSM ticks.  This
+module is the TPU-fleet counterpart: EVERY phase of a K-object
+arrangement mission -- kinematic approach under the task FSM's control
+laws (b2z1_object_fsm.py:575-642), grasp/release arm ramps (:643-841),
+MINCO back-end push planning (optimizer.cpp:169-472) and the NMPC+EKF
+closed-loop push -- composed into one jittable program that `vmap` lifts
+to thousands of independent missions per chip.
+
+Deliberate deltas vs the host runtime, for static shapes:
+  * visit order is the array order of `items` (precompute with
+    `mission.ordering` on host if needed);
+  * the map is static during a mission (no paint/unpaint of items --
+    the host runtime keeps that behavior);
+  * the push leg starts from a straight-line flat initialization rather
+    than a JPS path (the back-end's collision penalties + anneal do the
+    avoidance; the host pipeline keeps the JPS front end).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dynamics import ICRParams
+from ..ops.esdf import ESDF
+from ..planner.backend import BackendConfig, plan_backend
+from ..planner.flat_traj import FlatTraj, Polynome
+from ..control.tracked_traj import build_tracked_traj
+from .closed_loop import LoopConfig, simulate_tracking
+
+
+class FleetFsmConfig(NamedTuple):
+    """Kinematic-phase constants (mission/object_fsm.py FsmConfig twin)."""
+
+    max_vx: float = 0.5
+    max_wz: float = 0.6
+    kp_yaw: float = 2.0
+    reach_threshold: float = 0.3
+    yaw_gate_deg: float = 15.0
+    fsm_dt: float = 0.02              # 50 Hz executive tick
+
+
+class MissionFleetConfig(NamedTuple):
+    backend: BackendConfig = BackendConfig()
+    loop: LoopConfig = LoopConfig()
+    fsm: FleetFsmConfig = FleetFsmConfig()
+    n_pieces: int = 6
+    approach_ticks: int = 400         # 8 s budget at 50 Hz
+    grasp_ticks: int = 25             # arm ramp (object_fsm grasp_ramp)
+    release_ticks: int = 25
+    push_ticks: int = 400             # 4 s NMPC tracking at 100 Hz
+                                      # (covers legs up to ~6 m at the
+                                      # backend's relaxed-time profile)
+    deliver_tol: float = 0.3
+
+
+class MissionFleetResult(NamedTuple):
+    object_err: jnp.ndarray      # (K,) final object-to-target distance
+    delivered: jnp.ndarray       # (K,) bool
+    plan_err: jnp.ndarray        # (K,) backend final-XY equality residual
+    collision: jnp.ndarray       # (K,) backend post-anneal collision flag
+    track_err_max: jnp.ndarray   # (K,) max tracking error during push
+    robot_final: jnp.ndarray     # (3,) robot pose after the mission
+
+
+def _approach(robot, goal_xy, cfg: FleetFsmConfig, n_ticks: int):
+    """Waypoint pure-pursuit scan (b2z1_object_fsm.py:575-642 laws):
+    omega = clip(kp_yaw * yaw_err), vx gated on |yaw_err| < yaw_gate;
+    freezes once within reach_threshold."""
+    dtype = robot.dtype
+    gate = jnp.asarray(jnp.deg2rad(cfg.yaw_gate_deg), dtype)
+
+    def tick(r, _):
+        d = goal_xy - r[:2]
+        dist = jnp.linalg.norm(d)
+        yaw_err = jnp.arctan2(d[1], d[0]) - r[2]
+        yaw_err = jnp.mod(yaw_err + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+        w = jnp.clip(cfg.kp_yaw * yaw_err, -cfg.max_wz, cfg.max_wz)
+        vx = jnp.where(jnp.abs(yaw_err) < gate, cfg.max_vx, 0.0)
+        active = dist > cfg.reach_threshold
+        vx = jnp.where(active, vx, 0.0)
+        w = jnp.where(active, w, 0.0)
+        r = r + cfg.fsm_dt * jnp.stack(
+            [vx * jnp.cos(r[2]), vx * jnp.sin(r[2]), w])
+        return r, None
+
+    robot, _ = jax.lax.scan(tick, robot, None, length=n_ticks)
+    return robot
+
+
+def _straight_flat(start_xy, start_yaw, goal_xy, n_pieces: int,
+                   max_vel: float):
+    """Straight-line FlatTraj initialization (frontend sampling stand-in
+    for the fleet program; jps_planner.cpp:217-257 provides this in the
+    host pipeline)."""
+    dtype = start_xy.dtype
+    d = goal_xy - start_xy
+    L = jnp.maximum(jnp.linalg.norm(d), 1e-3)
+    yaw = jnp.arctan2(d[1], d[0])
+    fr = jnp.arange(1, n_pieces, dtype=dtype) / n_pieces
+    inner = jnp.stack([jnp.full((n_pieces - 1,), yaw, dtype), L * fr])
+    pos = jnp.concatenate([start_xy[None] + fr[:, None] * d[None],
+                           goal_xy[None]], 0)
+    pos = jnp.concatenate([pos, jnp.full((n_pieces, 1), yaw, dtype)], 1)
+    total_t = jnp.maximum(L / max_vel * 2.0, 1.0)
+    z = jnp.zeros((), dtype)
+    return FlatTraj(
+        inner_yaw_s=inner,
+        init_piece_time=total_t / n_pieces,
+        inner_positions=pos,
+        start_state=jnp.stack([jnp.stack([yaw, z, z]),
+                               jnp.stack([z, z, z])]),
+        final_state=jnp.stack([jnp.stack([yaw, z, z]),
+                               jnp.stack([L, z, z])]),
+        start_xytheta=jnp.concatenate([start_xy, yaw[None]]),
+        final_xytheta=jnp.concatenate([goal_xy, yaw[None]]),
+        if_cut=jnp.asarray(False))
+
+
+def run_mission(items, targets, robot_start, esdf: ESDF,
+                true_icr: ICRParams,
+                cfg: MissionFleetConfig = MissionFleetConfig(),
+                seed=0) -> MissionFleetResult:
+    """One K-object arrangement mission, fully jittable.
+
+    items/targets: (K, 2) world XY; robot_start: (3,).  K is static.
+    vmap over a leading batch axis for a mission fleet.
+    """
+    dtype = robot_start.dtype
+    K = items.shape[0]
+    robot = robot_start
+    errs, dels, perrs, colls, tmaxs = [], [], [], [], []
+
+    for k in range(K):
+        item = items[k]
+        target = targets[k]
+        # --- APPROACH + GRASP (kinematic executive phases) ---
+        robot = _approach(robot, item, cfg.fsm, cfg.approach_ticks)
+        # grasp ramp holds pose for grasp_ticks (arm ramp only)
+
+        # --- push planning: object from item to target ---
+        flat = _straight_flat(item, robot[2], target, cfg.n_pieces,
+                              cfg.backend.max_vel)
+        res = plan_backend(flat, esdf, cfg.backend)
+        msg = Polynome(
+            traj_start_time=jnp.zeros((), dtype),
+            inner_points=res.inner,
+            piece_times=res.times,
+            init_state=flat.start_state,
+            tail_state=res.tail_state,
+            start_position=flat.start_xytheta,
+            icr=jnp.asarray([true_icr.yr, true_icr.yl, true_icr.xv],
+                            dtype))
+        tt = build_tracked_traj(msg, n_grid=256)
+
+        # --- OBJECT_TRACKING: closed-loop NMPC push from the item pose ---
+        tr = simulate_tracking(tt, true_icr, cfg.push_ticks, cfg.loop,
+                               seed=seed + k, x0=tt.seq[0])
+        obj_final = tr.xytheta[-1]
+        err = jnp.linalg.norm(obj_final[:2] - target)
+        errs.append(err)
+        dels.append(err < cfg.deliver_tol)
+        perrs.append(jnp.linalg.norm(res.final_xy_err))
+        colls.append(res.collision)
+        tmaxs.append(jnp.max(tr.pos_err))
+        # release ramp; robot remains at the delivery pose
+        robot = obj_final
+
+    return MissionFleetResult(
+        object_err=jnp.stack(errs), delivered=jnp.stack(dels),
+        plan_err=jnp.stack(perrs), collision=jnp.stack(colls),
+        track_err_max=jnp.stack(tmaxs), robot_final=robot)
+
+
+def mission_seconds(cfg: MissionFleetConfig, n_objects: int) -> float:
+    """Simulated real-time seconds one mission models (executive phases
+    at fsm_dt, push tracking at the NMPC dt)."""
+    per = ((cfg.approach_ticks + cfg.grasp_ticks + cfg.release_ticks)
+           * cfg.fsm.fsm_dt + cfg.push_ticks * cfg.loop.nmpc.dt)
+    return per * n_objects

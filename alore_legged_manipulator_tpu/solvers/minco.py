@@ -200,10 +200,17 @@ def minco_coeffs(head, tail, inner, times):
             head[None, :, 0], head[None, :, 1], head[None, :, 2],
             tail[None, :, 0], tail[None, :, 1], tail[None, :, 2], times)
 
-    A, b, p = _reduced_system(head, tail, inner, times)
-    u = jnp.linalg.solve(A, b)                       # (2m, 2)
-    v_in = u[0::2]                                   # (m, 2)
-    a_in = u[1::2]
+    if n - 1 >= CR_MIN_JOINTS:
+        # horizon-parallel path: block cyclic reduction, O(log N) depth
+        D, L, U, rhs, p = _reduced_blocks(head, tail, inner, times)
+        u = solve_block_tridiag_cr(D, L, U, rhs)     # (m, 2, 2)
+        v_in = u[:, 0, :]
+        a_in = u[:, 1, :]
+    else:
+        A, b, p = _reduced_system(head, tail, inner, times)
+        u = jnp.linalg.solve(A, b)                   # (2m, 2)
+        v_in = u[0::2]                               # (m, 2)
+        a_in = u[1::2]
 
     v = jnp.concatenate([head[:, 1][None], v_in, tail[:, 1][None]], 0)
     a = jnp.concatenate([head[:, 2][None], a_in, tail[:, 2][None]], 0)
@@ -276,6 +283,163 @@ def _reduced_system(head, tail, inner, times):
     b = b.at[rj].set(rhs_j)
     b = b.at[rs].set(rhs_s)
     return A, b, p
+
+
+# number of interior joints at which the cyclic-reduction path takes
+# over from the small dense solve (CR depth log2(m) beats the LU's m
+# sequential pivot steps once m is non-trivial)
+CR_MIN_JOINTS = 16
+
+
+def _reduced_blocks(head, tail, inner, times):
+    """The jerk/snap continuity system in block-tridiagonal form.
+
+    Returns (D, L, U, rhs, p): diagonal/sub/super 2x2 blocks of shape
+    (m, 2, 2) (L[0] and U[m-1] are zero -- their couplings are the known
+    head/tail states, already folded into rhs), rhs (m, 2, n_out), and
+    the (N+1, 2) joint positions.  Same equations as _reduced_system;
+    this layout feeds the O(log N)-depth cyclic-reduction solve.
+    """
+    p = jnp.concatenate([head[:, 0][None, :], inner.T,
+                         tail[:, 0][None, :]], axis=0)
+    dp = p[1:] - p[:-1]
+
+    L_t = times[:-1]
+    R_t = times[1:]
+    Li = 1.0 / L_t
+    Ri = 1.0 / R_t
+    Li2, Ri2 = Li * Li, Ri * Ri
+    Li3, Ri3 = Li2 * Li, Ri2 * Ri
+    dpL = dp[:-1]
+    dpR = dp[1:]
+
+    m = times.shape[0] - 1
+    zeros = jnp.zeros_like(Li)
+    D = jnp.stack([
+        jnp.stack([36.0 * Ri2 - 36.0 * Li2, 9.0 * Li + 9.0 * Ri], -1),
+        jnp.stack([-192.0 * Li3 - 192.0 * Ri3, 36.0 * Li2 - 36.0 * Ri2],
+                  -1)], -2)                                  # (m, 2, 2)
+    Lb = jnp.stack([
+        jnp.stack([-24.0 * Li2, -3.0 * Li], -1),
+        jnp.stack([-168.0 * Li3, -24.0 * Li2], -1)], -2)
+    Ub = jnp.stack([
+        jnp.stack([24.0 * Ri2, -3.0 * Ri], -1),
+        jnp.stack([-168.0 * Ri3, 24.0 * Ri2], -1)], -2)
+    Lb = Lb.at[0].set(0.0)
+    Ub = Ub.at[m - 1].set(0.0)
+
+    rhs_j = -60.0 * dpL * Li3[:, None] + 60.0 * dpR * Ri3[:, None]
+    rhs_s = -360.0 * dpL * (Li3 * Li)[:, None] \
+        - 360.0 * dpR * (Ri3 * Ri)[:, None]
+    rhs_j = rhs_j.at[0].add(24.0 * Li2[0] * head[:, 1]
+                            + 3.0 * Li[0] * head[:, 2])
+    rhs_s = rhs_s.at[0].add(168.0 * Li3[0] * head[:, 1]
+                            + 24.0 * Li2[0] * head[:, 2])
+    rhs_j = rhs_j.at[-1].add(-24.0 * Ri2[-1] * tail[:, 1]
+                             + 3.0 * Ri[-1] * tail[:, 2])
+    rhs_s = rhs_s.at[-1].add(168.0 * Ri3[-1] * tail[:, 1]
+                             - 24.0 * Ri2[-1] * tail[:, 2])
+    rhs = jnp.stack([rhs_j, rhs_s], -2)                      # (m, 2, n_out)
+    return D, Lb, Ub, rhs, p
+
+
+def _inv2(M):
+    """Batched closed-form 2x2 inverse."""
+    a = M[..., 0, 0]
+    b = M[..., 0, 1]
+    c = M[..., 1, 0]
+    d = M[..., 1, 1]
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) > 1e-300, det,
+                    jnp.sign(det) * 1e-300 + (det == 0) * 1e-300)
+    inv = jnp.stack([jnp.stack([d, -b], -1),
+                     jnp.stack([-c, a], -1)], -2)
+    return inv / det[..., None, None]
+
+
+def solve_block_tridiag_cr(D, L, U, b):
+    """Block cyclic reduction for a block-tridiagonal system.
+
+    D, L, U: (m, k, k) diagonal / sub / super blocks (L[0], U[m-1]
+    ignored); b: (m, k, nrhs).  Returns x: (m, k, nrhs).
+
+    This is the spline layer's "sequence parallelism" (SURVEY §5): the
+    reference solves its banded MINCO system with a strictly sequential
+    LU over 6N rows (minco.hpp:99-199); here each reduction level
+    eliminates all odd blocks at once as batched k x k matmuls, so the
+    solve has O(log N) sequential depth and every level is one fused
+    batched op -- horizons scale on-chip.  Also jit/vmap/AD friendly
+    (pure jnp, no pivoting; the MINCO continuity blocks are far from
+    singular at physical piece times).
+    """
+    m, k, _ = D.shape
+    nrhs = b.shape[-1]
+    # pad to 2^ceil(log2(m)) with decoupled identity blocks
+    m2 = 1
+    while m2 < m:
+        m2 *= 2
+    pad = m2 - m
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(k, dtype=D.dtype), (pad, k, k))
+        D = jnp.concatenate([D, eye], 0)
+        L = jnp.concatenate([L, jnp.zeros_like(eye)], 0)
+        U = jnp.concatenate([U, jnp.zeros_like(eye)], 0)
+        b = jnp.concatenate(
+            [b, jnp.zeros((pad, k, nrhs), b.dtype)], 0)
+
+    levels = []
+    while D.shape[0] > 1:
+        n_cur = D.shape[0]
+        De, Le, Ue, be = D[0::2], L[0::2], U[0::2], b[0::2]
+        Do, Lo, Uo, bo = D[1::2], L[1::2], U[1::2], b[1::2]
+        levels.append((De, Le, Ue, be, Do, Lo, Uo, bo))
+        Doi = _inv2(Do) if k == 2 else jnp.linalg.inv(Do)
+
+        # even equation i couples odd neighbors i-1 (= odd index i//2 - 1
+        # ... in the halved arrays: odd block below even j is o[j-1],
+        # above is o[j])
+        LDo = jnp.einsum("mij,mjk->mik", Le, Doi)   # uses o[j-1]: shift
+        UDo = jnp.einsum("mij,mjk->mik", Ue, Doi)   # uses o[j]
+        # shift helpers: for even j, below-odd = odd[j-1], above-odd = odd[j]
+        Doi_below = jnp.roll(Doi, 1, axis=0)
+        Lo_below = jnp.roll(Lo, 1, axis=0)
+        Uo_below = jnp.roll(Uo, 1, axis=0)
+        bo_below = jnp.roll(bo, 1, axis=0)
+        LDb = jnp.einsum("mij,mjk->mik", Le, Doi_below)
+        D_new = (De
+                 - jnp.einsum("mij,mjk->mik", LDb, Uo_below)
+                 - jnp.einsum("mij,mjk->mik", UDo, Lo))
+        L_new = -jnp.einsum("mij,mjk->mik", LDb, Lo_below)
+        U_new = -jnp.einsum("mij,mjk->mik", UDo, Uo)
+        b_new = (be
+                 - jnp.einsum("mij,mjr->mir", LDb, bo_below)
+                 - jnp.einsum("mij,mjr->mir", UDo, bo))
+        # first even block has no below-odd; roll wrapped garbage there
+        D_new = D_new.at[0].set(
+            De[0] - jnp.einsum("ij,jk->ik", UDo[0], Lo[0]))
+        L_new = L_new.at[0].set(0.0)
+        b_new = b_new.at[0].set(
+            be[0] - jnp.einsum("ij,jr->ir", UDo[0], bo[0]))
+        D, L, U, b = D_new, L_new, U_new, b_new
+
+    x = jnp.linalg.solve(D[0], b[0])[None]           # (1, k, nrhs)
+
+    for De, Le, Ue, be, Do, Lo, Uo, bo in reversed(levels):
+        Doi = _inv2(Do) if k == 2 else jnp.linalg.inv(Do)
+        # odd j sits between even j and even j+1 (x_e[j], x_e[j+1])
+        n_e = De.shape[0]
+        xe = x                                        # (n_e, k, nrhs)
+        xe_above = jnp.concatenate(
+            [xe[1:], jnp.zeros_like(xe[:1])], 0)
+        rhs_o = (bo
+                 - jnp.einsum("mij,mjr->mir", Lo, xe)
+                 - jnp.einsum("mij,mjr->mir", Uo, xe_above))
+        xo = jnp.einsum("mij,mjr->mir", Doi, rhs_o)
+        # interleave even/odd back
+        x = jnp.stack([xe, xo], 1).reshape(2 * n_e, x.shape[-2],
+                                           x.shape[-1])
+
+    return x[:m]
 
 
 def minco_traj(head, tail, inner, times) -> PolyTraj:

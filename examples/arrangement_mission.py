@@ -21,6 +21,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--objects", type=int, default=3)
+    ap.add_argument("--plot", type=str, default=None,
+                    help="save a mission-overview figure PNG to this path")
     args = ap.parse_args()
 
     from alore_legged_manipulator_tpu.runtime.arrangement import (
@@ -35,7 +37,8 @@ def main():
                                  items=items, targets=targets)
     print(f"mission: {len(items)} objects; running full stack...")
     t0 = time.time()
-    rep = mission.run(robot_start=(5.0, 1.0, 1.57), verbose=True)
+    rep = mission.run(robot_start=(5.0, 1.0, 1.57), verbose=True,
+                      record_tracks=bool(args.plot))
     wall = time.time() - t0
 
     print(f"\norder: {rep.order}")
@@ -45,6 +48,16 @@ def main():
     print(f"push tracking err p95 (worst task): "
           f"{rep.push_tracking_err_p95:.3f} m")
     print(f"simulated {rep.sim_time_s:.1f} s of mission in {wall:.1f} s wall")
+    if args.plot:
+        from alore_legged_manipulator_tpu.utils import viz
+
+        fig = viz.mission_figure(
+            occ, (0.0, 0.0), 0.1,
+            items=np.asarray(items)[:, :2], targets=np.asarray(targets)[:, :2],
+            object_tracks=rep.object_tracks, robot_track=rep.robot_track)
+        viz.save_figure(fig, args.plot)
+        print(f"figure saved to {args.plot}")
+
     assert all(rep.delivered), "mission incomplete!"
     print("MISSION COMPLETE")
 

@@ -1,0 +1,97 @@
+"""Whole arrangement missions per chip: the fleet-scale headline.
+
+Each mission is the COMPLETE multi-object loop the reference demos on
+one robot (README.md:28 -- 32 chairs in ~40 min): per object, a
+kinematic FSM approach (b2z1_object_fsm.py control laws), grasp ramp, a
+full MINCO back-end push plan, the NMPC+EKF closed-loop push at
+reference rates, release.  `runtime/mission_fleet.py` composes all of
+it into one jitted program; this bench vmaps it over a randomized
+mission fleet.
+
+Run:  FLEET=256 OBJECTS=3 python examples/bench_mission_fleet.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.runtime.mission_fleet import (
+        MissionFleetConfig, mission_seconds, run_mission)
+
+    B = int(os.environ.get("FLEET", "256"))
+    K = int(os.environ.get("OBJECTS", "3"))
+    dtype = jnp.float32
+
+    occ = np.zeros((80, 80), bool)
+    occ[30:40, 44:50] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+    cfg = MissionFleetConfig(approach_ticks=700, push_ticks=550)
+
+    rng = np.random.default_rng(0)
+    # items on the left, targets on the right with bounded lateral
+    # offset: legs are 3-6.3 m, within the push-tick time budget
+    # (duration = 2L/3 s at the backend's relaxed profile)
+    items = np.stack([rng.uniform(1.0, 2.5, (B, K)),
+                      rng.uniform(1.0, 7.0, (B, K))], -1)
+    ty = np.clip(items[..., 1] + rng.uniform(-1.5, 1.5, (B, K)), 1.0, 7.0)
+    targets = np.stack([rng.uniform(5.5, 7.0, (B, K)), ty], -1)
+    robot0 = np.tile(np.array([1.0, 4.0, 0.0], np.float32), (B, 1))
+
+    @jax.jit
+    def fleet(items, targets, robot0):
+        def one(i, t, r):
+            res = run_mission(i, t, r, esdf, icr, cfg)
+            return (res.object_err, res.delivered, res.collision,
+                    res.track_err_max)
+        return jax.vmap(one)(items, targets, robot0)
+
+    ij = jnp.asarray(items, dtype)
+    tj = jnp.asarray(targets, dtype)
+    rj = jnp.asarray(robot0, dtype)
+
+    t0 = time.perf_counter()
+    out = fleet(ij, tj, rj)
+    float(out[0].sum())
+    first = time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fleet(ij, tj, rj)
+        float(out[0].sum())
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+
+    err = np.asarray(out[0])
+    delivered = np.asarray(out[1])
+    sim_s = mission_seconds(cfg, K)
+    missions_per_s = B / med
+    print(json.dumps({
+        "metric": "full_missions_per_s_per_chip",
+        "fleet": B,
+        "objects_per_mission": K,
+        "missions_per_s": round(missions_per_s, 1),
+        "objects_per_s": round(missions_per_s * K, 1),
+        "sim_seconds_per_mission": round(sim_s, 1),
+        "aggregate_realtime_x": round(missions_per_s * sim_s, 1),
+        "delivered_frac": float(delivered.mean()),
+        "object_err_p95_m": round(float(np.percentile(err, 95)), 4),
+        "first_call_s": round(first, 1),
+        "ms_per_fleet_call": round(med * 1e3, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,57 @@ def test_reduced_solve_matches_dense_layout(n_pieces):
     b = minco.minco_coeffs_dense(head, tail, inner, times)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-8, atol=1e-8)
+
+
+def test_block_cyclic_reduction_matches_dense():
+    """solve_block_tridiag_cr == dense solve on random well-conditioned
+    block-tridiagonal systems, any m (incl. non-powers-of-two)."""
+    rng = np.random.default_rng(1)
+    for m in (1, 2, 3, 5, 8, 16, 31):
+        D = rng.normal(size=(m, 2, 2)) + 4 * np.eye(2)
+        L = rng.normal(size=(m, 2, 2)) * 0.3
+        U = rng.normal(size=(m, 2, 2)) * 0.3
+        L[0] = 0.0
+        U[-1] = 0.0
+        b = rng.normal(size=(m, 2, 2))
+        A = np.zeros((2 * m, 2 * m))
+        for j in range(m):
+            A[2 * j:2 * j + 2, 2 * j:2 * j + 2] = D[j]
+            if j > 0:
+                A[2 * j:2 * j + 2, 2 * j - 2:2 * j] = L[j]
+            if j < m - 1:
+                A[2 * j:2 * j + 2, 2 * j + 2:2 * j + 4] = U[j]
+        ref = np.linalg.solve(A, b.reshape(2 * m, 2)).reshape(m, 2, 2)
+        x = minco.solve_block_tridiag_cr(
+            *[jnp.asarray(z) for z in (D, L, U, b)])
+        np.testing.assert_allclose(np.asarray(x), ref, atol=1e-12)
+
+
+def test_large_horizon_cr_path_matches_dense_layout():
+    """N > CR_MIN_JOINTS pieces route through cyclic reduction; the
+    spline must match the reference-layout solve (the horizon-parallel
+    'sequence parallelism' requirement of SURVEY §5)."""
+    for n in (17, 33):
+        key = jax.random.PRNGKey(100 + n)
+        head, tail, inner, times = _random_problem(key, n)
+        assert n - 1 >= minco.CR_MIN_JOINTS
+        a = minco.minco_coeffs(head, tail, inner, times)
+        b = minco.minco_coeffs_dense(head, tail, inner, times)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-7)
+
+
+def test_cr_path_is_differentiable():
+    n = 17
+    key = jax.random.PRNGKey(7)
+    head, tail, inner, times = _random_problem(key, n)
+
+    def obj(tt):
+        c = minco.minco_coeffs(head, tail, inner, tt)
+        return jnp.sum(c ** 2)
+
+    g = jax.grad(obj)(times)
+    assert np.all(np.isfinite(np.asarray(g)))
+    eps = 1e-6
+    fd = (obj(times.at[3].add(eps)) - obj(times.at[3].add(-eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g[3]), float(fd), rtol=1e-4)

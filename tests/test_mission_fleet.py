@@ -1,0 +1,87 @@
+"""Batched jitted arrangement missions (runtime/mission_fleet.py).
+
+The fleet program must deliver multi-object missions end-to-end (FSM
+approach -> backend push plan -> NMPC+EKF closed-loop push) and agree
+with the host runtime's semantics: objects reach their targets, no
+collisions, robot chains between objects.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+from alore_legged_manipulator_tpu.runtime.mission_fleet import (
+    FleetFsmConfig, MissionFleetConfig, _approach, mission_seconds,
+    run_mission)
+
+ICR = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+
+
+def _esdf():
+    occ = np.zeros((80, 80), bool)
+    occ[30:40, 44:50] = True
+    return esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+
+
+def _small_cfg():
+    # f64 under the test conftest; keep tick counts modest for runtime
+    return MissionFleetConfig(approach_ticks=300, push_ticks=400)
+
+
+@pytest.mark.slow
+def test_two_object_mission_delivers():
+    esdf = _esdf()
+    items = jnp.asarray([[2.0, 2.0], [5.0, 6.5]], jnp.float64)
+    targets = jnp.asarray([[6.5, 2.0], [2.0, 6.5]], jnp.float64)
+    robot0 = jnp.asarray([1.0, 4.0, 0.0], jnp.float64)
+    cfg = _small_cfg()
+    res = jax.jit(lambda i, t, r: run_mission(i, t, r, esdf, ICR, cfg))(
+        items, targets, robot0)
+    assert bool(res.delivered.all())
+    assert not bool(res.collision.any())
+    # the push tracking is cm-level; delivery should be much better than
+    # the 0.3 m tolerance
+    assert float(res.object_err.max()) < 0.1
+    # robot ends where the last object was delivered
+    np.testing.assert_allclose(np.asarray(res.robot_final[:2]),
+                               np.asarray(targets[1]), atol=0.1)
+
+
+@pytest.mark.slow
+def test_vmapped_fleet_matches_single():
+    esdf = _esdf()
+    cfg = _small_cfg()
+    items = jnp.asarray([[[2.0, 2.5]], [[2.2, 5.5]]], jnp.float64)
+    targets = jnp.asarray([[[6.0, 2.5]], [[6.2, 5.5]]], jnp.float64)
+    robot0 = jnp.tile(jnp.asarray([1.0, 4.0, 0.0], jnp.float64), (2, 1))
+
+    batched = jax.jit(jax.vmap(
+        lambda i, t, r: run_mission(i, t, r, esdf, ICR, cfg)))(
+            items, targets, robot0)
+    single = jax.jit(lambda i, t, r: run_mission(i, t, r, esdf, ICR, cfg))(
+        items[1], targets[1], robot0[1])
+    np.testing.assert_allclose(np.asarray(batched.object_err[1]),
+                               np.asarray(single.object_err), atol=1e-9)
+    assert bool(batched.delivered.all())
+
+
+def test_approach_reaches_and_freezes():
+    cfg = FleetFsmConfig()
+    robot = jnp.asarray([0.0, 0.0, 2.5], jnp.float64)   # facing away
+    goal = jnp.asarray([2.0, -1.0], jnp.float64)
+    out = _approach(robot, goal, cfg, 600)
+    dist = float(jnp.linalg.norm(out[:2] - goal))
+    assert dist <= cfg.reach_threshold + cfg.max_vx * cfg.fsm_dt
+    # more ticks change nothing once frozen
+    out2 = _approach(out, goal, cfg, 100)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-12)
+
+
+def test_mission_seconds_accounting():
+    cfg = MissionFleetConfig()
+    s = mission_seconds(cfg, 3)
+    per = (cfg.approach_ticks + cfg.grasp_ticks + cfg.release_ticks) * 0.02 \
+        + cfg.push_ticks * 0.01
+    assert abs(s - 3 * per) < 1e-9
