@@ -117,40 +117,62 @@ def box_qp_pncg_op(matvec, diag_h, g, lb, ub, z0=None, iters: int = 6,
             return free * matvec(free * p) + (1.0 - free) * p + reg * p
 
         b = -grad * free
-        # Jacobi-preconditioned CG
+        # Jacobi-preconditioned CG.  The loop also accumulates
+        # hx = M @ x alongside x (one extra AXPY per trip, no extra
+        # matvec): the final M @ dz is what the line search needs.
         minv = free / diagH + (1.0 - free)
 
         def cg_body(_, state):
-            x, r, p, rz = state
+            x, hx, r, p, rz = state
             Ap = mv(p)
             denom = hdot(p, Ap)
             alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
             x = x + alpha * p
+            hx = hx + alpha * Ap
             r = r - alpha * Ap
             znew = minv * r
             rz_new = hdot(r, znew)
             beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
             p = znew + beta * p
-            return x, r, p, rz_new
+            return x, hx, r, p, rz_new
 
         x0 = jnp.zeros_like(b)
         r0 = b
         p0 = minv * r0
         rz0 = hdot(r0, p0)
-        dz, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
-                                        (x0, r0, p0, rz0))
+        dz, m_dz, _, _, _ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (x0, jnp.zeros_like(b), r0, p0, rz0))
 
-        # projected backtracking (8 fixed candidates, pick the best)
+        # Projected line search on the EXACT quadratic.  f is quadratic,
+        # so for a clipped candidate zt = clip(z + a*dz):
+        #   f(zt) - f(z) = grad'd + 0.5 d'Hd,  d = zt - z
+        # -- one matvec per candidate, and no f(z) matvec at all.  The
+        # unclipped 1-D minimizer a* = -grad'dz / dz'(M dz) falls out of
+        # the CG-accumulated M dz for free; candidates {1, a*, 1/2, 1/8}
+        # cover full Newton, CG-truncation scaling, and the mid-range
+        # steps that drive cold-start active-set identification (without
+        # 1/2 the search cycles on heavily clipped cold starts -- the
+        # candidate sweep is recorded in ROOFLINE.md).  The previous
+        # 8-halvings search paid 9 full objective matvecs per Newton
+        # iteration for the same monotone accept -- the dominant cost of
+        # the whole QP.
+        gTdz = hdot(grad, dz)
+        dzMdz = hdot(dz, m_dz)
+        a_star = -gTdz / jnp.where(jnp.abs(dzMdz) > 1e-30, dzMdz, 1e-30)
+        a_star = jnp.clip(a_star, 0.0, 1.0)
+        alphas = jnp.stack([jnp.ones_like(a_star), a_star,
+                            jnp.full_like(a_star, 0.5),
+                            jnp.full_like(a_star, 0.125)])
+
         def try_step(alpha):
             zt = jnp.clip(z + alpha * dz, lb, ub)
-            f = 0.5 * hdot(zt, matvec(zt)) + hdot(g, zt)
-            return zt, f
+            d = zt - z
+            df = hdot(grad, d) + 0.5 * hdot(d, matvec(d))
+            return zt, df
 
-        f_cur = 0.5 * hdot(z, matvec(z)) + hdot(g, z)
-        alphas = 2.0 ** -jnp.arange(8, dtype=dtype)
-        zts, fs = jax.vmap(try_step)(alphas)
-        best = jnp.argmin(fs)
-        return jnp.where(fs[best] < f_cur, zts[best], z)
+        zts, dfs = jax.vmap(try_step)(alphas)
+        best = jnp.argmin(dfs)
+        return jnp.where(dfs[best] < 0.0, zts[best], z)
 
     return jax.lax.fori_loop(0, iters, newton_iter, z)
 
