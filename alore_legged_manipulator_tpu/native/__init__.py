@@ -20,6 +20,11 @@ _lock = threading.Lock()
 _lib = None
 
 
+_BUS_LIB_PATH = os.path.join(_DIR, "libalorebus.so")
+_BUS_SRC_PATH = os.path.join(_DIR, "bus.cpp")
+_bus_lib = None
+
+
 def _build() -> None:
     subprocess.run(
         ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC_PATH],
@@ -48,3 +53,51 @@ def load_jps():
         ]
         _lib = lib
         return _lib
+
+
+def load_bus():
+    """Load (building if needed) the native UDP bus library; returns the
+    ctypes handle with argtypes configured, or raises RuntimeError."""
+    global _bus_lib
+    c = ctypes
+    with _lock:
+        if _bus_lib is not None:
+            return _bus_lib
+        if (not os.path.exists(_BUS_LIB_PATH)
+                or os.path.getmtime(_BUS_LIB_PATH)
+                < os.path.getmtime(_BUS_SRC_PATH)):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-pthread", "-o", _BUS_LIB_PATH, _BUS_SRC_PATH],
+                    check=True, capture_output=True)
+            except (subprocess.CalledProcessError, FileNotFoundError) as e:
+                err = getattr(e, "stderr", b"")
+                raise RuntimeError(
+                    f"native bus build failed: {e}\n{err}") from e
+        lib = c.CDLL(_BUS_LIB_PATH)
+        lib.alore_bus_create.restype = c.c_void_p
+        lib.alore_bus_create.argtypes = [c.c_char_p, c.c_int,
+                                         c.POINTER(c.c_int)]
+        lib.alore_bus_add_peer.restype = c.c_int
+        lib.alore_bus_add_peer.argtypes = [c.c_void_p, c.c_char_p, c.c_int]
+        lib.alore_bus_publish.restype = c.c_int
+        lib.alore_bus_publish.argtypes = [
+            c.c_void_p, c.c_char_p, c.c_char, c.c_int,
+            c.POINTER(c.c_uint32), c.c_void_p, c.c_longlong]
+        lib.alore_bus_poll.restype = c.c_longlong
+        lib.alore_bus_poll.argtypes = [
+            c.c_void_p, c.c_int, c.c_char_p, c.c_int,
+            c.POINTER(c.c_char), c.POINTER(c.c_int),
+            c.POINTER(c.c_uint32), c.c_int, c.c_void_p, c.c_longlong]
+        lib.alore_bus_latest.restype = c.c_longlong
+        lib.alore_bus_latest.argtypes = [
+            c.c_void_p, c.c_char_p,
+            c.POINTER(c.c_char), c.POINTER(c.c_int),
+            c.POINTER(c.c_uint32), c.c_int, c.c_void_p, c.c_longlong]
+        lib.alore_bus_dropped.restype = c.c_uint64
+        lib.alore_bus_dropped.argtypes = [c.c_void_p]
+        lib.alore_bus_close.restype = None
+        lib.alore_bus_close.argtypes = [c.c_void_p]
+        _bus_lib = lib
+        return _bus_lib
