@@ -10,11 +10,14 @@ update on (decimated) pose observations with H = [I3 0]
 (get_update_x, :210-222) including yaw unwrapping toward the current
 estimate (:68-69).
 
-The covariance propagation follows the reference literally:
-    P <- F' P F + L dt Q L' dt          (icrekf.cpp:205)
-(note the F'PF order -- the reference's own comment shows the textbook
-F P F' variant commented out; we keep the shipped behavior for parity
-and because for this near-identity F the difference is second-order).
+The covariance propagation is the textbook P <- J P J' + L dt Q L' dt.
+A storage-convention trap in the reference, decoded: icrekf.cpp:205
+reads `conv = F.transpose() * conv * F`, which LOOKS like the
+wrong-order F'PF -- but the reference's hand-written F is stored
+TRANSPOSED (e.g. F(3,0) = d f_0 / d yr, icrekf.cpp:122: row = input
+variable, column = output), so its F'PF is exactly the textbook J P J'
+in our row-convention (jacfwd) terms.  Pinned against the compiled
+reference oracle in tests/test_ekf_parity.py.
 
 Everything is pure-functional and batched: vmap over scenario fleets is
 how thousands of EKFs run per chip.
@@ -76,8 +79,9 @@ def ekf_predict(st: EkfState, u, dt, cfg: EkfConfig = EkfConfig()) -> EkfState:
     x_new = _dynamics(st.x, u, dt)
     F = jax.jacfwd(lambda z: _dynamics(z, u, dt))(st.x)
     Q = jnp.diag(jnp.asarray(cfg.q_diag, st.x.dtype))
-    # reference order F' P F (icrekf.cpp:205); L = I
-    P_new = jnp.matmul(jnp.matmul(F.T, st.P, precision=HIGHEST), F,
+    # textbook J P J'; equals the reference's F'PF because its F is
+    # stored transposed (see module docstring); L = I
+    P_new = jnp.matmul(jnp.matmul(F, st.P, precision=HIGHEST), F.T,
                        precision=HIGHEST) + (dt * dt) * Q
     return EkfState(x=x_new, P=P_new)
 

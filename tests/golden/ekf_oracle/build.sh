@@ -1,0 +1,20 @@
+#!/bin/bash
+# Build the reference ICR-EKF golden oracle (see harness.cpp).
+# Reference source compiled read-only from /root/reference; Eigen comes
+# from the TensorFlow wheel's bundled headers (no system Eigen here).
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=/root/reference/planning_ddr_opt
+EIGEN=$(python - <<'PY'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+
+g++ -O2 -std=c++14 -w \
+    -I stub \
+    -I "$EIGEN" \
+    -I "$REF/icrekf/include" \
+    harness.cpp -o ekf_oracle
+echo "built $(pwd)/ekf_oracle"

@@ -1,0 +1,75 @@
+// Standalone golden-trace oracle for the reference ICR-EKF.
+//
+// Compiles the REFERENCE source (icrekf/src/icrekf.cpp) against stub
+// ROS/message headers (./stub) so the exact filter the robot runs can
+// be replayed on a fixed scenario and its per-tick state/covariance
+// recorded for parity tests -- same approach as the ACADO and back-end
+// oracles (tests/golden/acado_oracle_harness.c,
+// tests/golden/backend_oracle/harness.cpp).
+//
+// Protocol (text, stdin -> stdout):
+//   line 1:  x0  -- 6 doubles (x y psi yr yl xv)
+//   line 2:  P0  -- 36 doubles, row-major
+//   then ops until EOF:
+//     F vl vr dt      predict: get_forecast_x   (icrekf.cpp:99-207,
+//                     incl. the shipped F' P F covariance order at :205)
+//     U x y psi       update: yaw-unwrap toward the current estimate
+//                     (the PoseSubCallback logic, icrekf.cpp:32-33) then
+//                     get_update_x (icrekf.cpp:210-222)
+//   after each op prints:
+//     X <6 doubles>
+//     P <36 doubles row-major>
+//
+// Q/R/init params use the constructor defaults (icrekf.h:143-160:
+// Q diag squared from (0.2, 0.2, 0.314, 0.01, 0.01, 0.01), R diag
+// squared from (0.01, 0.01, 0.0157)); the Python side mirrors them.
+
+#include <cmath>
+#include <cstdio>
+
+#include "icrekf/icrekf.h"
+
+// pull in the reference implementation verbatim
+#include "../../../../reference/planning_ddr_opt/icrekf/src/icrekf.cpp"
+
+int main() {
+    ros::NodeHandle nh;
+    ICREKF ekf(nh);
+
+    Eigen::VectorXd x(6);
+    Eigen::MatrixXd P(6, 6);
+    for (int i = 0; i < 6; ++i) {
+        if (scanf("%lf", &x[i]) != 1) return 1;
+    }
+    for (int i = 0; i < 6; ++i)
+        for (int j = 0; j < 6; ++j) {
+            if (scanf("%lf", &P(i, j)) != 1) return 1;
+        }
+
+    char op[8];
+    while (scanf("%7s", op) == 1) {
+        if (op[0] == 'F') {
+            double vl, vr, dt;
+            if (scanf("%lf %lf %lf", &vl, &vr, &dt) != 3) return 1;
+            Eigen::Vector2d u(vl, vr);
+            ekf.get_forecast_x(x, P, u, dt);
+        } else if (op[0] == 'U') {
+            double ox, oy, opsi;
+            if (scanf("%lf %lf %lf", &ox, &oy, &opsi) != 3) return 1;
+            // yaw unwrap toward the estimate, as the pose callbacks do
+            while (opsi - x[2] > M_PI) opsi -= 2 * M_PI;
+            while (opsi - x[2] < -M_PI) opsi += 2 * M_PI;
+            Eigen::Vector3d obs(ox, oy, opsi);
+            ekf.get_update_x(x, P, obs);
+        } else {
+            return 2;
+        }
+        printf("X");
+        for (int i = 0; i < 6; ++i) printf(" %.17g", x[i]);
+        printf("\nP");
+        for (int i = 0; i < 6; ++i)
+            for (int j = 0; j < 6; ++j) printf(" %.17g", P(i, j));
+        printf("\n");
+    }
+    return 0;
+}

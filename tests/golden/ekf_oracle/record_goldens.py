@@ -1,0 +1,86 @@
+"""Record ICR-EKF golden traces from the compiled reference oracle.
+
+Generates a closed-loop-shaped scenario (wheel commands sweeping through
+turns, noisy pose observations at the reference's decimated cadence),
+feeds it to ./ekf_oracle (the compiled reference icrekf.cpp), and stores
+both the scenario and the per-op state/covariance trace under
+tests/golden/ekf/.  Run from this directory after ./build.sh.
+"""
+import os
+import subprocess
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.normpath(os.path.join(HERE, "..", "ekf"))
+
+# true plant: ICR params (planner_sim.launch ground truth)
+YR, YL, XV = -0.3, 0.3, 0.2
+
+
+def step_true(state, u, dt):
+    x, y, psi = state
+    vl, vr = u
+    track = YL - YR
+    v = (vr * YL - vl * YR) / track
+    w = (vr - vl) / track
+    return np.array([x + dt * (v * np.cos(psi) + w * XV * np.sin(psi)),
+                     y + dt * (v * np.sin(psi) - w * XV * np.cos(psi)),
+                     psi + dt * w])
+
+
+def make_scenario(seed=0, n_ticks=400, dt=0.01, pose_every=11):
+    """100 Hz command predicts; pose update every `pose_every` ticks
+    (the Pose_sub_Reduce_frequency_=10 cadence: 1 of every 11)."""
+    rng = np.random.default_rng(seed)
+    state = np.array([0.3, -0.2, 0.4])
+    ops = []
+    for k in range(n_ticks):
+        t = k * dt
+        vl = 1.0 + 0.8 * np.sin(0.7 * t)
+        vr = 1.2 + 0.6 * np.cos(1.1 * t)
+        ops.append(("F", vl, vr, dt))
+        state = step_true(state, (vl, vr), dt)
+        if (k + 1) % pose_every == 0:
+            obs = state + rng.normal(0, 0.01, 3)
+            # wrap the observed yaw into (-pi, pi] so the unwrap logic
+            # in the callbacks is actually exercised
+            obs[2] = (obs[2] + np.pi) % (2 * np.pi) - np.pi
+            ops.append(("U", obs[0], obs[1], obs[2]))
+    return ops
+
+
+def run_oracle(x0, P0, ops):
+    lines = [" ".join(f"{v:.17g}" for v in x0),
+             " ".join(f"{v:.17g}" for v in P0.reshape(-1))]
+    for op in ops:
+        lines.append(op[0] + " " + " ".join(f"{v:.17g}" for v in op[1:]))
+    res = subprocess.run([os.path.join(HERE, "ekf_oracle")],
+                         input="\n".join(lines) + "\n",
+                         capture_output=True, text=True, check=True)
+    return res.stdout
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name, seed, n in [("sweep", 0, 400), ("slow_turn", 7, 250)]:
+        ops = make_scenario(seed=seed, n_ticks=n)
+        # reference node: x starts at the first pose + the launch ICR
+        # guess (planner_sim.launch:200-202 -- NOT the header defaults
+        # of 0.01 each, which make yl-yr = 0 and the kinematics
+        # singular); conv starts ZERO (icrekf.h:173)
+        x0 = np.array([0.3, -0.2, 0.4, -0.25, 0.25, 0.1])
+        P0 = np.zeros((6, 6))
+        trace = run_oracle(x0, P0, ops)
+        with open(os.path.join(OUT, f"{name}_scenario.txt"), "w") as f:
+            f.write(" ".join(f"{v:.17g}" for v in x0) + "\n")
+            for op in ops:
+                f.write(op[0] + " "
+                        + " ".join(f"{v:.17g}" for v in op[1:]) + "\n")
+        with open(os.path.join(OUT, f"{name}_trace.txt"), "w") as f:
+            f.write(trace)
+        print(f"{name}: {len(ops)} ops recorded")
+
+
+if __name__ == "__main__":
+    main()

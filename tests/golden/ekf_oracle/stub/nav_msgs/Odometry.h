@@ -1,0 +1,19 @@
+#pragma once
+#include <memory>
+#include "ros/ros.h"
+#include "geometry_msgs/PointStamped.h"
+namespace geometry_msgs {
+struct Pose { Point position; Quaternion orientation; };
+struct PoseWithCovariance { Pose pose; };
+struct Vector3 { double x = 0, y = 0, z = 0; };
+struct Twist { Vector3 linear; Vector3 angular; };
+struct TwistWithCovariance { Twist twist; };
+}
+namespace nav_msgs {
+struct Odometry {
+    std_msgs::Header header;
+    geometry_msgs::PoseWithCovariance pose;
+    geometry_msgs::TwistWithCovariance twist;
+    typedef std::shared_ptr<const Odometry> ConstPtr;
+};
+}

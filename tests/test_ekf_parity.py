@@ -1,0 +1,125 @@
+"""ICR-EKF golden-trace parity vs the compiled reference filter.
+
+tests/golden/ekf/*_trace.txt was recorded by tests/golden/ekf_oracle
+(the reference icrekf/src/icrekf.cpp compiled standalone against stub
+ROS headers).  Replaying the same op sequence through our
+ekf_predict/ekf_update must reproduce the state and covariance tick for
+tick -- this pins, in particular, the covariance-propagation order
+(the reference's hand-written Jacobian is stored transposed, so its
+`F' P F` at icrekf.cpp:205 is the textbook J P J'; getting this wrong
+passes every behavioral test but diverges from the shipped filter in
+the covariance tail).
+
+Completes the parity pyramid: ACADO (NMPC), back-end optimizer (MINCO/
+ALM), scipy (LTV-MPC), and now the estimator.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.estimator.icr_ekf import (
+    EkfConfig, EkfState, ekf_predict, ekf_update)
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "golden", "ekf")
+
+# the oracle ran the reference constructor defaults (icrekf.h:143-160):
+# Q = diag(0.2, 0.2, 0.314, 0.01, 0.01, 0.01)^2, R = diag(0.01, 0.01,
+# 0.0157)^2, M = L = I
+_ORACLE_CFG = EkfConfig(
+    q_diag=(0.2 ** 2, 0.2 ** 2, 0.314 ** 2, 0.01 ** 2, 0.01 ** 2, 0.01 ** 2),
+    r_diag=(0.01 ** 2, 0.01 ** 2, 0.0157 ** 2))
+
+
+def _load(name):
+    ops = []
+    with open(os.path.join(GOLDEN, f"{name}_scenario.txt")) as f:
+        x0 = np.array([float(v) for v in f.readline().split()])
+        for line in f:
+            parts = line.split()
+            ops.append((parts[0], np.array([float(v) for v in parts[1:]])))
+    xs, ps = [], []
+    with open(os.path.join(GOLDEN, f"{name}_trace.txt")) as f:
+        for line in f:
+            parts = line.split()
+            if parts and parts[0] == "X":
+                xs.append(np.array([float(v) for v in parts[1:]]))
+            elif parts and parts[0] == "P":
+                ps.append(np.array([float(v) for v in parts[1:]])
+                          .reshape(6, 6))
+            # other lines (constructor stdout) are ignored
+    assert len(xs) == len(ops) and len(ps) == len(ops)
+    return x0, ops, xs, ps
+
+
+@pytest.mark.parametrize("name", ["sweep", "slow_turn"])
+def test_ekf_matches_reference_oracle_f64(name):
+    x0, ops, gold_x, gold_p = _load(name)
+    st = EkfState(x=jnp.asarray(x0, jnp.float64),
+                  P=jnp.zeros((6, 6), jnp.float64))
+
+    predict = jax.jit(lambda s, u, dt: ekf_predict(s, u, dt, _ORACLE_CFG))
+    update = jax.jit(lambda s, obs: ekf_update(s, obs, _ORACLE_CFG))
+
+    worst_x = worst_p = 0.0
+    for k, (op, args) in enumerate(ops):
+        if op == "F":
+            # oracle op is (vl, vr, dt); our u is (vl, vr)
+            st = predict(st, jnp.asarray(args[:2], jnp.float64),
+                         float(args[2]))
+        else:
+            st = update(st, jnp.asarray(args, jnp.float64))
+        worst_x = max(worst_x,
+                      float(np.max(np.abs(np.asarray(st.x) - gold_x[k]))))
+        worst_p = max(worst_p,
+                      float(np.max(np.abs(np.asarray(st.P) - gold_p[k]))))
+    assert worst_x < 1e-10, f"state diverged from oracle: {worst_x}"
+    assert worst_p < 1e-12, f"covariance diverged from oracle: {worst_p}"
+
+
+def test_ekf_f32_shipped_precision_tracks_oracle():
+    """The production dtype (f32) stays within measurement-noise-level
+    agreement of the f64 reference trace over a full scenario."""
+    x0, ops, gold_x, _ = _load("sweep")
+    st = EkfState(x=jnp.asarray(x0, jnp.float32),
+                  P=jnp.zeros((6, 6), jnp.float32))
+    predict = jax.jit(lambda s, u, dt: ekf_predict(s, u, dt, _ORACLE_CFG))
+    update = jax.jit(lambda s, obs: ekf_update(s, obs, _ORACLE_CFG))
+    for op, args in ops:
+        if op == "F":
+            st = predict(st, jnp.asarray(args[:2], jnp.float32),
+                         float(args[2]))
+        else:
+            st = update(st, jnp.asarray(args, jnp.float32))
+    final = np.asarray(st.x, np.float64)
+    np.testing.assert_allclose(final[:3], gold_x[-1][:3], atol=2e-3)
+    np.testing.assert_allclose(final[3:], gold_x[-1][3:], atol=5e-4)
+
+
+def test_covariance_order_matters():
+    """Guard the storage-convention decode: flipping to J' P J (the
+    naive reading of icrekf.cpp:205) must NOT match the oracle."""
+    x0, ops, gold_x, gold_p = _load("sweep")
+    x = jnp.asarray(x0, jnp.float64)
+    P = jnp.zeros((6, 6), jnp.float64)
+    from alore_legged_manipulator_tpu.estimator.icr_ekf import _dynamics
+    Q = jnp.diag(jnp.asarray(_ORACLE_CFG.q_diag, jnp.float64))
+
+    worst = 0.0
+    for k, (op, args) in enumerate(ops[:80]):
+        if op == "F":
+            u = jnp.asarray(args[:2], jnp.float64)
+            dt = float(args[2])
+            J = jax.jacfwd(lambda z: _dynamics(z, u, dt))(x)
+            x = _dynamics(x, u, dt)
+            P = J.T @ P @ J + dt * dt * Q     # deliberately wrong order
+        else:
+            st = ekf_update(EkfState(x=x, P=P),
+                            jnp.asarray(args, jnp.float64), _ORACLE_CFG)
+            x, P = st.x, st.P
+        worst = max(worst,
+                    float(np.max(np.abs(np.asarray(P) - gold_p[k]))))
+    assert worst > 1e-9, "wrong-order propagation unexpectedly matched"
