@@ -1,0 +1,60 @@
+// Standalone golden-trace oracle for the reference front-end search.
+//
+// Compiles the REFERENCE graph search (front_end/src/jps_planner/
+// graph_search.cpp -- JPS with forced-neighbor pruning, and its A*
+// mode) against stub SDFmap/boost-heap headers so the exact search the
+// robot runs can be replayed on fixed grids; our clean-room native JPS
+// (alore native/jps.cpp) must find paths of the SAME octile cost on the
+// same thresholded grids (JPS paths need not be identical cell-for-cell
+// -- optimal cost is the contract).
+//
+// Protocol (stdin -> stdout):
+//   line 1: grid file path (format in stub/plan_env/sdf_map.h)
+//   then queries:  sx sy gx gy safe_dis use_jps
+//   per query prints:
+//     R <found 0/1> <n_pts> <cost>
+//     P <x y> * n_pts            (start ... goal order)
+// Cost = octile length (cells) summed over consecutive path states.
+
+#include <cmath>
+#include <cstdio>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include <front_end/jps_planner/graph_search.h>
+#include "../../../../reference/planning_ddr_opt/front_end/src/jps_planner/graph_search.cpp"
+
+int main() {
+    char gridpath[1024];
+    if (scanf("%1023s", gridpath) != 1) return 1;
+    auto map = std::make_shared<SDFmap>();
+    if (!map->loadGrid(gridpath)) {
+        fprintf(stderr, "grid load failed: %s\n", gridpath);
+        return 1;
+    }
+
+    int sx, sy, gx, gy, use_jps;
+    double safe;
+    while (scanf("%d %d %d %d %lf %d", &sx, &sy, &gx, &gy, &safe,
+                 &use_jps) == 6) {
+        JPS::GraphSearch gs(map, safe);
+        bool found = gs.plan(sx, sy, gx, gy, use_jps != 0);
+        std::vector<JPS::StatePtr> path = gs.getPath();
+        double cost = 0.0;
+        for (size_t i = 1; i < path.size(); ++i) {
+            const double dx = std::abs(path[i]->x - path[i - 1]->x);
+            const double dy = std::abs(path[i]->y - path[i - 1]->y);
+            cost += std::abs(dx - dy)
+                    + std::sqrt(2.0) * std::min(dx, dy);
+        }
+        printf("R %d %zu %.17g\n", found ? 1 : 0, path.size(), cost);
+        printf("P");
+        // getPath returns goal->start (recoverPath walks parents);
+        // print verbatim, the Python side normalizes direction
+        for (const auto& s : path) printf(" %d %d", s->x, s->y);
+        printf("\n");
+        fflush(stdout);
+    }
+    return 0;
+}

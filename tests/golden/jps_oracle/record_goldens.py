@@ -1,0 +1,105 @@
+"""Record front-end search golden traces from the compiled reference.
+
+Generates grids (random boxes / corridor / dense clutter), an exact
+Euclidean ESDF (scipy EDT, signed), and a set of start/goal queries;
+runs ./jps_oracle (the compiled reference graph_search.cpp) in both JPS
+and A* modes and stores grids + queries + results under
+tests/golden/jps/.  Run from this directory after ./build.sh.
+"""
+import os
+import struct
+import subprocess
+
+import numpy as np
+from scipy import ndimage
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.normpath(os.path.join(HERE, "..", "jps"))
+
+RES = 0.1
+UNOCC, OCC = 1, 2   # SDFmap enum {Unknown=0, Unoccupied=1, Occupied=2}
+
+
+def make_grid(kind, seed, nx=80, ny=60):
+    rng = np.random.default_rng(seed)
+    occ = np.zeros((nx, ny), bool)
+    occ[0, :] = occ[-1, :] = True
+    occ[:, 0] = occ[:, -1] = True
+    if kind == "boxes":
+        for _ in range(10):
+            x = rng.integers(5, nx - 12)
+            y = rng.integers(5, ny - 12)
+            w = rng.integers(3, 9)
+            h = rng.integers(3, 9)
+            occ[x:x + w, y:y + h] = True
+    elif kind == "corridor":
+        occ[20:60, 20:24] = True
+        occ[20:60, 36:40] = True
+        occ[20:24, 20:40] = True
+    elif kind == "dense":
+        for _ in range(40):
+            x = rng.integers(3, nx - 6)
+            y = rng.integers(3, ny - 6)
+            occ[x:x + 3, y:y + 3] = True
+    return occ
+
+
+def signed_esdf(occ):
+    """Signed Euclidean distance in meters: + outside obstacles, -
+    inside, cell-center metric (the reference ESDF's convention)."""
+    dist_out = ndimage.distance_transform_edt(~occ) * RES
+    dist_in = ndimage.distance_transform_edt(occ) * RES
+    return np.where(occ, -dist_in, dist_out)
+
+
+def write_grid(path, occ, dist):
+    nx, ny = occ.shape
+    gridmap = np.where(occ, OCC, UNOCC).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", nx, ny))
+        f.write(struct.pack("<ddd", 0.0, 0.0, RES))
+        f.write(gridmap.tobytes())           # x-major == C order (nx, ny)
+        f.write(dist.astype("<f8").tobytes())
+
+
+def free_cell(occ, dist, rng, safe):
+    while True:
+        x = rng.integers(1, occ.shape[0] - 1)
+        y = rng.integers(1, occ.shape[1] - 1)
+        if dist[x, y] >= safe + RES:
+            return int(x), int(y)
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    safe = 0.3
+    for kind, seed in [("boxes", 3), ("corridor", 0), ("dense", 11)]:
+        occ = make_grid(kind, seed)
+        dist = signed_esdf(occ)
+        gpath = os.path.join(OUT, f"{kind}_grid.bin")
+        write_grid(gpath, occ, dist)
+
+        rng = np.random.default_rng(seed + 100)
+        queries = []
+        for _ in range(6):
+            s = free_cell(occ, dist, rng, safe)
+            g = free_cell(occ, dist, rng, safe)
+            for use_jps in (1, 0):
+                queries.append((*s, *g, safe, use_jps))
+
+        qlines = "\n".join(
+            f"{q[0]} {q[1]} {q[2]} {q[3]} {q[4]:.17g} {q[5]}"
+            for q in queries)
+        res = subprocess.run([os.path.join(HERE, "jps_oracle")],
+                             input=gpath + "\n" + qlines + "\n",
+                             capture_output=True, text=True, check=True)
+        with open(os.path.join(OUT, f"{kind}_queries.txt"), "w") as f:
+            f.write(qlines + "\n")
+        with open(os.path.join(OUT, f"{kind}_results.txt"), "w") as f:
+            f.write(res.stdout)
+        nfound = res.stdout.count("R 1")
+        print(f"{kind}: {len(queries)} queries, {nfound} found")
+
+
+if __name__ == "__main__":
+    main()

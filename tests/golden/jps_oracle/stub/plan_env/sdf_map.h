@@ -1,0 +1,111 @@
+// SDFmap stub for the front-end JPS oracle: serves a grid loaded from a
+// file with the exact semantics of the reference SDFmap the search
+// touches (sdf_map.cpp:918-948): gridmap_ (enum Unknown/Unoccupied/
+// Occupied) and distance_buffer_all_ (ESDF), x-major layout
+// Index2Vectornum(x, y) = x * GLY_SIZE_ + y.
+//
+// Grid file format (little-endian):
+//   int32 nx, int32 ny, double x_lower, double y_lower, double res,
+//   nx*ny uint8 gridmap (x-major), nx*ny double distances (x-major)
+#pragma once
+#include <Eigen/Eigen>
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <string>
+#include <vector>
+
+class SDFmap {
+ public:
+    enum {Unknown, Unoccupied, Occupied};
+
+    int GLX_SIZE_ = 0, GLY_SIZE_ = 0;
+    double global_x_lower_ = 0, global_y_lower_ = 0;
+    double global_x_upper_ = 0, global_y_upper_ = 0;
+    double grid_interval_ = 0.1, inv_grid_interval_ = 10.0;
+
+    std::vector<uint8_t> gridmap_;
+    std::vector<double> distance_buffer_all_;
+
+    bool loadGrid(const std::string& path) {
+        FILE* f = std::fopen(path.c_str(), "rb");
+        if (!f) return false;
+        int32_t nx = 0, ny = 0;
+        if (std::fread(&nx, 4, 1, f) != 1) { std::fclose(f); return false; }
+        if (std::fread(&ny, 4, 1, f) != 1) { std::fclose(f); return false; }
+        double meta[3];
+        if (std::fread(meta, 8, 3, f) != 3) { std::fclose(f); return false; }
+        GLX_SIZE_ = nx; GLY_SIZE_ = ny;
+        global_x_lower_ = meta[0];
+        global_y_lower_ = meta[1];
+        grid_interval_ = meta[2];
+        inv_grid_interval_ = 1.0 / grid_interval_;
+        global_x_upper_ = global_x_lower_ + GLX_SIZE_ * grid_interval_;
+        global_y_upper_ = global_y_lower_ + GLY_SIZE_ * grid_interval_;
+        gridmap_.resize((size_t)nx * ny);
+        distance_buffer_all_.resize((size_t)nx * ny);
+        bool ok = std::fread(gridmap_.data(), 1, gridmap_.size(), f)
+                      == gridmap_.size()
+               && std::fread(distance_buffer_all_.data(), 8,
+                             distance_buffer_all_.size(), f)
+                      == distance_buffer_all_.size();
+        std::fclose(f);
+        return ok;
+    }
+
+    inline int Index2Vectornum(const int& x, const int& y) const {
+        return x * GLY_SIZE_ + y;
+    }
+    inline int Index2Vectornum(const Eigen::Vector2i& id) const {
+        return id(0) * GLY_SIZE_ + id(1);
+    }
+
+    // sdf_map.cpp:918-948
+    bool isOccupied(const int& idx, const int& idy) const {
+        return gridmap_[Index2Vectornum(idx, idy)] == Occupied;
+    }
+    bool isOccupied(const Eigen::Vector2i& id) const {
+        return gridmap_[Index2Vectornum(id)] == Occupied;
+    }
+    bool isUnOccupied(const int& idx, const int& idy) const {
+        return gridmap_[Index2Vectornum(idx, idy)] == Unoccupied;
+    }
+    bool isUnOccupied(const Eigen::Vector2i& id) const {
+        return gridmap_[Index2Vectornum(id)] == Unoccupied;
+    }
+    bool isUnknown(const int& idx, const int& idy) const {
+        return gridmap_[Index2Vectornum(idx, idy)] == Unknown;
+    }
+    bool isOccWithSafeDis(const int& idx, const int& idy,
+                          const double& safe_dis) const {
+        return distance_buffer_all_[Index2Vectornum(idx, idy)] < safe_dis;
+    }
+    bool isOccWithSafeDis(const Eigen::Vector2i& id,
+                          const double& safe_dis) const {
+        return distance_buffer_all_[Index2Vectornum(id)] < safe_dis;
+    }
+
+    // sdf_map coordinate helpers (jps_planner.cpp uses these)
+    inline Eigen::Vector2i coord2gridIndex(const Eigen::Vector2d& pt) const {
+        Eigen::Vector2i idx;
+        idx << std::min(std::max(int((pt(0) - global_x_lower_)
+                                     * inv_grid_interval_), 0),
+                        GLX_SIZE_ - 1),
+               std::min(std::max(int((pt(1) - global_y_lower_)
+                                     * inv_grid_interval_), 0),
+                        GLY_SIZE_ - 1);
+        return idx;
+    }
+    inline Eigen::Vector2d gridIndex2coordd(const Eigen::Vector2i& id) const {
+        return Eigen::Vector2d(
+            ((double)id(0) + 0.5) * grid_interval_ + global_x_lower_,
+            ((double)id(1) + 0.5) * grid_interval_ + global_y_lower_);
+    }
+    double getDistanceReal(const Eigen::Vector2d& pos) const {
+        if (pos.x() < global_x_lower_ || pos.y() < global_y_lower_ ||
+            pos.x() > global_x_upper_ || pos.y() > global_y_upper_)
+            return 10000;
+        Eigen::Vector2i idx = coord2gridIndex(pos);
+        return distance_buffer_all_[idx.x() * GLY_SIZE_ + idx.y()];
+    }
+};
