@@ -1,0 +1,18 @@
+#!/bin/bash
+# Build the reference SDFmap ESDF golden oracle (see harness.cpp).
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=/root/reference/planning_ddr_opt
+EIGEN=$(python - <<'PY'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+
+g++ -O2 -std=c++14 -w \
+    -I stub \
+    -I "$EIGEN" \
+    -I "$REF/utils/plan_env/include" \
+    harness.cpp -o esdf_oracle
+echo "built $(pwd)/esdf_oracle"

@@ -1,0 +1,104 @@
+// Standalone golden-trace oracle for the reference SDFmap distance
+// field: updateESDF2d/fillESDF (the incremental Felzenszwalb EDT,
+// sdf_map.cpp:618-715) and getDistWithGradBilinear (:760-795).
+//
+// Compiles the REFERENCE source (utils/plan_env/src/sdf_map.cpp +
+// raycast.cpp) against stub ROS/PCL/tf2 headers; `private` is remapped
+// to `public` AFTER all system headers are included so the harness can
+// inject a gridmap and read distance_buffer_all_ directly (the same
+// trick as the back-end oracle).
+//
+// Protocol (stdin -> stdout):
+//   line 1: grid file -- int32 nx, ny; double x_lower, y_lower, res;
+//           uint8[nx*ny] states x-major (0 Unknown, 1 Unoccupied,
+//           2 Occupied)
+//   line 2: n_queries
+//   then n_queries lines: px py   (world coords for the bilinear query)
+// Output:
+//   D <nx*ny doubles>            distance_buffer_all_ after updateESDF2d
+//   B <dist> <gx> <gy>           per query (getDistWithGradBilinear)
+
+#include <algorithm>
+#include <chrono>
+#include <cfloat>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <iostream>
+#include <limits>
+#include <map>
+#include <memory>
+#include <queue>
+#include <sstream>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+#include <Eigen/Eigen>
+#include <Eigen/Dense>
+#include <Eigen/Geometry>
+#include <Eigen/Eigenvalues>
+
+#define private public
+#include "plan_env/sdf_map.h"
+#include "../../../../reference/planning_ddr_opt/utils/plan_env/src/sdf_map.cpp"
+#include "../../../../reference/planning_ddr_opt/utils/plan_env/src/raycast.cpp"
+#undef private
+
+int main() {
+    char gridpath[1024];
+    if (scanf("%1023s", gridpath) != 1) return 1;
+    FILE* f = fopen(gridpath, "rb");
+    if (!f) return 1;
+    int32_t nx, ny;
+    double meta[3];
+    if (fread(&nx, 4, 1, f) != 1 || fread(&ny, 4, 1, f) != 1 ||
+        fread(meta, 8, 3, f) != 3) return 1;
+    std::vector<uint8_t> states((size_t)nx * ny);
+    if (fread(states.data(), 1, states.size(), f) != states.size())
+        return 1;
+    fclose(f);
+
+    // drive the real constructor through the param store so GLX/GLY
+    // come out exactly (nx, ny)
+    oracle_params::set("/gridmap_interval", meta[2]);
+    oracle_params::set("/global_x_lower", meta[0]);
+    // upper = lower + n res, pulled in by 1e-9 so floating-point
+    // round-off in ceil((upper-lower)/res) cannot produce n+1 (the
+    // bilinear out-of-map boundary stays faithful to within 1e-9)
+    oracle_params::set("/global_x_upper", meta[0] + nx * meta[2] - 1e-9);
+    oracle_params::set("/global_y_lower", meta[1]);
+    oracle_params::set("/global_y_upper", meta[1] + ny * meta[2] - 1e-9);
+    oracle_params::set("/detection_range", 1.0e6);  // whole-map update box
+
+    ros::NodeHandle nh;
+    SDFmap map(nh);
+    if (map.GLX_SIZE_ != nx || map.GLY_SIZE_ != ny) {
+        fprintf(stderr, "size mismatch %d %d vs %d %d\n", map.GLX_SIZE_,
+                map.GLY_SIZE_, nx, ny);
+        return 1;
+    }
+    std::memcpy(map.gridmap_, states.data(), states.size());
+    map.odom_pos_ << meta[0] + 0.5 * nx * meta[2],
+                                    meta[1] + 0.5 * ny * meta[2], 0.0;
+    map.updateESDF2d();
+
+    printf("D");
+    for (int i = 0; i < nx * ny; ++i)
+        printf(" %.17g", map.distance_buffer_all_[i]);
+    printf("\n");
+
+    int nq = 0;
+    if (scanf("%d", &nq) != 1) return 0;
+    for (int q = 0; q < nq; ++q) {
+        double px, py;
+        if (scanf("%lf %lf", &px, &py) != 2) return 1;
+        Eigen::Vector2d grad;
+        double d = map.getDistWithGradBilinear(Eigen::Vector2d(px, py),
+                                               grad);
+        printf("B %.17g %.17g %.17g\n", d, grad.x(), grad.y());
+    }
+    return 0;
+}

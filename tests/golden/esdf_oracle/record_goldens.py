@@ -1,0 +1,73 @@
+"""Record SDFmap ESDF golden traces from the compiled reference.
+
+Generates occupancy grids with all three cell states (Unknown /
+Unoccupied / Occupied), runs ./esdf_oracle (the reference sdf_map.cpp's
+updateESDF2d + getDistWithGradBilinear compiled standalone) and stores
+grids + distance fields + bilinear query results under
+tests/golden/esdf/.  Run from this directory after ./build.sh.
+"""
+import os
+import struct
+import subprocess
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.normpath(os.path.join(HERE, "..", "esdf"))
+
+RES = 0.1
+UNKNOWN, UNOCC, OCC = 0, 1, 2
+
+
+def make_states(kind, seed, nx=48, ny=36):
+    rng = np.random.default_rng(seed)
+    st = np.full((nx, ny), UNOCC, np.uint8)
+    if kind == "boxes":
+        for _ in range(6):
+            x = rng.integers(3, nx - 8)
+            y = rng.integers(3, ny - 8)
+            st[x:x + rng.integers(2, 6), y:y + rng.integers(2, 6)] = OCC
+        # an unknown patch: treated as FREE by the positive EDT but as a
+        # negative-pass source (sdf_map.cpp:652-659)
+        st[5:12, 25:32] = UNKNOWN
+    elif kind == "single":
+        st[20:24, 15:19] = OCC
+    return st
+
+
+def write_grid(path, st, x0=0.0, y0=0.0):
+    nx, ny = st.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", nx, ny))
+        f.write(struct.pack("<ddd", x0, y0, RES))
+        f.write(st.tobytes())
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for kind, seed in [("boxes", 5), ("single", 0)]:
+        st = make_states(kind, seed)
+        gpath = os.path.join(OUT, f"{kind}_grid.bin")
+        write_grid(gpath, st)
+
+        rng = np.random.default_rng(seed + 50)
+        nx, ny = st.shape
+        # interior bilinear queries + a couple out-of-map / edge cases
+        pts = [(rng.uniform(0.3, nx * RES - 0.3),
+                rng.uniform(0.3, ny * RES - 0.3)) for _ in range(20)]
+        pts += [(-1.0, 1.0), (nx * RES - 0.01, ny * RES - 0.01)]
+
+        qlines = "\n".join(f"{p[0]:.17g} {p[1]:.17g}" for p in pts)
+        res = subprocess.run(
+            [os.path.join(HERE, "esdf_oracle")],
+            input=f"{gpath}\n{len(pts)}\n{qlines}\n",
+            capture_output=True, text=True, check=True)
+        with open(os.path.join(OUT, f"{kind}_queries.txt"), "w") as f:
+            f.write(qlines + "\n")
+        with open(os.path.join(OUT, f"{kind}_results.txt"), "w") as f:
+            f.write(res.stdout)
+        print(f"{kind}: grid {nx}x{ny}, {len(pts)} queries recorded")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+#pragma once
+#include <memory>
+#include "ros/ros.h"
+namespace carstatemsgs {
+struct CarControl {
+    std_msgs::Header Header;
+    double left_wheel_ome = 0, right_wheel_ome = 0;
+    typedef std::shared_ptr<const CarControl> ConstPtr;
+};
+}

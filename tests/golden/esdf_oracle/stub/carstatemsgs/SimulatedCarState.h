@@ -1,0 +1,10 @@
+#pragma once
+#include <memory>
+#include "ros/ros.h"
+namespace carstatemsgs {
+struct SimulatedCarState {
+    std_msgs::Header Header;
+    double x = 0, y = 0, yaw = 0, v = 0, vx = 0, vy = 0, omega = 0;
+    typedef std::shared_ptr<const SimulatedCarState> ConstPtr;
+};
+}

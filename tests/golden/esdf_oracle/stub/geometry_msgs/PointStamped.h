@@ -1,0 +1,12 @@
+#pragma once
+#include <memory>
+#include "ros/ros.h"
+namespace geometry_msgs {
+struct Point { double x = 0, y = 0, z = 0; };
+struct Quaternion { double x = 0, y = 0, z = 0, w = 1; };
+struct PointStamped {
+    std_msgs::Header header;
+    Point point;
+    typedef std::shared_ptr<const PointStamped> ConstPtr;
+};
+}

@@ -1,0 +1,5 @@
+#pragma once
+namespace pcl {
+struct PointXYZ { float x = 0, y = 0, z = 0; PointXYZ() {} PointXYZ(float a, float b, float c) : x(a), y(b), z(c) {} };
+struct PointXYZI { float x = 0, y = 0, z = 0, intensity = 0; };
+}

@@ -1,0 +1,135 @@
+// Minimal ROS1 stub so the reference icrekf/src/icrekf.cpp compiles
+// standalone as a golden-trace oracle (no ROS in this image).  Only the
+// API surface the EKF node touches: NodeHandle params/advertise/
+// subscribe/createTimer, Time/Duration, no-op Publisher/Subscriber/
+// Timer.  (Self-contained: the EKF needs member-function subscribe and
+// timers that the backend oracle's leaner stub does not provide.)
+#ifndef EKF_ORACLE_ROS_STUB_H
+#define EKF_ORACLE_ROS_STUB_H
+
+#include <chrono>
+#include <map>
+#include <memory>
+#include <string>
+#include <vector>
+
+namespace oracle_params {
+inline std::map<std::string, double>& doubles() {
+    static std::map<std::string, double> m; return m;
+}
+inline std::map<std::string, int>& ints() {
+    static std::map<std::string, int> m; return m;
+}
+inline std::map<std::string, bool>& bools() {
+    static std::map<std::string, bool> m; return m;
+}
+inline void set(const std::string& k, double v) { doubles()[k] = v; }
+inline void set(const std::string& k, int v) { ints()[k] = v; }
+inline void set(const std::string& k, bool v) { bools()[k] = v; }
+}  // namespace oracle_params
+
+namespace ros {
+
+namespace this_node {
+inline std::string getName() { return std::string(); }
+}  // namespace this_node
+
+inline bool ok() { return true; }
+
+class Duration {
+ public:
+    explicit Duration(double s = 0.0) : sec_(s) {}
+    double toSec() const { return sec_; }
+ private:
+    double sec_;
+};
+
+class Time {
+ public:
+    Time() : t_(0.0) {}
+    explicit Time(double t) : t_(t) {}
+    static Time now() {
+        using clock = std::chrono::steady_clock;
+        return Time(std::chrono::duration<double>(
+            clock::now().time_since_epoch()).count());
+    }
+    Duration operator-(const Time& o) const { return Duration(t_ - o.t_); }
+    double toSec() const { return t_; }
+ private:
+    double t_;
+};
+
+class Publisher {
+ public:
+    template <typename M>
+    void publish(const M&) const {}
+};
+
+class Subscriber {};
+class Timer {};
+struct TimerEvent {};
+
+class NodeHandle {
+ public:
+    template <typename M>
+    Publisher advertise(const std::string&, int) { return Publisher(); }
+
+    // member-function-pointer subscribe, as icrekf.h uses it
+    template <typename M, typename T>
+    Subscriber subscribe(const std::string&, int,
+                         void (T::*)(const typename M::ConstPtr&), T*) {
+        return Subscriber();
+    }
+
+    template <typename T>
+    Timer createTimer(Duration, void (T::*)(const TimerEvent&), T*) {
+        return Timer();
+    }
+
+    bool getParam(const std::string& k, double& v) const {
+        if (oracle_params::doubles().count(k)) {
+            v = oracle_params::doubles()[k];
+            return true;
+        }
+        return false;
+    }
+    bool getParam(const std::string& k, int& v) const {
+        if (oracle_params::ints().count(k)) {
+            v = oracle_params::ints()[k];
+            return true;
+        }
+        return false;
+    }
+    bool getParam(const std::string& k, bool& v) const {
+        if (oracle_params::bools().count(k)) {
+            v = oracle_params::bools()[k];
+            return true;
+        }
+        return false;
+    }
+    template <typename T>
+    void param(const std::string& k, T& v, const T& dflt) const {
+        if (!getParam(k, v)) v = dflt;
+    }
+};
+
+}  // namespace ros
+
+namespace std_msgs {
+struct Header {
+    std::string frame_id;
+    ros::Time stamp;
+};
+}  // namespace std_msgs
+
+#endif  // EKF_ORACLE_ROS_STUB_H
+
+// log macros (quiet)
+#ifndef ROS_INFO
+#define ROS_INFO(...) do {} while (0)
+#define ROS_WARN(...) do {} while (0)
+#define ROS_ERROR(...) do {} while (0)
+#define ROS_INFO_STREAM(x) do {} while (0)
+#define ROS_WARN_STREAM(x) do {} while (0)
+#define ROS_ERROR_STREAM(x) do {} while (0)
+#endif

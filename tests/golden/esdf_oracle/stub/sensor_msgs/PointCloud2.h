@@ -1,0 +1,26 @@
+#pragma once
+#include <cstdint>
+#include <string>
+#include <vector>
+#include "ros/ros.h"
+#include "geometry_msgs/PointStamped.h"
+namespace sensor_msgs {
+struct PointField { std::string name; uint32_t offset = 0; uint8_t datatype = 7; uint32_t count = 1; };
+struct PointCloud2 {
+    std_msgs::Header header;
+    uint32_t height = 1, width = 0;
+    std::vector<PointField> fields;
+    bool is_bigendian = false;
+    uint32_t point_step = 0, row_step = 0;
+    std::vector<uint8_t> data;
+    bool is_dense = true;
+    typedef std::shared_ptr<const PointCloud2> ConstPtr;
+};
+struct ChannelFloat32 { std::string name; std::vector<float> values; };
+struct PointCloud {
+    std_msgs::Header header;
+    std::vector<geometry_msgs::Point> points;  // Point32 in real ROS; double ok for a no-op stub
+    std::vector<ChannelFloat32> channels;
+    typedef std::shared_ptr<const PointCloud> ConstPtr;
+};
+}

@@ -1,0 +1,23 @@
+#pragma once
+#include <cmath>
+#include "geometry_msgs/PointStamped.h"
+namespace tf {
+class Quaternion {
+ public:
+    Quaternion(double x = 0, double y = 0, double z = 0, double w = 1)
+        : x_(x), y_(y), z_(z), w_(w) {}
+    double x() const { return x_; }
+    double y() const { return y_; }
+    double z() const { return z_; }
+    double w() const { return w_; }
+ private:
+    double x_, y_, z_, w_;
+};
+inline Quaternion createQuaternionFromYaw(double yaw) {
+    return Quaternion(0, 0, std::sin(yaw * 0.5), std::cos(yaw * 0.5));
+}
+inline double getYaw(const geometry_msgs::Quaternion& q) {
+    return std::atan2(2.0 * (q.w * q.z + q.x * q.y),
+                      1.0 - 2.0 * (q.y * q.y + q.z * q.z));
+}
+}

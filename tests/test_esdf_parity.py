@@ -1,0 +1,102 @@
+"""ESDF golden parity vs the compiled reference SDFmap.
+
+tests/golden/esdf/* was recorded by tests/golden/esdf_oracle (the
+reference utils/plan_env/src/sdf_map.cpp compiled standalone):
+updateESDF2d distance fields on grids with all three cell states, and
+getDistWithGradBilinear results on interior / out-of-map queries.
+
+Pins the full distance convention chain: positive EDT to occupied cell
+centers, the inside combination d = -d_inside + res, unknown cells free
+in the positive pass but sources in the negative pass, the bilinear
+cell-center offset and gradient formula, and out-of-map semantics.
+Also documents the reference's update-window quirk: the LAST row and
+column of the update box are never written by updateESDF2d (the
+combine loop at sdf_map.cpp:672-679 stops one short), so those cells
+keep their DBL_MAX init -- our field is exact everywhere, and parity is
+asserted on the written region.
+"""
+import os
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.ops.esdf import (
+    ESDF, esdf_from_occupancy, sample_dist_grad_bilinear)
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "golden", "esdf")
+UNKNOWN, UNOCC, OCC = 0, 1, 2
+DBL_MAX = np.finfo(np.float64).max
+
+
+def _load(kind):
+    with open(os.path.join(GOLDEN, f"{kind}_grid.bin"), "rb") as f:
+        nx, ny = struct.unpack("<ii", f.read(8))
+        x0, y0, res = struct.unpack("<ddd", f.read(24))
+        states = np.frombuffer(f.read(nx * ny), np.uint8).reshape(nx, ny)
+    queries = np.loadtxt(os.path.join(GOLDEN, f"{kind}_queries.txt"))
+    dists = None
+    bilin = []
+    with open(os.path.join(GOLDEN, f"{kind}_results.txt")) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "D":
+                dists = np.array([float(v) for v in parts[1:]]).reshape(
+                    nx, ny)
+            elif parts[0] == "B":
+                bilin.append([float(v) for v in parts[1:]])
+    return states, (x0, y0), res, dists, queries, np.array(bilin)
+
+
+@pytest.mark.parametrize("kind", ["boxes", "single"])
+def test_distance_field_matches_reference(kind):
+    states, lower, res, gold, _, _ = _load(kind)
+    esdf = esdf_from_occupancy(states == OCC, lower, res)
+    ours = np.asarray(esdf.dist, np.float64)
+
+    # reference quirk: the last row/col of the update window is never
+    # written (combine loop exclusive bound) and keeps DBL_MAX
+    assert np.all(gold[-1, :] == DBL_MAX)
+    assert np.all(gold[:, -1] == DBL_MAX)
+
+    np.testing.assert_allclose(ours[:-1, :-1], gold[:-1, :-1], atol=1e-5)
+
+
+def test_unknown_cells_are_negative_pass_sources():
+    """The boxes grid has an Unknown patch: positive EDT treats it as
+    free (distances unaffected), but occupied cells adjacent to it see
+    it as 'outside' (sdf_map.cpp:652-659).  Verified transitively by the
+    field parity; here assert the golden actually exercises it."""
+    states, _, res, gold, _, _ = _load("boxes")
+    assert (states == UNKNOWN).any() and (states == OCC).any()
+    # unknown cells themselves carry positive distance (free-like)
+    unk = states == UNKNOWN
+    assert np.all(gold[:-1, :-1][unk[:-1, :-1]] >= 0.0)
+
+
+@pytest.mark.parametrize("kind", ["boxes", "single"])
+def test_bilinear_matches_reference(kind):
+    states, lower, res, gold_field, queries, gold_b = _load(kind)
+    esdf = esdf_from_occupancy(states == OCC, lower, res)
+    nx, ny = states.shape
+
+    for (px, py), (gd, ggx, ggy) in zip(np.atleast_2d(queries), gold_b):
+        d, g = sample_dist_grad_bilinear(
+            esdf, jnp.asarray([px, py], jnp.float32), out_value=100.0)
+        d = float(d)
+        g = np.asarray(g, np.float64)
+        # skip queries whose 2x2 stencil touches the reference's
+        # unwritten last row/col (DBL_MAX leaks into its interpolation)
+        ix = int((px - lower[0]) / res - 0.5)
+        iy = int((py - lower[1]) / res - 0.5)
+        if gd == 100.0:
+            assert d == 100.0 and np.all(g == 0.0)
+            continue
+        if ix + 1 >= nx - 1 or iy + 1 >= ny - 1:
+            continue
+        assert abs(d - gd) < 1e-5, (px, py, d, gd)
+        np.testing.assert_allclose(g, [ggx, ggy], atol=1e-4)
