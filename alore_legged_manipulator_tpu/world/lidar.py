@@ -33,13 +33,21 @@ class LidarConfig(NamedTuple):
 
 
 class OccupancyConfig(NamedTuple):
-    """Log-odds parameters (sdf_map.h:167, launch defaults)."""
+    """Log-odds parameters (sdf_map.h:167-184, mapsim.yaml values)."""
 
-    p_hit: float = 0.65
+    p_hit: float = 0.99
     p_miss: float = 0.35
     p_min: float = 0.12
     p_max: float = 0.90
     p_occ: float = 0.80
+    # "unknown flag": occupancy_map_ initializes to clamp_min - this, so
+    # a never-touched cell sits BELOW the clamp floor until first update
+    # (sdf_map.h:179-180)
+    unknown_flag: float = 0.01
+    # static bound on Bresenham trace length in cells (>= the longest
+    # beam: max_range/res per axis; both axes can step per iteration so
+    # max(dx, dy) iterations suffice)
+    max_trace_cells: int = 160
 
 
 def _logit(p):
@@ -47,16 +55,23 @@ def _logit(p):
     return math.log(p / (1.0 - p))
 
 
+# gridmap_ states (sdf_map.h:98)
+UNKNOWN, UNOCCUPIED, OCCUPIED = 0, 1, 2
+
+
 class OccupancyState(NamedTuple):
-    log_odds: jnp.ndarray   # (H, W)
-    known: jnp.ndarray      # (H, W) bool -- ever observed
+    log_odds: jnp.ndarray   # (H, W) -- occupancy_map_
+    known: jnp.ndarray      # (H, W) bool -- grid != Unknown (convenience)
+    grid: jnp.ndarray       # (H, W) uint8 -- gridmap_ {0 unk, 1 free, 2 occ}
 
 
 def occupancy_init(shape, cfg: OccupancyConfig = OccupancyConfig(),
                    dtype=jnp.float32) -> OccupancyState:
     return OccupancyState(
-        log_odds=jnp.full(shape, _logit(cfg.p_min), dtype),
-        known=jnp.zeros(shape, bool))
+        log_odds=jnp.full(shape, _logit(cfg.p_min) - cfg.unknown_flag,
+                          dtype),
+        known=jnp.zeros(shape, bool),
+        grid=jnp.zeros(shape, jnp.uint8))
 
 
 def lidar_scan(true_occ, lower, res, pose, cfg: LidarConfig = LidarConfig()):
@@ -86,50 +101,217 @@ def lidar_scan(true_occ, lower, res, pose, cfg: LidarConfig = LidarConfig()):
     return ranges, any_hit
 
 
+def _bresenham_trace(start_cell, end_cells, max_steps):
+    """Vectorized reference-exact Bresenham (sdf_map.cpp:387-415).
+
+    start_cell (2,) int32; end_cells (B, 2) int32.
+    Returns (cells (B, max_steps, 2), on_line (B, max_steps) bool) where
+    on_line marks emitted line cells EXCLUDING the endpoint cell -- the
+    reference's miss loop runs over `line[0..size-2]`
+    (sdf_map.cpp:166-170).  Both axes may step in one iteration, exactly
+    as the while-loop does, so max(|dx|, |dy|) iterations reach the end.
+    """
+    ex, ey = end_cells[:, 0], end_cells[:, 1]
+    dx = jnp.abs(ex - start_cell[0])
+    dy = jnp.abs(ey - start_cell[1])
+    sx = jnp.where(start_cell[0] < ex, 1, -1).astype(jnp.int32)
+    sy = jnp.where(start_cell[1] < ey, 1, -1).astype(jnp.int32)
+
+    def step(carry, _):
+        x, y, err, done = carry
+        at_end = (x == ex) & (y == ey)
+        emit_valid = jnp.logical_not(done) & jnp.logical_not(at_end)
+        out = (x, y, emit_valid)
+        e2 = 2 * err
+        stepx = e2 > -dy
+        stepy = e2 < dx
+        nerr = err - jnp.where(stepx, dy, 0) + jnp.where(stepy, dx, 0)
+        nx = x + jnp.where(stepx, sx, 0)
+        ny = y + jnp.where(stepy, sy, 0)
+        ndone = done | at_end
+        x = jnp.where(ndone, x, nx)
+        y = jnp.where(ndone, y, ny)
+        err = jnp.where(ndone, err, nerr)
+        return (x, y, err, ndone), out
+
+    B = end_cells.shape[0]
+    x0 = jnp.full((B,), start_cell[0], jnp.int32)
+    y0 = jnp.full((B,), start_cell[1], jnp.int32)
+    err0 = (dx - dy).astype(jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+    _, (xs, ys, valid) = jax.lax.scan(step, (x0, y0, err0, done0), None,
+                                      length=max_steps)
+    cells = jnp.stack([xs.T, ys.T], axis=-1)          # (B, max_steps, 2)
+    return cells, valid.T
+
+
 def occupancy_update(state: OccupancyState, lower, res, pose, ranges,
                      hit_mask, lidar_cfg: LidarConfig = LidarConfig(),
                      cfg: OccupancyConfig = OccupancyConfig()):
-    """Fuse one scan: miss log-odds along each beam, hit at endpoints.
+    """Fuse one scan -- reference-exact SDFmap semantics, verified cell
+    for cell against the compiled reference (tests/test_fusion_parity.py):
 
-    Mirrors setCacheOccupancy/updateOccupancyMap semantics: a cell hit by
-    any beam this scan gets the hit update; cells only traversed get the
-    miss update; log odds clamped to [logit(p_min), logit(p_max)].
+      * endpoints: setCacheOccupancy(pt, 1) for in-range returns,
+        (clamped pt, 0) for out-of-range/out-of-map beams
+        (raycastProcess, sdf_map.cpp:145-163);
+      * traversal: integer Bresenham from the robot cell, every line
+        cell except the endpoint counted as a miss (:164-170);
+      * the per-cell hit VOTE: the hit update applies iff
+        count_hit >= count_total - 3*count_hit, i.e. hits win only when
+        they are >= 1/4 of this scan's observations of the cell
+        (updateOccupancyMap, :284-297);
+      * log odds clamped to [logit(p_min), logit(p_max)], initialized
+        BELOW the floor by `unknown_flag` (:179-180);
+      * the sticky gridmap state machine: Unknown -> Unoccupied only
+        while log odds <= logit(p_occ); ANY state -> Occupied above it;
+        Occupied never reverts ("will not treat obstacles as free
+        space", :81-92);
+      * RemoveOutliers BEFORE the state machine: interior Unknown cells
+        inside the detection window with all 4 neighbors Unoccupied
+        become Unoccupied, and the robot's own 3x3 Unknown cells become
+        Unoccupied (:316-349).
     """
     H, W = state.log_odds.shape
     dtype = state.log_odds.dtype
     n_beams = ranges.shape[0]
     angles = pose[2] + (jnp.arange(n_beams, dtype=dtype)
                         / n_beams - 0.5) * lidar_cfg.fov_rad
-    n_steps = lidar_cfg.n_steps
-    fr = jnp.arange(1, n_steps + 1, dtype=dtype) / n_steps
-    ts = fr[None, :] * ranges[:, None]                 # (B, S)
-    px = pose[0] + jnp.cos(angles)[:, None] * ts
-    py = pose[1] + jnp.sin(angles)[:, None] * ts
-    ix = jnp.clip(((px - lower[0]) / res).astype(jnp.int32), 0, H - 1)
-    iy = jnp.clip(((py - lower[1]) / res).astype(jnp.int32), 0, W - 1)
+    dirx, diry = jnp.cos(angles), jnp.sin(angles)
 
-    is_end = jnp.zeros((n_beams, n_steps), bool).at[:, -1].set(True)
-    is_hit = is_end & hit_mask[:, None]
+    # endpoint world coords: in-map returns at their range; beams past
+    # detection_range clamped onto the range circle (miss); endpoints
+    # outside the map pulled to the boundary then range-clamped (miss)
+    r = ranges
+    exw = pose[0] + dirx * r
+    eyw = pose[1] + diry * r
+    upper = (lower[0] + H * res, lower[1] + W * res)
+    in_map = ((exw >= lower[0]) & (exw <= upper[0])
+              & (eyw >= lower[1]) & (eyw <= upper[1]))
+    # closetPointInMap (sdf_map.cpp:595-614): scale the ray to the first
+    # boundary crossing, minus 1e-3 of the ray
+    diffx = exw - pose[0]
+    diffy = eyw - pose[1]
 
-    hit_grid = jnp.zeros((H, W), bool).at[ix, iy].max(is_hit)
-    seen_grid = jnp.zeros((H, W), bool).at[ix, iy].max(True)
+    def _t_for(diff, lo, up, p):
+        big = jnp.asarray(1e6, dtype)
+        t1 = jnp.where(jnp.abs(diff) > 0, (up - p) / diff, big)
+        t2 = jnp.where(jnp.abs(diff) > 0, (lo - p) / diff, big)
+        t1 = jnp.where(t1 > 0, t1, big)
+        t2 = jnp.where(t2 > 0, t2, big)
+        return jnp.minimum(t1, t2)
+
+    t_bound = jnp.minimum(_t_for(diffx, lower[0], upper[0], pose[0]),
+                          _t_for(diffy, lower[1], upper[1], pose[1]))
+    t_clamped = t_bound - 1e-3
+    exw = jnp.where(in_map, exw, pose[0] + t_clamped * diffx)
+    eyw = jnp.where(in_map, eyw, pose[1] + t_clamped * diffy)
+    # range clamp (applies to both branches)
+    lo_len = jnp.sqrt((exw - pose[0]) ** 2 + (eyw - pose[1]) ** 2)
+    over = lo_len > lidar_cfg.max_range
+    scale = jnp.where(over, lidar_cfg.max_range
+                      / jnp.maximum(lo_len, 1e-12), 1.0)
+    exw = pose[0] + (exw - pose[0]) * scale
+    eyw = pose[1] + (eyw - pose[1]) * scale
+    end_occ = hit_mask & in_map & jnp.logical_not(over)
+
+    def to_cell(px, py):
+        cx = jnp.clip(((px - lower[0]) / res).astype(jnp.int32), 0, H - 1)
+        cy = jnp.clip(((py - lower[1]) / res).astype(jnp.int32), 0, W - 1)
+        return cx, cy
+
+    ecx, ecy = to_cell(exw, eyw)
+    scx, scy = to_cell(pose[0], pose[1])
+    start_cell = jnp.stack([scx, scy])
+
+    cells, on_line = _bresenham_trace(
+        start_cell, jnp.stack([ecx, ecy], axis=-1), cfg.max_trace_cells)
+
+    # per-cell counts for this scan (setCacheOccupancy counters)
+    hits = jnp.zeros((H, W), jnp.int32).at[ecx, ecy].add(
+        end_occ.astype(jnp.int32))
+    total = jnp.zeros((H, W), jnp.int32).at[ecx, ecy].add(1)
+    total = total.at[cells[..., 0], cells[..., 1]].add(
+        on_line.astype(jnp.int32))
+    touched = total > 0
 
     lo_hit = jnp.asarray(_logit(cfg.p_hit), dtype)
     lo_miss = jnp.asarray(_logit(cfg.p_miss), dtype)
-    update = jnp.where(hit_grid, lo_hit,
-                       jnp.where(seen_grid, lo_miss, 0.0))
-    log_odds = jnp.clip(state.log_odds + update,
-                        _logit(cfg.p_min), _logit(cfg.p_max))
-    return OccupancyState(log_odds=log_odds,
-                          known=state.known | seen_grid)
+    lo_min = jnp.asarray(_logit(cfg.p_min), dtype)
+    lo_max = jnp.asarray(_logit(cfg.p_max), dtype)
+    # vote: count_hit >= count_total - 3*count_hit  <=>  4*hits >= total
+    update = jnp.where(4 * hits >= total, lo_hit, lo_miss)
+    log_odds = jnp.where(
+        touched, jnp.clip(state.log_odds + update, lo_min, lo_max),
+        state.log_odds)
+
+    # RemoveOutliers on the PREVIOUS gridmap (callback order :52-62)
+    grid = _remove_outliers(state.grid, lower, res, pose,
+                            lidar_cfg.max_range, (scx, scy))
+
+    # gridmap state machine over the detection window (here: wherever
+    # the window reaches; cells outside keep their state)
+    win = _window_mask((H, W), lower, res, pose, lidar_cfg.max_range)
+    lo_occ = jnp.asarray(_logit(cfg.p_occ), dtype)
+    to_free = win & (grid == UNKNOWN) & (log_odds >= lo_min) \
+        & (log_odds <= lo_occ)
+    to_occ = win & (log_odds > lo_occ)
+    grid = jnp.where(to_free, jnp.uint8(UNOCCUPIED), grid)
+    grid = jnp.where(to_occ, jnp.uint8(OCCUPIED), grid)
+
+    return OccupancyState(log_odds=log_odds, known=grid != UNKNOWN,
+                          grid=grid)
+
+
+def _window_mask(shape, lower, res, pose, detection_range):
+    """Cells inside the odom-centered detection window, index bounds
+    computed as the reference does (coord2gridIndex of the clamped
+    window corners, sdf_map.cpp:42-46, 65-67)."""
+    H, W = shape
+    rng = jnp.ceil(detection_range / res) * res
+    xl = jnp.maximum(pose[0] - rng, lower[0])
+    xu = jnp.minimum(pose[0] + rng, lower[0] + H * res)
+    yl = jnp.maximum(pose[1] - rng, lower[1])
+    yu = jnp.minimum(pose[1] + rng, lower[1] + W * res)
+    min_x = jnp.clip(((xl - lower[0]) / res).astype(jnp.int32), 0, H - 1)
+    max_x = jnp.clip(((xu - lower[0]) / res).astype(jnp.int32), 0, H - 1)
+    min_y = jnp.clip(((yl - lower[1]) / res).astype(jnp.int32), 0, W - 1)
+    max_y = jnp.clip(((yu - lower[1]) / res).astype(jnp.int32), 0, W - 1)
+    ii = jnp.arange(H)[:, None]
+    jj = jnp.arange(W)[None, :]
+    return ((ii >= min_x) & (ii <= max_x) & (jj >= min_y) & (jj <= max_y))
+
+
+def _remove_outliers(grid, lower, res, pose, detection_range, odom_cell):
+    """RemoveOutliers (sdf_map.cpp:316-349): interior Unknown cells in
+    the detection window whose 4 neighbors are all Unoccupied become
+    Unoccupied; the robot's 3x3 Unknown neighborhood becomes
+    Unoccupied."""
+    H, W = grid.shape
+    free = grid == UNOCCUPIED
+    up = jnp.roll(free, -1, 0)
+    dn = jnp.roll(free, 1, 0)
+    lf = jnp.roll(free, -1, 1)
+    rt = jnp.roll(free, 1, 1)
+    interior = jnp.zeros((H, W), bool).at[1:-1, 1:-1].set(True)
+    win = _window_mask((H, W), lower, res, pose, detection_range)
+    fill = (grid == UNKNOWN) & interior & win & up & dn & lf & rt
+    grid = jnp.where(fill, jnp.uint8(UNOCCUPIED), grid)
+
+    scx, scy = odom_cell
+    ii = jnp.arange(H)[:, None]
+    jj = jnp.arange(W)[None, :]
+    near = (jnp.abs(ii - scx) <= 1) & (jnp.abs(jj - scy) <= 1)
+    grid = jnp.where(near & (grid == UNKNOWN), jnp.uint8(UNOCCUPIED), grid)
+    return grid
 
 
 def occupancy_classes(state: OccupancyState,
                       cfg: OccupancyConfig = OccupancyConfig()):
-    """(occupied, free, unknown) boolean grids (gridmap_ semantics)."""
-    occ = state.log_odds > _logit(cfg.p_occ)
-    unknown = ~state.known
-    free = state.known & ~occ
+    """(occupied, free, unknown) boolean grids (gridmap_ semantics --
+    served from the sticky state machine, not re-thresholded)."""
+    occ = state.grid == OCCUPIED
+    free = state.grid == UNOCCUPIED
+    unknown = state.grid == UNKNOWN
     return occ, free, unknown
 
 
@@ -203,6 +385,9 @@ def circular_support_update(state: OccupancyState, lower, res, pose,
         keep = jnp.ones(rel.shape[0], bool)
     length = jnp.minimum(jnp.linalg.norm(rel, axis=-1), R)   # clip :211-214
 
+    # march each ray; a ray that meets an Occupied cell (or one of its 4
+    # neighbors) anywhere along its length is DISCARDED entirely
+    # (sdf_map.cpp:216-232) -- carving never crosses or approaches walls
     fr = jnp.arange(1, n_steps + 1, dtype=dtype) / n_steps
     ts = fr[None, :] * length[:, None]
     px = pose[0] + jnp.cos(ang)[:, None] * ts
@@ -211,10 +396,26 @@ def circular_support_update(state: OccupancyState, lower, res, pose,
     iy = jnp.clip(((py - lower[1]) / res).astype(jnp.int32), 0, W - 1)
     inside = ((px >= lower[0]) & (px < lower[0] + H * res)
               & (py >= lower[1]) & (py < lower[1] + W * res))
-    seen = inside & keep[:, None]
+
+    occ = state.grid == OCCUPIED
+    occ_near = (occ
+                | jnp.roll(occ, 1, 0) | jnp.roll(occ, -1, 0)
+                | jnp.roll(occ, 1, 1) | jnp.roll(occ, -1, 1))
+    ray_blocked = jnp.any(occ_near[ix, iy] & inside, axis=1)
+    seen = inside & keep[:, None] & jnp.logical_not(ray_blocked)[:, None]
 
     seen_grid = jnp.zeros((H, W), bool).at[ix, iy].max(seen)
-    lo_miss = jnp.asarray(_logit(cfg.p_miss), dtype)
-    log_odds = jnp.clip(state.log_odds + jnp.where(seen_grid, lo_miss, 0.0),
-                        _logit(cfg.p_min), _logit(cfg.p_max))
-    return OccupancyState(log_odds=log_odds, known=state.known | seen_grid)
+    # the reference forces log_odds_update = 0.0 in this mode
+    # (sdf_map.cpp:255-260): probabilities are untouched; the only
+    # effect is lifting never-touched cells (below the clamp floor, see
+    # occupancy_init) up to the floor, which the gridmap state machine
+    # then classifies as Unoccupied
+    lo_min = jnp.asarray(_logit(cfg.p_min), dtype)
+    log_odds = jnp.where(seen_grid & (state.log_odds <= lo_min),
+                         lo_min, state.log_odds)
+    lo_occ = jnp.asarray(_logit(cfg.p_occ), dtype)
+    to_free = (state.grid == UNKNOWN) & seen_grid \
+        & (log_odds >= lo_min) & (log_odds <= lo_occ)
+    grid = jnp.where(to_free, jnp.uint8(UNOCCUPIED), state.grid)
+    return OccupancyState(log_odds=log_odds, known=grid != UNKNOWN,
+                          grid=grid)

@@ -47,9 +47,72 @@
 #include "../../../../reference/planning_ddr_opt/utils/plan_env/src/raycast.cpp"
 #undef private
 
+// FUSION mode: replay laser scans through the reference occupancy
+// pipeline (pointCloudCallback-equivalent injection + the full
+// updateOccupancyCallback: raycastProcess Bresenham + hit-vote log-odds
+// fusion, optional cirSupRaycastProcess every 3rd scan, RemoveOutliers,
+// sticky gridmap state machine; sdf_map.cpp:35-132, 238-314).
+//
+//   FUSION nx ny x_lower y_lower res detection_range cir_sup
+//   n_scans
+//   per scan: odom_x odom_y odom_theta n_pts, then n_pts * (px py)
+// Output:
+//   G <nx*ny ints>        gridmap_ states after all scans
+//   O <nx*ny doubles>     occupancy_map_ log odds
+static int run_fusion() {
+    int nx, ny, cir_sup;
+    double x0, y0, res, range;
+    if (scanf("%d %d %lf %lf %lf %lf %d", &nx, &ny, &x0, &y0, &res,
+              &range, &cir_sup) != 7)
+        return 1;
+    oracle_params::set("/gridmap_interval", res);
+    oracle_params::set("/global_x_lower", x0);
+    oracle_params::set("/global_x_upper", x0 + nx * res - 1e-9);
+    oracle_params::set("/global_y_lower", y0);
+    oracle_params::set("/global_y_upper", y0 + ny * res - 1e-9);
+    oracle_params::set("/detection_range", range);
+    oracle_params::set("/if_cirSupRaycast", cir_sup != 0);
+    // mapsim.yaml log-odds profile (read via getParam -- REQUIRED)
+    oracle_params::set("/p_hit", 0.99);
+    oracle_params::set("/p_miss", 0.35);
+    oracle_params::set("/p_min", 0.12);
+    oracle_params::set("/p_max", 0.90);
+    oracle_params::set("/p_occ", 0.80);
+
+    ros::NodeHandle nh;
+    SDFmap map(nh);
+    if (map.GLX_SIZE_ != nx || map.GLY_SIZE_ != ny) return 1;
+
+    int n_scans;
+    if (scanf("%d", &n_scans) != 1) return 1;
+    for (int s = 0; s < n_scans; ++s) {
+        double ox, oy, oth;
+        int n_pts;
+        if (scanf("%lf %lf %lf %d", &ox, &oy, &oth, &n_pts) != 4) return 1;
+        map.cloud_.clear();
+        for (int i = 0; i < n_pts; ++i) {
+            double px, py;
+            if (scanf("%lf %lf", &px, &py) != 2) return 1;
+            map.cloud_.push_back(pcl::PointXYZ((float)px, (float)py, 0.f));
+        }
+        map.odom_pos_ << ox, oy, oth;
+        map.occ_need_update_ = true;
+        map.updateOccupancyCallback(ros::TimerEvent());
+    }
+
+    printf("G");
+    for (int i = 0; i < nx * ny; ++i) printf(" %d", (int)map.gridmap_[i]);
+    printf("\nO");
+    for (int i = 0; i < nx * ny; ++i)
+        printf(" %.17g", map.occupancy_map_[i]);
+    printf("\n");
+    return 0;
+}
+
 int main() {
     char gridpath[1024];
     if (scanf("%1023s", gridpath) != 1) return 1;
+    if (std::string(gridpath) == "FUSION") return run_fusion();
     FILE* f = fopen(gridpath, "rb");
     if (!f) return 1;
     int32_t nx, ny;

@@ -1,0 +1,98 @@
+"""Record occupancy-fusion golden traces from the compiled reference.
+
+Synthesizes lidar scans (via the framework's own deterministic
+`lidar_scan` against a ground-truth grid), feeds the resulting endpoint
+clouds to ./esdf_oracle's FUSION mode (the reference sdf_map.cpp
+occupancy pipeline: Bresenham raycast + hit-vote log-odds +
+RemoveOutliers + sticky gridmap), and stores scans + final
+gridmap/log-odds under tests/golden/fusion/.  Endpoints are rounded to
+float32 before both sides see them (the reference receives float PCL
+points).  Run from this directory after ./build.sh.
+"""
+import os
+import subprocess
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.normpath(os.path.join(HERE, "..", "fusion"))
+
+NX, NY = 60, 44
+RES = 0.1
+RANGE = 3.0
+N_BEAMS = 72
+
+
+def true_occ():
+    occ = np.zeros((NX, NY), bool)
+    occ[0, :] = occ[-1, :] = True
+    occ[:, 0] = occ[:, -1] = True
+    occ[22:28, 14:20] = True
+    occ[40:44, 28:36] = True
+    return occ
+
+
+def scan(pose):
+    """Deterministic scan identical to world/lidar.lidar_scan (numpy)."""
+    occ = true_occ()
+    n_steps = 256
+    angles = pose[2] + (np.arange(N_BEAMS) / N_BEAMS - 0.5) * 2 * np.pi
+    ts = (np.arange(1, n_steps + 1) / n_steps) * RANGE
+    px = pose[0] + np.cos(angles)[:, None] * ts[None, :]
+    py = pose[1] + np.sin(angles)[:, None] * ts[None, :]
+    ix = np.clip((px / RES).astype(int), 0, NX - 1)
+    iy = np.clip((py / RES).astype(int), 0, NY - 1)
+    inside = (px >= 0) & (px < NX * RES) & (py >= 0) & (py < NY * RES)
+    hit = np.where(inside, occ[ix, iy], False)
+    any_hit = hit.any(1)
+    first = hit.argmax(1)
+    ranges = np.where(any_hit, ts[first], RANGE)
+    # a hit at exactly RANGE (the last lattice sample) is a boundary tie
+    # the f32 endpoint-length comparison resolves differently from f64;
+    # physical returns are strictly inside range, so drop it
+    any_hit &= ranges < RANGE
+    ranges = np.where(any_hit, ranges, RANGE)
+    return ranges.astype(np.float32), any_hit
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    poses = [
+        np.array([2.05, 1.53, 0.3]),
+        np.array([2.55, 2.12, -1.1]),
+        np.array([3.48, 2.93, 2.2]),
+        np.array([1.32, 3.41, 0.9]),
+    ]
+    lines = [f"FUSION {NX} {NY} 0 0 {RES} {RANGE} 0", str(len(poses))]
+    scans = []
+    for pose in poses:
+        ranges, hits = scan(pose)
+        angles = pose[2] + (np.arange(N_BEAMS) / N_BEAMS - 0.5) * 2 * np.pi
+        # no-return beams: a phantom point PAST the detection range so
+        # the reference exercises its range clamp (raycastProcess :156)
+        r_pt = np.where(hits, ranges, np.float32(1.5 * RANGE))
+        ex = (pose[0] + np.cos(angles) * r_pt).astype(np.float32)
+        ey = (pose[1] + np.sin(angles) * r_pt).astype(np.float32)
+        scans.append((pose, ranges, hits))
+        lines.append(f"{pose[0]:.17g} {pose[1]:.17g} {pose[2]:.17g} "
+                     f"{N_BEAMS}")
+        for x, y in zip(ex, ey):
+            lines.append(f"{x:.17g} {y:.17g}")
+
+    res = subprocess.run([os.path.join(HERE, "esdf_oracle")],
+                         input="\n".join(lines) + "\n",
+                         capture_output=True, text=True, check=True)
+    with open(os.path.join(OUT, "scans.txt"), "w") as f:
+        for pose, ranges, hits in scans:
+            f.write(" ".join(f"{v:.17g}" for v in pose) + "\n")
+            f.write(" ".join(f"{v:.17g}" for v in ranges) + "\n")
+            f.write(" ".join(str(int(h)) for h in hits) + "\n")
+    with open(os.path.join(OUT, "result.txt"), "w") as f:
+        f.write(res.stdout)
+    g = np.array([int(v) for v in res.stdout.split("\n")[0].split()[1:]])
+    print(f"recorded {len(poses)} scans; gridmap counts:",
+          np.bincount(g, minlength=3))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Occupancy-fusion golden parity vs the compiled reference SDFmap.
+
+tests/golden/fusion/* was recorded by tests/golden/esdf_oracle's FUSION
+mode: four lidar scans replayed through the reference occupancy
+pipeline (raycastProcess Bresenham traversal + per-cell hit-vote
+log-odds fusion + RemoveOutliers + the sticky gridmap state machine,
+sdf_map.cpp:35-132, 238-349).  Replaying the same scans through
+`occupancy_update` must reproduce the final gridmap cell for cell and
+the log-odds field numerically -- this pins the semantics the sampled
+round-1 fusion approximated: exact Bresenham cell sets, the
+hit >= total/4 vote, the below-clamp unknown initialization, sticky
+Occupied, and outlier removal.
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from alore_legged_manipulator_tpu.world.lidar import (
+    LidarConfig, OccupancyConfig, occupancy_init, occupancy_update)
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "golden", "fusion")
+NX, NY = 60, 44
+RES = 0.1
+RANGE = 3.0
+N_BEAMS = 72
+
+
+def _load():
+    scans = []
+    with open(os.path.join(GOLDEN, "scans.txt")) as f:
+        lines = [l for l in f.read().split("\n") if l.strip()]
+    for i in range(0, len(lines), 3):
+        pose = np.array([float(v) for v in lines[i].split()])
+        ranges = np.array([float(v) for v in lines[i + 1].split()],
+                          np.float32)
+        hits = np.array([int(v) for v in lines[i + 2].split()], bool)
+        scans.append((pose, ranges, hits))
+    with open(os.path.join(GOLDEN, "result.txt")) as f:
+        gl = f.readline().split()[1:]
+        ol = f.readline().split()[1:]
+    grid = np.array([int(v) for v in gl]).reshape(NX, NY)
+    lo = np.array([float(v) for v in ol]).reshape(NX, NY)
+    return scans, grid, lo
+
+
+def test_fusion_matches_reference_oracle():
+    scans, gold_grid, gold_lo = _load()
+    lcfg = LidarConfig(n_beams=N_BEAMS, fov_rad=2.0 * np.pi,
+                       max_range=RANGE)
+    ocfg = OccupancyConfig()          # mapsim.yaml profile
+    st = occupancy_init((NX, NY), ocfg)
+    lower = jnp.zeros(2, jnp.float32)
+    for pose, ranges, hits in scans:
+        st = occupancy_update(st, lower, jnp.float32(RES),
+                              jnp.asarray(pose, jnp.float32),
+                              jnp.asarray(ranges), jnp.asarray(hits),
+                              lcfg, ocfg)
+    ours_grid = np.asarray(st.grid, int)
+    ours_lo = np.asarray(st.log_odds, np.float64)
+
+    mism = ours_grid != gold_grid
+    assert mism.sum() == 0, (
+        f"{mism.sum()} / {mism.size} gridmap cells differ at "
+        f"{np.argwhere(mism)[:10]}")
+    np.testing.assert_allclose(ours_lo, gold_lo, atol=1e-5)
