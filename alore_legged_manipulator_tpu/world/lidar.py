@@ -48,6 +48,9 @@ class OccupancyConfig(NamedTuple):
     # beam: max_range/res per axis; both axes can step per iteration so
     # max(dx, dy) iterations suffice)
     max_trace_cells: int = 160
+    # static bound on circular-support perimeter points per square edge
+    # (>= 2*detection_range/res + 1; sdf_map.cpp:184-193)
+    cir_sup_max_edge_points: int = 128
 
 
 def _logit(p):
@@ -145,9 +148,169 @@ def _bresenham_trace(start_cell, end_cells, max_steps):
     return cells, valid.T
 
 
+def _intbound(s, ds):
+    """Smallest positive t with s + t*ds integer (raycast.cpp:39-48).
+
+    `ds` is the reference's INTEGER cell-count difference, not the
+    geometric direction -- the quirk is part of the traversal spec.
+    """
+    s2 = jnp.where(ds < 0, -s, s)
+    frac = jnp.mod(s2, 1.0)
+    return jnp.where(ds == 0, jnp.inf,
+                     (1.0 - frac) / jnp.abs(ds).astype(s.dtype))
+
+
+def _cir_sup_raise(grid, log_odds, lower, res, pose, detection_range,
+                   cfg: OccupancyConfig, fov_rad=None):
+    """cirSupRaycastProcess (sdf_map.cpp:178-280), reference-exact.
+
+    Casts a ray from every grid-interval-spaced point on the perimeter
+    of the detection SQUARE toward the robot using the Amanatides-Woo
+    DDA (raycast.cpp RayCaster, world/res lattice, z pinned).  A ray any
+    of whose traversed cells -- or their four FLAT-INDEX neighbors
+    (+-1, +-GLY with the reference's one-sided guards) -- is Occupied is
+    discarded whole.  Surviving rays emit their traversed cells except
+    the endpoint-adjacent one (`line[0..size-2]`) as zero-log-odds
+    updates: the inline fusion loop forces `log_odds_update = 0.0`
+    (sdf_map.cpp:258), so the ONLY effect is lifting below-clamp-floor
+    (never-touched) cells up to exactly clamp_min, which the gridmap
+    state machine then classifies Unoccupied.  Out-of-map perimeter
+    points are pulled in by closetPointInMap and everything is clipped
+    to the detection range; the FOV gate is the reference's
+    angle-within-fov/2.2 test on the UNCLAMPED point.
+
+    `detection_range`/`res`-derived sizes are static via
+    cfg.cir_sup_max_edge_points and cfg.max_trace_cells.
+    """
+    H, W = grid.shape
+    dtype = log_odds.dtype
+    R = detection_range
+    ox, oy = pose[0], pose[1]
+
+    # perimeter lattice: x = ox +- R with y stepping res, then y = oy
+    # +- R with x stepping (loop bound `< .. + 1e-10` inclusive)
+    K = cfg.cir_sup_max_edge_points
+    k = jnp.arange(K, dtype=dtype)
+    off = k * res
+    # the reference's `y < oy+R + 1e-10` loop bound under DOUBLE
+    # accumulation includes the far corner when 2R/res is integral
+    # (error ~4e-15); the f32 lattice error (~6e-8) would exclude it,
+    # so count points from the ratio with an f32-sized slack instead
+    kvalid = k < jnp.floor(2.0 * R / res + 1e-4) + 0.5
+    pts = jnp.concatenate([
+        jnp.stack([jnp.full((K,), 1.0, dtype) * (ox - R), oy - R + off], -1),
+        jnp.stack([jnp.full((K,), 1.0, dtype) * (ox + R), oy - R + off], -1),
+        jnp.stack([ox - R + off, jnp.full((K,), 1.0, dtype) * (oy - R)], -1),
+        jnp.stack([ox - R + off, jnp.full((K,), 1.0, dtype) * (oy + R)], -1),
+    ])                                                   # (4K, 2)
+    valid = jnp.tile(kvalid, 4)
+
+    if fov_rad is not None:
+        ang = jnp.arctan2(pts[:, 1] - oy, pts[:, 0] - ox) - pose[2]
+        ang = (ang + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+        valid = valid & (ang >= -fov_rad / 2.2) & (ang <= fov_rad / 2.2)
+
+    # closetPointInMap for strictly-out-of-map points (sdf_map.cpp:
+    # 591-614), then the range clip -- both about the robot position
+    upper = (lower[0] + H * res, lower[1] + W * res)
+    px, py = pts[:, 0], pts[:, 1]
+    in_map = ((px > lower[0]) & (px < upper[0])
+              & (py > lower[1]) & (py < upper[1]))
+    diffx, diffy = px - ox, py - oy
+
+    def _t_for(diff, lo, up, p):
+        big = jnp.asarray(1e6, dtype)
+        t1 = jnp.where(jnp.abs(diff) > 0, (up - p) / diff, big)
+        t2 = jnp.where(jnp.abs(diff) > 0, (lo - p) / diff, big)
+        t1 = jnp.where(t1 > 0, t1, big)
+        t2 = jnp.where(t2 > 0, t2, big)
+        return jnp.minimum(t1, t2)
+
+    t_bound = jnp.minimum(_t_for(diffx, lower[0], upper[0], ox),
+                          _t_for(diffy, lower[1], upper[1], oy)) - 1e-3
+    px = jnp.where(in_map, px, ox + t_bound * diffx)
+    py = jnp.where(in_map, py, oy + t_bound * diffy)
+    length = jnp.sqrt((px - ox) ** 2 + (py - oy) ** 2)
+    scale = jnp.where(length > R, R / jnp.maximum(length, 1e-12), 1.0)
+    px = ox + (px - ox) * scale
+    py = oy + (py - oy) * scale
+
+    # DDA setup (raycast.cpp:253-301) in world/res lattice units (the
+    # reference divides raw coords by the interval, no lower offset)
+    sx, sy = px / res, py / res
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    exi = jnp.floor(ox / res).astype(jnp.int32)
+    eyi = jnp.floor(oy / res).astype(jnp.int32)
+    dx = exi - x0
+    dy = eyi - y0
+    stx = jnp.sign(dx).astype(jnp.int32)
+    sty = jnp.sign(dy).astype(jnp.int32)
+    tmx0 = _intbound(sx, dx)
+    tmy0 = _intbound(sy, dy)
+    tdx = jnp.where(dx != 0, 1.0 / jnp.abs(dx).astype(dtype), jnp.inf)
+    tdy = jnp.where(dy != 0, 1.0 / jnp.abs(dy).astype(dtype), jnp.inf)
+
+    # occupancy of a cell or its 4 flat-index neighbors, with the
+    # reference's guards: -1 only if y>0, -GLY only if x>0; +1/+GLY
+    # unguarded (their y<GLY/x<GLX tests are always true -- the
+    # flat wrap mirrors the reference's flat-array read)
+    occf = (grid == OCCUPIED).reshape(-1)
+    ii = jnp.arange(H * W)
+    near = (occf
+            | jnp.roll(occf, -1)
+            | (jnp.roll(occf, 1) & (ii % W > 0))
+            | jnp.roll(occf, -W)
+            | (jnp.roll(occf, W) & (ii // W > 0)))
+
+    def _cell_to_grid(x, y):
+        # tmp = (cell + 0.5) * res; coord2gridIndex truncates + clamps
+        gx = jnp.clip((((x.astype(dtype) + 0.5) * res - lower[0])
+                       / res).astype(jnp.int32), 0, H - 1)
+        gy = jnp.clip((((y.astype(dtype) + 0.5) * res - lower[1])
+                       / res).astype(jnp.int32), 0, W - 1)
+        return gx, gy
+
+    def step(carry, _):
+        x, y, tmx, tmy, done, occl = carry
+        at_end = (x == exi) & (y == eyi)
+        emit = jnp.logical_not(done) & jnp.logical_not(at_end)
+        gx, gy = _cell_to_grid(x, y)
+        blocked = emit & near[gx * W + gy]
+        out = (gx, gy, emit)
+        step_x = tmx < tmy
+        ndone = done | at_end | blocked
+        x = jnp.where(ndone, x, x + jnp.where(step_x, stx, 0))
+        y = jnp.where(ndone, y, y + jnp.where(step_x, 0, sty))
+        tmx = jnp.where(ndone | ~step_x, tmx, tmx + tdx)
+        tmy = jnp.where(ndone | step_x, tmy, tmy + tdy)
+        return (x, y, tmx, tmy, ndone, occl | blocked), out
+
+    done0 = jnp.logical_not(valid) | ((dx == 0) & (dy == 0))
+    occl0 = jnp.zeros_like(done0)
+    final, (gxs, gys, emitted) = jax.lax.scan(
+        step, (x0, y0, tmx0, tmy0, done0, occl0), None,
+        length=cfg.max_trace_cells)
+    gxs, gys, emitted = gxs.T, gys.T, emitted.T        # (4K, S)
+    occluded = final[5]
+
+    # line[0..size-2]: drop each ray's LAST emitted cell (the endpoint
+    # cell itself was never emitted -- step() exits before the body)
+    count = emitted.sum(axis=1)
+    S = emitted.shape[1]
+    miss = emitted & (jnp.arange(S)[None, :] < (count - 1)[:, None])
+    keep = jnp.logical_not(occluded) & valid
+
+    touched = jnp.zeros((H, W), bool).at[gxs, gys].max(
+        miss & keep[:, None])
+    lo_min = jnp.asarray(_logit(cfg.p_min), dtype)
+    return jnp.where(touched & (log_odds <= lo_min), lo_min, log_odds)
+
+
 def occupancy_update(state: OccupancyState, lower, res, pose, ranges,
                      hit_mask, lidar_cfg: LidarConfig = LidarConfig(),
-                     cfg: OccupancyConfig = OccupancyConfig()):
+                     cfg: OccupancyConfig = OccupancyConfig(),
+                     cir_sup: bool = False):
     """Fuse one scan -- reference-exact SDFmap semantics, verified cell
     for cell against the compiled reference (tests/test_fusion_parity.py):
 
@@ -243,6 +406,18 @@ def occupancy_update(state: OccupancyState, lower, res, pose, ranges,
     log_odds = jnp.where(
         touched, jnp.clip(state.log_odds + update, lo_min, lo_max),
         state.log_odds)
+
+    # circular-support carve between raycastProcess and RemoveOutliers
+    # (updateOccupancyCallback :53-61).  NOTE the reference's static
+    # counter `cirSup=1; ++; %3` actually fires on every SECOND scan
+    # (2, 4, 6, ...), not every third -- the caller owns that cadence
+    # and passes cir_sup accordingly.  Occlusion reads the PREVIOUS
+    # gridmap (it is only rewritten at the end of the callback).
+    if cir_sup:
+        fov = (lidar_cfg.fov_rad
+               if lidar_cfg.fov_rad < 2.0 * jnp.pi - 1e-6 else None)
+        log_odds = _cir_sup_raise(state.grid, log_odds, lower, res, pose,
+                                  lidar_cfg.max_range, cfg, fov)
 
     # RemoveOutliers on the PREVIOUS gridmap (callback order :52-62)
     grid = _remove_outliers(state.grid, lower, res, pose,
@@ -351,71 +526,39 @@ def circular_support_update(state: OccupancyState, lower, res, pose,
                             detection_range,
                             cfg: OccupancyConfig = OccupancyConfig(),
                             fov_rad: float = None,
-                            n_steps: int = 256):
-    """Free-space carving without sensor returns: cirSupRaycastProcess
-    (sdf_map.cpp:178-235).
-
-    The reference casts rays to every grid-interval-spaced point on the
-    perimeter of the detection SQUARE (clipped to the detection range),
-    marking traversed cells free -- used so no-return directions still
-    clear space.  FOV limiting matches the reference's angle/2.2 gate
-    when `fov_rad` is given.  Hits are never added by this mode.
+                            n_steps: int = None):
+    """Standalone free-space carving without sensor returns:
+    cirSupRaycastProcess (sdf_map.cpp:178-280) via the reference-exact
+    `_cir_sup_raise` (Amanatides-Woo DDA from square-perimeter support
+    points, occluded rays discarded whole, below-floor cells lifted to
+    clamp_min), followed by the two callback-tail steps that make the
+    carve observable on the gridmap when no scan fusion runs this tick:
+    the robot's 3x3 Unknown fill (RemoveOutliers' second half, :341-348)
+    and the window state machine's Unknown -> Unoccupied transition.
+    Inside the live pipeline use `occupancy_update(..., cir_sup=True)`
+    instead, which runs the carve at the reference's exact point in the
+    callback order.  `n_steps` is accepted for API compatibility and
+    ignored (the DDA is exact, not sampled).
     """
     H, W = state.log_odds.shape
     dtype = state.log_odds.dtype
-    R = detection_range
+    log_odds = _cir_sup_raise(state.grid, state.log_odds, lower, res,
+                              pose, detection_range, cfg, fov_rad)
 
-    # perimeter points of the square, spaced at the grid interval
-    # (sdf_map.cpp:184-193: two vertical edges + two horizontal edges)
-    n_edge = int(round(2.0 * R / res)) + 1
-    u = jnp.linspace(-R, R, n_edge).astype(dtype)
-    edges = [
-        jnp.stack([jnp.full_like(u, -R), u], -1),
-        jnp.stack([jnp.full_like(u, R), u], -1),
-        jnp.stack([u, jnp.full_like(u, -R)], -1),
-        jnp.stack([u, jnp.full_like(u, R)], -1),
-    ]
-    rel = jnp.concatenate(edges, axis=0)             # (P, 2) robot-relative
-    ang = jnp.arctan2(rel[:, 1], rel[:, 0])
-    if fov_rad is not None:
-        # reference gate: |angle - yaw| < fov/2.2 (sdf_map.cpp:199-205)
-        d = (ang - pose[2] + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
-        keep = jnp.abs(d) < fov_rad / 2.2
-    else:
-        keep = jnp.ones(rel.shape[0], bool)
-    length = jnp.minimum(jnp.linalg.norm(rel, axis=-1), R)   # clip :211-214
+    grid = state.grid
+    scx = jnp.clip(((pose[0] - lower[0]) / res).astype(jnp.int32), 0, H - 1)
+    scy = jnp.clip(((pose[1] - lower[1]) / res).astype(jnp.int32), 0, W - 1)
+    ii = jnp.arange(H)[:, None]
+    jj = jnp.arange(W)[None, :]
+    near_robot = (jnp.abs(ii - scx) <= 1) & (jnp.abs(jj - scy) <= 1)
+    grid = jnp.where(near_robot & (grid == UNKNOWN),
+                     jnp.uint8(UNOCCUPIED), grid)
 
-    # march each ray; a ray that meets an Occupied cell (or one of its 4
-    # neighbors) anywhere along its length is DISCARDED entirely
-    # (sdf_map.cpp:216-232) -- carving never crosses or approaches walls
-    fr = jnp.arange(1, n_steps + 1, dtype=dtype) / n_steps
-    ts = fr[None, :] * length[:, None]
-    px = pose[0] + jnp.cos(ang)[:, None] * ts
-    py = pose[1] + jnp.sin(ang)[:, None] * ts
-    ix = jnp.clip(((px - lower[0]) / res).astype(jnp.int32), 0, H - 1)
-    iy = jnp.clip(((py - lower[1]) / res).astype(jnp.int32), 0, W - 1)
-    inside = ((px >= lower[0]) & (px < lower[0] + H * res)
-              & (py >= lower[1]) & (py < lower[1] + W * res))
-
-    occ = state.grid == OCCUPIED
-    occ_near = (occ
-                | jnp.roll(occ, 1, 0) | jnp.roll(occ, -1, 0)
-                | jnp.roll(occ, 1, 1) | jnp.roll(occ, -1, 1))
-    ray_blocked = jnp.any(occ_near[ix, iy] & inside, axis=1)
-    seen = inside & keep[:, None] & jnp.logical_not(ray_blocked)[:, None]
-
-    seen_grid = jnp.zeros((H, W), bool).at[ix, iy].max(seen)
-    # the reference forces log_odds_update = 0.0 in this mode
-    # (sdf_map.cpp:255-260): probabilities are untouched; the only
-    # effect is lifting never-touched cells (below the clamp floor, see
-    # occupancy_init) up to the floor, which the gridmap state machine
-    # then classifies as Unoccupied
+    win = _window_mask((H, W), lower, res, pose, detection_range)
     lo_min = jnp.asarray(_logit(cfg.p_min), dtype)
-    log_odds = jnp.where(seen_grid & (state.log_odds <= lo_min),
-                         lo_min, state.log_odds)
     lo_occ = jnp.asarray(_logit(cfg.p_occ), dtype)
-    to_free = (state.grid == UNKNOWN) & seen_grid \
-        & (log_odds >= lo_min) & (log_odds <= lo_occ)
-    grid = jnp.where(to_free, jnp.uint8(UNOCCUPIED), state.grid)
+    to_free = win & (grid == UNKNOWN) & (log_odds >= lo_min) \
+        & (log_odds <= lo_occ)
+    grid = jnp.where(to_free, jnp.uint8(UNOCCUPIED), grid)
     return OccupancyState(log_odds=log_odds, known=grid != UNKNOWN,
                           grid=grid)

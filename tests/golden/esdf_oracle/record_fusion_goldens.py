@@ -3,11 +3,21 @@
 Synthesizes lidar scans (via the framework's own deterministic
 `lidar_scan` against a ground-truth grid), feeds the resulting endpoint
 clouds to ./esdf_oracle's FUSION mode (the reference sdf_map.cpp
-occupancy pipeline: Bresenham raycast + hit-vote log-odds +
-RemoveOutliers + sticky gridmap), and stores scans + final
-gridmap/log-odds under tests/golden/fusion/.  Endpoints are rounded to
-float32 before both sides see them (the reference receives float PCL
-points).  Run from this directory after ./build.sh.
+occupancy pipeline: Bresenham raycast + hit-vote log-odds fusion +
+optional circular-support raycast + RemoveOutliers + sticky gridmap),
+and stores scans + final gridmap/log-odds under tests/golden/fusion*/.
+Endpoints are rounded to float32 before both sides see them (the
+reference receives float PCL points).  Run from this directory after
+./build.sh.
+
+Two sets:
+  fusion/        4 scans, cirSup OFF (plain raycast pipeline)
+  fusion_cirsup/ 6 scans, cirSup ON -- fires on scans 2,4,6 via the
+                 reference's `static int cirSup=1; ++; %3` counter
+                 (which fires every SECOND scan, not third).  The map
+                 is larger and poses keep the detection window strictly
+                 interior so the reference's unguarded flat-index
+                 neighbor reads (sdf_map.cpp:226-231) stay in bounds.
 """
 import os
 import subprocess
@@ -15,16 +25,10 @@ import subprocess
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT = os.path.normpath(os.path.join(HERE, "..", "fusion"))
-
-NX, NY = 60, 44
-RES = 0.1
-RANGE = 3.0
-N_BEAMS = 72
 
 
-def true_occ():
-    occ = np.zeros((NX, NY), bool)
+def true_occ_plain(nx, ny):
+    occ = np.zeros((nx, ny), bool)
     occ[0, :] = occ[-1, :] = True
     occ[:, 0] = occ[:, -1] = True
     occ[22:28, 14:20] = True
@@ -32,66 +36,89 @@ def true_occ():
     return occ
 
 
-def scan(pose):
+def true_occ_cirsup(nx, ny):
+    occ = np.zeros((nx, ny), bool)
+    occ[30:36, 25:31] = True
+    occ[50:55, 40:48] = True
+    occ[42:44, 12:22] = True
+    return occ
+
+
+def scan(pose, occ, nx, ny, res, rng, n_beams):
     """Deterministic scan identical to world/lidar.lidar_scan (numpy)."""
-    occ = true_occ()
     n_steps = 256
-    angles = pose[2] + (np.arange(N_BEAMS) / N_BEAMS - 0.5) * 2 * np.pi
-    ts = (np.arange(1, n_steps + 1) / n_steps) * RANGE
+    angles = pose[2] + (np.arange(n_beams) / n_beams - 0.5) * 2 * np.pi
+    ts = (np.arange(1, n_steps + 1) / n_steps) * rng
     px = pose[0] + np.cos(angles)[:, None] * ts[None, :]
     py = pose[1] + np.sin(angles)[:, None] * ts[None, :]
-    ix = np.clip((px / RES).astype(int), 0, NX - 1)
-    iy = np.clip((py / RES).astype(int), 0, NY - 1)
-    inside = (px >= 0) & (px < NX * RES) & (py >= 0) & (py < NY * RES)
+    ix = np.clip((px / res).astype(int), 0, nx - 1)
+    iy = np.clip((py / res).astype(int), 0, ny - 1)
+    inside = (px >= 0) & (px < nx * res) & (py >= 0) & (py < ny * res)
     hit = np.where(inside, occ[ix, iy], False)
     any_hit = hit.any(1)
     first = hit.argmax(1)
-    ranges = np.where(any_hit, ts[first], RANGE)
-    # a hit at exactly RANGE (the last lattice sample) is a boundary tie
+    ranges = np.where(any_hit, ts[first], rng)
+    # a hit at exactly rng (the last lattice sample) is a boundary tie
     # the f32 endpoint-length comparison resolves differently from f64;
     # physical returns are strictly inside range, so drop it
-    any_hit &= ranges < RANGE
-    ranges = np.where(any_hit, ranges, RANGE)
+    any_hit &= ranges < rng
+    ranges = np.where(any_hit, ranges, rng)
     return ranges.astype(np.float32), any_hit
 
 
-def main():
-    os.makedirs(OUT, exist_ok=True)
-    poses = [
-        np.array([2.05, 1.53, 0.3]),
-        np.array([2.55, 2.12, -1.1]),
-        np.array([3.48, 2.93, 2.2]),
-        np.array([1.32, 3.41, 0.9]),
-    ]
-    lines = [f"FUSION {NX} {NY} 0 0 {RES} {RANGE} 0", str(len(poses))]
+def record(out_dir, nx, ny, res, rng, n_beams, poses, occ, cir_sup):
+    os.makedirs(out_dir, exist_ok=True)
+    lines = [f"FUSION {nx} {ny} 0 0 {res} {rng} {int(cir_sup)}",
+             str(len(poses))]
     scans = []
     for pose in poses:
-        ranges, hits = scan(pose)
-        angles = pose[2] + (np.arange(N_BEAMS) / N_BEAMS - 0.5) * 2 * np.pi
+        ranges, hits = scan(pose, occ, nx, ny, res, rng, n_beams)
+        angles = pose[2] + (np.arange(n_beams) / n_beams - 0.5) * 2 * np.pi
         # no-return beams: a phantom point PAST the detection range so
         # the reference exercises its range clamp (raycastProcess :156)
-        r_pt = np.where(hits, ranges, np.float32(1.5 * RANGE))
+        r_pt = np.where(hits, ranges, np.float32(1.5 * rng))
         ex = (pose[0] + np.cos(angles) * r_pt).astype(np.float32)
         ey = (pose[1] + np.sin(angles) * r_pt).astype(np.float32)
         scans.append((pose, ranges, hits))
         lines.append(f"{pose[0]:.17g} {pose[1]:.17g} {pose[2]:.17g} "
-                     f"{N_BEAMS}")
+                     f"{n_beams}")
         for x, y in zip(ex, ey):
             lines.append(f"{x:.17g} {y:.17g}")
 
-    res = subprocess.run([os.path.join(HERE, "esdf_oracle")],
-                         input="\n".join(lines) + "\n",
-                         capture_output=True, text=True, check=True)
-    with open(os.path.join(OUT, "scans.txt"), "w") as f:
+    res_p = subprocess.run([os.path.join(HERE, "esdf_oracle")],
+                           input="\n".join(lines) + "\n",
+                           capture_output=True, text=True, check=True)
+    with open(os.path.join(out_dir, "meta.txt"), "w") as f:
+        f.write(f"{nx} {ny} {res} {rng} {n_beams} {int(cir_sup)}\n")
+    with open(os.path.join(out_dir, "scans.txt"), "w") as f:
         for pose, ranges, hits in scans:
             f.write(" ".join(f"{v:.17g}" for v in pose) + "\n")
             f.write(" ".join(f"{v:.17g}" for v in ranges) + "\n")
             f.write(" ".join(str(int(h)) for h in hits) + "\n")
-    with open(os.path.join(OUT, "result.txt"), "w") as f:
-        f.write(res.stdout)
-    g = np.array([int(v) for v in res.stdout.split("\n")[0].split()[1:]])
-    print(f"recorded {len(poses)} scans; gridmap counts:",
-          np.bincount(g, minlength=3))
+    with open(os.path.join(out_dir, "result.txt"), "w") as f:
+        f.write(res_p.stdout)
+    g = np.array([int(v) for v in res_p.stdout.split("\n")[0].split()[1:]])
+    print(f"{os.path.basename(out_dir)}: {len(poses)} scans; "
+          f"gridmap counts:", np.bincount(g, minlength=3))
+
+
+def main():
+    record(os.path.normpath(os.path.join(HERE, "..", "fusion")),
+           nx=60, ny=44, res=0.1, rng=3.0, n_beams=72,
+           poses=[np.array([2.05, 1.53, 0.3]),
+                  np.array([2.55, 2.12, -1.1]),
+                  np.array([3.48, 2.93, 2.2]),
+                  np.array([1.32, 3.41, 0.9])],
+           occ=true_occ_plain(60, 44), cir_sup=False)
+    record(os.path.normpath(os.path.join(HERE, "..", "fusion_cirsup")),
+           nx=80, ny=70, res=0.1, rng=2.0, n_beams=72,
+           poses=[np.array([2.37, 2.41, 0.35]),
+                  np.array([2.93, 3.18, -0.82]),
+                  np.array([3.71, 3.64, 2.31]),
+                  np.array([4.52, 4.07, 1.17]),
+                  np.array([5.23, 4.33, -2.63]),
+                  np.array([4.81, 3.29, 0.58])],
+           occ=true_occ_cirsup(80, 70), cir_sup=True)
 
 
 if __name__ == "__main__":

@@ -1,62 +1,73 @@
 """Occupancy-fusion golden parity vs the compiled reference SDFmap.
 
-tests/golden/fusion/* was recorded by tests/golden/esdf_oracle's FUSION
-mode: four lidar scans replayed through the reference occupancy
-pipeline (raycastProcess Bresenham traversal + per-cell hit-vote
-log-odds fusion + RemoveOutliers + the sticky gridmap state machine,
-sdf_map.cpp:35-132, 238-349).  Replaying the same scans through
-`occupancy_update` must reproduce the final gridmap cell for cell and
-the log-odds field numerically -- this pins the semantics the sampled
-round-1 fusion approximated: exact Bresenham cell sets, the
-hit >= total/4 vote, the below-clamp unknown initialization, sticky
-Occupied, and outlier removal.
+tests/golden/fusion*/ was recorded by tests/golden/esdf_oracle's FUSION
+mode: lidar scans replayed through the reference occupancy pipeline
+(raycastProcess Bresenham traversal + per-cell hit-vote log-odds fusion
++ optional circular-support DDA raycast + RemoveOutliers + the sticky
+gridmap state machine, sdf_map.cpp:35-132, 178-349).  Replaying the
+same scans through `occupancy_update` must reproduce the final gridmap
+cell for cell and the log-odds field numerically -- this pins the
+semantics the sampled round-1 fusion approximated: exact Bresenham cell
+sets, the hit >= total/4 vote, the below-clamp unknown initialization,
+sticky Occupied, outlier removal, and (second set) the cirSup support
+carve with its every-SECOND-scan counter quirk, Amanatides-Woo
+traversal, whole-ray occlusion discard, and forced-zero log-odds update
+that only lifts never-touched cells to the clamp floor.
 """
 import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from alore_legged_manipulator_tpu.world.lidar import (
     LidarConfig, OccupancyConfig, occupancy_init, occupancy_update)
 
-GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "golden", "fusion")
-NX, NY = 60, 44
-RES = 0.1
-RANGE = 3.0
-N_BEAMS = 72
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
 
-def _load():
+def _load(name):
+    d = os.path.join(GOLDEN, name)
+    with open(os.path.join(d, "meta.txt")) as f:
+        v = f.read().split()
+    nx, ny, res, rng, n_beams, cir_sup = (
+        int(v[0]), int(v[1]), float(v[2]), float(v[3]), int(v[4]),
+        bool(int(v[5])))
     scans = []
-    with open(os.path.join(GOLDEN, "scans.txt")) as f:
+    with open(os.path.join(d, "scans.txt")) as f:
         lines = [l for l in f.read().split("\n") if l.strip()]
     for i in range(0, len(lines), 3):
-        pose = np.array([float(v) for v in lines[i].split()])
-        ranges = np.array([float(v) for v in lines[i + 1].split()],
+        pose = np.array([float(x) for x in lines[i].split()])
+        ranges = np.array([float(x) for x in lines[i + 1].split()],
                           np.float32)
-        hits = np.array([int(v) for v in lines[i + 2].split()], bool)
+        hits = np.array([int(x) for x in lines[i + 2].split()], bool)
         scans.append((pose, ranges, hits))
-    with open(os.path.join(GOLDEN, "result.txt")) as f:
+    with open(os.path.join(d, "result.txt")) as f:
         gl = f.readline().split()[1:]
         ol = f.readline().split()[1:]
-    grid = np.array([int(v) for v in gl]).reshape(NX, NY)
-    lo = np.array([float(v) for v in ol]).reshape(NX, NY)
-    return scans, grid, lo
+    grid = np.array([int(x) for x in gl]).reshape(nx, ny)
+    lo = np.array([float(x) for x in ol]).reshape(nx, ny)
+    return (nx, ny, res, rng, n_beams, cir_sup), scans, grid, lo
 
 
-def test_fusion_matches_reference_oracle():
-    scans, gold_grid, gold_lo = _load()
-    lcfg = LidarConfig(n_beams=N_BEAMS, fov_rad=2.0 * np.pi,
-                       max_range=RANGE)
+@pytest.mark.parametrize("name", ["fusion", "fusion_cirsup"])
+def test_fusion_matches_reference_oracle(name):
+    (nx, ny, res, rng, n_beams, cir_sup), scans, gold_grid, gold_lo = \
+        _load(name)
+    lcfg = LidarConfig(n_beams=n_beams, fov_rad=2.0 * np.pi,
+                       max_range=rng)
     ocfg = OccupancyConfig()          # mapsim.yaml profile
-    st = occupancy_init((NX, NY), ocfg)
+    st = occupancy_init((nx, ny), ocfg)
     lower = jnp.zeros(2, jnp.float32)
-    for pose, ranges, hits in scans:
-        st = occupancy_update(st, lower, jnp.float32(RES),
+    for i, (pose, ranges, hits) in enumerate(scans):
+        # the reference's static counter fires cirSup on scans 2,4,6,...
+        # (1-indexed): `static int cirSup=1; cirSup++; if(cirSup%3==0)
+        # {...; cirSup=1;}` needs two increments from 1 to reach 3
+        fire = cir_sup and (i % 2 == 1)
+        st = occupancy_update(st, lower, jnp.float32(res),
                               jnp.asarray(pose, jnp.float32),
                               jnp.asarray(ranges), jnp.asarray(hits),
-                              lcfg, ocfg)
+                              lcfg, ocfg, cir_sup=fire)
     ours_grid = np.asarray(st.grid, int)
     ours_lo = np.asarray(st.log_odds, np.float64)
 
