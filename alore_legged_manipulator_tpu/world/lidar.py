@@ -437,6 +437,39 @@ def occupancy_update(state: OccupancyState, lower, res, pose, ranges,
                           grid=grid)
 
 
+def occupancy_update_perspective(state: OccupancyState, lower, res, pose,
+                                 points, point_mask, detection_range,
+                                 cfg: OccupancyConfig = OccupancyConfig()):
+    """The perspective branch of updateOccupancyCallback
+    (sdf_map.cpp:96-129, `if_perspective_ == true`), used with the laser
+    simulator's perspectivePoints mode: no raycasting and no log-odds --
+    every Unknown cell in the odom-centered detection window becomes
+    Unoccupied, then every in-map cloud point's cell is stamped
+    Occupied.  Occupied never reverts (nothing ever downgrades it).
+
+    `points` (P, 2) world coords; `point_mask` (P,) selects real points.
+    occupancy_map_ (log_odds) is untouched by this branch.
+    """
+    H, W = state.log_odds.shape
+    grid = state.grid
+
+    win = _window_mask((H, W), lower, res, pose, detection_range)
+    grid = jnp.where(win & (grid == UNKNOWN), jnp.uint8(UNOCCUPIED), grid)
+
+    # isInGloMap is STRICT (sdf_map.cpp:591-593); coord2gridIndex
+    # truncates and clamps
+    px, py = points[:, 0], points[:, 1]
+    upper = (lower[0] + H * res, lower[1] + W * res)
+    ok = (point_mask & (px > lower[0]) & (px < upper[0])
+          & (py > lower[1]) & (py < upper[1]))
+    gx = jnp.clip(((px - lower[0]) / res).astype(jnp.int32), 0, H - 1)
+    gy = jnp.clip(((py - lower[1]) / res).astype(jnp.int32), 0, W - 1)
+    grid = grid.at[gx, gy].max(jnp.where(ok, jnp.uint8(OCCUPIED),
+                                         jnp.uint8(0)))
+    return OccupancyState(log_odds=state.log_odds,
+                          known=grid != UNKNOWN, grid=grid)
+
+
 def _window_mask(shape, lower, res, pose, detection_range):
     """Cells inside the odom-centered detection window, index bounds
     computed as the reference does (coord2gridIndex of the clamped

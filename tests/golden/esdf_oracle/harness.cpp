@@ -53,17 +53,17 @@
 // fusion, optional cirSupRaycastProcess every 3rd scan, RemoveOutliers,
 // sticky gridmap state machine; sdf_map.cpp:35-132, 238-314).
 //
-//   FUSION nx ny x_lower y_lower res detection_range cir_sup
+//   FUSION nx ny x_lower y_lower res detection_range cir_sup persp
 //   n_scans
 //   per scan: odom_x odom_y odom_theta n_pts, then n_pts * (px py)
 // Output:
 //   G <nx*ny ints>        gridmap_ states after all scans
 //   O <nx*ny doubles>     occupancy_map_ log odds
 static int run_fusion() {
-    int nx, ny, cir_sup;
+    int nx, ny, cir_sup, persp;
     double x0, y0, res, range;
-    if (scanf("%d %d %lf %lf %lf %lf %d", &nx, &ny, &x0, &y0, &res,
-              &range, &cir_sup) != 7)
+    if (scanf("%d %d %lf %lf %lf %lf %d %d", &nx, &ny, &x0, &y0, &res,
+              &range, &cir_sup, &persp) != 8)
         return 1;
     oracle_params::set("/gridmap_interval", res);
     oracle_params::set("/global_x_lower", x0);
@@ -72,6 +72,7 @@ static int run_fusion() {
     oracle_params::set("/global_y_upper", y0 + ny * res - 1e-9);
     oracle_params::set("/detection_range", range);
     oracle_params::set("/if_cirSupRaycast", cir_sup != 0);
+    oracle_params::set("/if_perspective", persp != 0);
     // mapsim.yaml log-odds profile (read via getParam -- REQUIRED)
     oracle_params::set("/p_hit", 0.99);
     oracle_params::set("/p_miss", 0.35);

@@ -66,12 +66,32 @@ def scan(pose, occ, nx, ny, res, rng, n_beams):
     return ranges.astype(np.float32), any_hit
 
 
-def record(out_dir, nx, ny, res, rng, n_beams, poses, occ, cir_sup):
+def perspective_cloud(pose, occ, res, rng):
+    """World-frame perspective cloud: every occupied cell center within
+    the sensing radius, occluded or not (laser_sim_node.cpp:343-421)."""
+    ci, cj = np.nonzero(occ)
+    cx = (ci + 0.5) * res
+    cy = (cj + 0.5) * res
+    d = np.hypot(cx - pose[0], cy - pose[1])
+    sel = d <= rng
+    return np.stack([cx[sel], cy[sel]], -1).astype(np.float32)
+
+
+def record(out_dir, nx, ny, res, rng, n_beams, poses, occ, cir_sup,
+           persp=False):
     os.makedirs(out_dir, exist_ok=True)
-    lines = [f"FUSION {nx} {ny} 0 0 {res} {rng} {int(cir_sup)}",
-             str(len(poses))]
+    lines = [f"FUSION {nx} {ny} 0 0 {res} {rng} {int(cir_sup)} "
+             f"{int(persp)}", str(len(poses))]
     scans = []
     for pose in poses:
+        if persp:
+            pts = perspective_cloud(pose, occ, res, rng)
+            scans.append((pose, pts))
+            lines.append(f"{pose[0]:.17g} {pose[1]:.17g} {pose[2]:.17g} "
+                         f"{len(pts)}")
+            for x, y in pts:
+                lines.append(f"{x:.17g} {y:.17g}")
+            continue
         ranges, hits = scan(pose, occ, nx, ny, res, rng, n_beams)
         angles = pose[2] + (np.arange(n_beams) / n_beams - 0.5) * 2 * np.pi
         # no-return beams: a phantom point PAST the detection range so
@@ -89,12 +109,19 @@ def record(out_dir, nx, ny, res, rng, n_beams, poses, occ, cir_sup):
                            input="\n".join(lines) + "\n",
                            capture_output=True, text=True, check=True)
     with open(os.path.join(out_dir, "meta.txt"), "w") as f:
-        f.write(f"{nx} {ny} {res} {rng} {n_beams} {int(cir_sup)}\n")
+        f.write(f"{nx} {ny} {res} {rng} {n_beams} {int(cir_sup)} "
+                f"{int(persp)}\n")
     with open(os.path.join(out_dir, "scans.txt"), "w") as f:
-        for pose, ranges, hits in scans:
-            f.write(" ".join(f"{v:.17g}" for v in pose) + "\n")
-            f.write(" ".join(f"{v:.17g}" for v in ranges) + "\n")
-            f.write(" ".join(str(int(h)) for h in hits) + "\n")
+        if persp:
+            for pose, pts in scans:
+                f.write(" ".join(f"{v:.17g}" for v in pose) + "\n")
+                f.write(" ".join(f"{v:.17g}" for v in pts[:, 0]) + "\n")
+                f.write(" ".join(f"{v:.17g}" for v in pts[:, 1]) + "\n")
+        else:
+            for pose, ranges, hits in scans:
+                f.write(" ".join(f"{v:.17g}" for v in pose) + "\n")
+                f.write(" ".join(f"{v:.17g}" for v in ranges) + "\n")
+                f.write(" ".join(str(int(h)) for h in hits) + "\n")
     with open(os.path.join(out_dir, "result.txt"), "w") as f:
         f.write(res_p.stdout)
     g = np.array([int(v) for v in res_p.stdout.split("\n")[0].split()[1:]])
@@ -119,6 +146,12 @@ def main():
                   np.array([5.23, 4.33, -2.63]),
                   np.array([4.81, 3.29, 0.58])],
            occ=true_occ_cirsup(80, 70), cir_sup=True)
+    record(os.path.normpath(os.path.join(HERE, "..", "fusion_persp")),
+           nx=60, ny=44, res=0.1, rng=3.0, n_beams=72,
+           poses=[np.array([2.05, 1.53, 0.3]),
+                  np.array([2.55, 2.12, -1.1]),
+                  np.array([3.48, 2.93, 2.2])],
+           occ=true_occ_plain(60, 44), cir_sup=False, persp=True)
 
 
 if __name__ == "__main__":

@@ -9,10 +9,12 @@ same scans through `occupancy_update` must reproduce the final gridmap
 cell for cell and the log-odds field numerically -- this pins the
 semantics the sampled round-1 fusion approximated: exact Bresenham cell
 sets, the hit >= total/4 vote, the below-clamp unknown initialization,
-sticky Occupied, outlier removal, and (second set) the cirSup support
-carve with its every-SECOND-scan counter quirk, Amanatides-Woo
+sticky Occupied, outlier removal, and (fusion_cirsup) the cirSup
+support carve with its every-SECOND-scan counter quirk, Amanatides-Woo
 traversal, whole-ray occlusion discard, and forced-zero log-odds update
-that only lifts never-touched cells to the clamp floor.
+that only lifts never-touched cells to the clamp floor.  fusion_persp
+pins the if_perspective branch (sdf_map.cpp:96-129): window
+Unknown->Unoccupied fill + endpoint-only Occupied stamps, no log-odds.
 """
 import os
 
@@ -21,7 +23,8 @@ import numpy as np
 import pytest
 
 from alore_legged_manipulator_tpu.world.lidar import (
-    LidarConfig, OccupancyConfig, occupancy_init, occupancy_update)
+    LidarConfig, OccupancyConfig, occupancy_init, occupancy_update,
+    occupancy_update_perspective)
 
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
@@ -30,29 +33,36 @@ def _load(name):
     d = os.path.join(GOLDEN, name)
     with open(os.path.join(d, "meta.txt")) as f:
         v = f.read().split()
-    nx, ny, res, rng, n_beams, cir_sup = (
+    nx, ny, res, rng, n_beams, cir_sup, persp = (
         int(v[0]), int(v[1]), float(v[2]), float(v[3]), int(v[4]),
-        bool(int(v[5])))
+        bool(int(v[5])), bool(int(v[6])))
     scans = []
     with open(os.path.join(d, "scans.txt")) as f:
         lines = [l for l in f.read().split("\n") if l.strip()]
     for i in range(0, len(lines), 3):
         pose = np.array([float(x) for x in lines[i].split()])
-        ranges = np.array([float(x) for x in lines[i + 1].split()],
+        if persp:
+            xs = np.array([float(x) for x in lines[i + 1].split()],
                           np.float32)
-        hits = np.array([int(x) for x in lines[i + 2].split()], bool)
-        scans.append((pose, ranges, hits))
+            ys = np.array([float(x) for x in lines[i + 2].split()],
+                          np.float32)
+            scans.append((pose, np.stack([xs, ys], -1)))
+        else:
+            ranges = np.array([float(x) for x in lines[i + 1].split()],
+                              np.float32)
+            hits = np.array([int(x) for x in lines[i + 2].split()], bool)
+            scans.append((pose, ranges, hits))
     with open(os.path.join(d, "result.txt")) as f:
         gl = f.readline().split()[1:]
         ol = f.readline().split()[1:]
     grid = np.array([int(x) for x in gl]).reshape(nx, ny)
     lo = np.array([float(x) for x in ol]).reshape(nx, ny)
-    return (nx, ny, res, rng, n_beams, cir_sup), scans, grid, lo
+    return (nx, ny, res, rng, n_beams, cir_sup, persp), scans, grid, lo
 
 
 @pytest.mark.parametrize("name", ["fusion", "fusion_cirsup"])
 def test_fusion_matches_reference_oracle(name):
-    (nx, ny, res, rng, n_beams, cir_sup), scans, gold_grid, gold_lo = \
+    (nx, ny, res, rng, n_beams, cir_sup, _), scans, gold_grid, gold_lo = \
         _load(name)
     lcfg = LidarConfig(n_beams=n_beams, fov_rad=2.0 * np.pi,
                        max_range=rng)
@@ -76,3 +86,28 @@ def test_fusion_matches_reference_oracle(name):
         f"{mism.sum()} / {mism.size} gridmap cells differ at "
         f"{np.argwhere(mism)[:10]}")
     np.testing.assert_allclose(ours_lo, gold_lo, atol=1e-5)
+
+
+def test_perspective_branch_matches_reference_oracle():
+    (nx, ny, res, rng, _, _, persp), scans, gold_grid, gold_lo = \
+        _load("fusion_persp")
+    assert persp
+    ocfg = OccupancyConfig()
+    st = occupancy_init((nx, ny), ocfg)
+    lower = jnp.zeros(2, jnp.float32)
+    init_lo = np.asarray(st.log_odds, np.float64).copy()
+    for pose, pts in scans:
+        mask = jnp.ones(pts.shape[0], bool)
+        st = occupancy_update_perspective(
+            st, lower, jnp.float32(res), jnp.asarray(pose, jnp.float32),
+            jnp.asarray(pts), mask, rng, ocfg)
+    ours_grid = np.asarray(st.grid, int)
+    mism = ours_grid != gold_grid
+    assert mism.sum() == 0, (
+        f"{mism.sum()} / {mism.size} gridmap cells differ at "
+        f"{np.argwhere(mism)[:10]}")
+    # this branch never touches occupancy_map_
+    np.testing.assert_allclose(np.asarray(st.log_odds, np.float64),
+                               init_lo, atol=0)
+    np.testing.assert_allclose(np.asarray(st.log_odds, np.float64),
+                               gold_lo, atol=1e-5)
