@@ -26,8 +26,13 @@ from ..core.dynamics import ICRParams, body_vel_from_wheels
 class PlantConfig(NamedTuple):
     max_acc: float = 2.0
     max_domega: float = 4.0
-    # the reference rate-limits with Pose_pub_rate as the timestep
-    # (simulator.h:246: Pose_pub_rate_ * max_a_); we use the actual dt
+    # the reference rate-limits each 500 Hz propagation tick by
+    # Pose_pub_rate_ * max (simulator.h:246: with Pose_pub_rate 100 Hz
+    # from planner_sim.launch:99) -- the per-tick delta uses the POSE
+    # PUBLISH interval, not the propagation dt, so the effective
+    # acceleration limit is max_acc * rate_limit_dt / dt (5x at the
+    # launch profile).  None reproduces the non-quirky max_acc * dt.
+    rate_limit_dt: float = 0.01
     noise_stddev: float = 0.01
     add_noise: bool = True
 
@@ -62,8 +67,11 @@ def plant_step(st: PlantState, wheel_cmd, icr: ICRParams, dt,
         des_w = des_w * (1.0 + cfg.noise_stddev
                          * jax.random.normal(kw, dtype=des_w.dtype))
 
-    dv = jnp.clip(des_v - st.v, -cfg.max_acc * dt, cfg.max_acc * dt)
-    dw = jnp.clip(des_w - st.omega, -cfg.max_domega * dt, cfg.max_domega * dt)
+    lim_dt = dt if cfg.rate_limit_dt is None else cfg.rate_limit_dt
+    dv = jnp.clip(des_v - st.v, -cfg.max_acc * lim_dt,
+                  cfg.max_acc * lim_dt)
+    dw = jnp.clip(des_w - st.omega, -cfg.max_domega * lim_dt,
+                  cfg.max_domega * lim_dt)
     v = st.v + dv
     w = st.omega + dw
 

@@ -4,7 +4,7 @@
 namespace carstatemsgs {
 struct CarState {
     std_msgs::Header Header;
-    double x = 0, y = 0, yaw = 0, v = 0, omega = 0, a = 0, alpha = 0;
+    double x = 0, y = 0, yaw = 0, s = 0, v = 0, omega = 0, a = 0, alpha = 0, js = 0, jyaw = 0;
     typedef std::shared_ptr<const CarState> ConstPtr;
 };
 }

@@ -4,7 +4,8 @@
 namespace carstatemsgs {
 struct SimulatedCarState {
     std_msgs::Header Header;
-    double x = 0, y = 0, yaw = 0, v = 0, vx = 0, vy = 0, omega = 0;
+    double x = 0, y = 0, yaw = 0, v = 0, vx = 0, vy = 0, omega = 0,
+        ICR_xv = 0, ICR_yl = 0, ICR_yr = 0;
     typedef std::shared_ptr<const SimulatedCarState> ConstPtr;
 };
 }

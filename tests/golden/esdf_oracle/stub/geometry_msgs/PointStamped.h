@@ -2,7 +2,10 @@
 #include <memory>
 #include "ros/ros.h"
 namespace geometry_msgs {
-struct Point { double x = 0, y = 0, z = 0; };
+struct Point {
+    double x = 0, y = 0, z = 0;
+    typedef std::shared_ptr<const Point> ConstPtr;
+};
 struct Quaternion { double x = 0, y = 0, z = 0, w = 1; };
 struct PointStamped {
     std_msgs::Header header;

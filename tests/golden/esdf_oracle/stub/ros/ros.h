@@ -66,6 +66,11 @@ class Publisher {
 };
 
 class Subscriber {};
+class TransportHints {
+ public:
+    TransportHints& unreliable() { return *this; }
+    TransportHints& reliable() { return *this; }
+};
 class Timer {};
 struct TimerEvent {};
 
@@ -78,6 +83,13 @@ class NodeHandle {
     template <typename M, typename T>
     Subscriber subscribe(const std::string&, int,
                          void (T::*)(const typename M::ConstPtr&), T*) {
+        return Subscriber();
+    }
+
+    template <typename M, typename T>
+    Subscriber subscribe(const std::string&, int,
+                         void (T::*)(const typename M::ConstPtr&), T*,
+                         const TransportHints&) {
         return Subscriber();
     }
 
@@ -120,6 +132,7 @@ struct Header {
     std::string frame_id;
     ros::Time stamp;
 };
+struct ColorRGBA { float r = 0, g = 0, b = 0, a = 0; };
 }  // namespace std_msgs
 
 #endif  // EKF_ORACLE_ROS_STUB_H

@@ -13,8 +13,23 @@ class Quaternion {
  private:
     double x_, y_, z_, w_;
 };
+inline Quaternion createQuaternionFromRPY(double r, double p, double y) {
+    double cr = std::cos(r * 0.5), sr = std::sin(r * 0.5);
+    double cp = std::cos(p * 0.5), sp = std::sin(p * 0.5);
+    double cy = std::cos(y * 0.5), sy = std::sin(y * 0.5);
+    return Quaternion(sr * cp * cy - cr * sp * sy,
+                      cr * sp * cy + sr * cp * sy,
+                      cr * cp * sy - sr * sp * cy,
+                      cr * cp * cy + sr * sp * sy);
+}
 inline Quaternion createQuaternionFromYaw(double yaw) {
     return Quaternion(0, 0, std::sin(yaw * 0.5), std::cos(yaw * 0.5));
+}
+inline geometry_msgs::Quaternion createQuaternionMsgFromYaw(double yaw) {
+    geometry_msgs::Quaternion q;
+    q.z = std::sin(yaw * 0.5);
+    q.w = std::cos(yaw * 0.5);
+    return q;
 }
 inline double getYaw(const geometry_msgs::Quaternion& q) {
     return std::atan2(2.0 * (q.w * q.z + q.x * q.y),

@@ -7,14 +7,16 @@ namespace visualization_msgs {
 struct Marker {
     enum {ARROW = 0, CUBE = 1, SPHERE = 2, CYLINDER = 3, LINE_STRIP = 4,
           LINE_LIST = 5, CUBE_LIST = 6, SPHERE_LIST = 7, POINTS = 8,
-          TEXT_VIEW_FACING = 9, ADD = 0, MODIFY = 0, DELETE = 2,
+          TEXT_VIEW_FACING = 9, MESH_RESOURCE = 10, ADD = 0, MODIFY = 0, DELETE = 2,
           DELETEALL = 3};
     std_msgs::Header header;
     std::string ns, text;
     int id = 0, type = 0, action = 0;
     struct { geometry_msgs::Point position; geometry_msgs::Quaternion orientation; } pose;
     struct { double x = 0, y = 0, z = 0; } scale;
-    struct { float r = 0, g = 0, b = 0, a = 0; } color;
+    std_msgs::ColorRGBA color;
+    std::vector<std_msgs::ColorRGBA> colors;
+    std::string mesh_resource;
     ros::Duration lifetime = ros::Duration(0);
     bool frame_locked = false;
     std::vector<geometry_msgs::Point> points;

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Build the reference diff-drive simulator golden oracle (see harness.cpp).
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=/root/reference/planning_ddr_opt
+EIGEN=$(python - <<'PY'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+
+g++ -O2 -std=c++14 -w \
+    -I stub \
+    -I ../esdf_oracle/stub \
+    -I "$EIGEN" \
+    -I "$REF/utils/simulator/include" \
+    harness.cpp -o plant_oracle
+echo "built $(pwd)/plant_oracle"

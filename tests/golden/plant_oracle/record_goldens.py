@@ -1,0 +1,54 @@
+"""Record diff-drive plant golden traces from the compiled reference.
+
+Feeds a wheel-command script through ./plant_oracle (the ACTUAL
+reference utils/simulator node, see harness.cpp) and stores per-tick
+state traces under tests/golden/plant/.  The script exercises: forward
+acceleration into the rate limiter, turns, a reverse command, the
+command-mid-trajectory switch, and settled tracking.  Noise is off
+(deterministic), State_Propa_rate 500 Hz, Pose_pub_rate 100 Hz (the
+planner_sim.launch profile whose interval the rate limiter quirkily
+uses as its per-tick delta).  Run from this directory after ./build.sh.
+"""
+import os
+import subprocess
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.normpath(os.path.join(HERE, "..", "plant"))
+
+SCENARIOS = {
+    # start_x start_y start_yaw max_acc max_domega yr yl xv, cmds
+    "cruise": ((0.3, -0.2, 0.4, 2.0, 4.0, -0.3, 0.3, 0.2),
+               [(1.2, 1.4, 120), (0.8, 1.9, 150), (1.5, 1.5, 100)]),
+    "reverse_switch": ((0.0, 0.0, -1.1, 2.0, 4.0, -0.25, 0.35, 0.15),
+                       [(2.0, 2.4, 80), (-1.0, -1.0, 140),
+                        (0.0, 0.0, 90), (2.8, -2.8, 60)]),
+    "saturating": ((1.0, 2.0, 2.6, 0.5, 1.0, -0.3, 0.3, 0.0),
+                   [(3.0, 3.0, 200), (-3.0, 3.0, 200)]),
+}
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name, (params, cmds) in SCENARIOS.items():
+        lines = [" ".join(f"{v:.17g}" for v in params) + " 500 100",
+                 str(len(cmds))]
+        for vl, vr, n in cmds:
+            lines.append(f"{vl:.17g} {vr:.17g} {n}")
+        res = subprocess.run([os.path.join(HERE, "plant_oracle")],
+                             input="\n".join(lines) + "\n",
+                             capture_output=True, text=True, check=True)
+        with open(os.path.join(OUT, f"{name}.txt"), "w") as f:
+            f.write(" ".join(f"{v:.17g}" for v in params) + "\n")
+            f.write(";".join(f"{vl:.17g} {vr:.17g} {n}"
+                             for vl, vr, n in cmds) + "\n")
+            f.write(res.stdout)
+        rows = [r for r in res.stdout.split("\n") if r.strip()]
+        last = np.array([float(v) for v in rows[-1].split()])
+        print(f"{name}: {len(rows)} ticks; final pose "
+              f"({last[0]:.3f}, {last[1]:.3f}, {last[2]:.3f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+#pragma once
+#include <memory>
+#include "ros/ros.h"
+namespace carstatemsgs {
+struct KinematicState {
+    std_msgs::Header Header;
+    double centripetal_acc = 0, max_centripetal_acc = 0,
+           min_centripetal_acc = 0, moment = 0, max_moment = 0,
+           min_moment = 0;
+    typedef std::shared_ptr<const KinematicState> ConstPtr;
+};
+}

@@ -1,0 +1,15 @@
+#pragma once
+#include <memory>
+#include "geometry_msgs/PointStamped.h"
+namespace geometry_msgs {
+struct Pose {
+    Point position;
+    Quaternion orientation;
+};
+struct PoseStamped {
+    std_msgs::Header header;
+    Pose pose;
+    typedef std::shared_ptr<const PoseStamped> ConstPtr;
+};
+typedef std::shared_ptr<const PoseStamped> PoseStampedConstPtr;
+}

@@ -1,0 +1,18 @@
+#pragma once
+#include <memory>
+#include "geometry_msgs/PoseStamped.h"
+namespace geometry_msgs {
+struct Vector3 { double x = 0, y = 0, z = 0; };
+struct Twist { Vector3 linear, angular; };
+struct TwistWithCovariance { Twist twist; };
+struct PoseWithCovariance { Pose pose; };
+}
+namespace nav_msgs {
+struct Odometry {
+    std_msgs::Header header;
+    std::string child_frame_id;
+    geometry_msgs::PoseWithCovariance pose;
+    geometry_msgs::TwistWithCovariance twist;
+    typedef std::shared_ptr<const Odometry> ConstPtr;
+};
+}
