@@ -44,7 +44,14 @@ class FrontendConfig(NamedTuple):
     # piece-count buckets: the piece count is rounded UP to one of these
     # so the jitted backend only ever compiles for a handful of static
     # shapes (a fresh XLA compile costs minutes; a replan budget is 50 ms)
+    # -- () disables bucketing (the reference's exact ceil-with-rounding
+    # count; used by the golden parity tests)
     piece_buckets: tuple = (3, 4, 6, 8, 12, 16, 24, 32)
+    # replan stitch: False = the reference's EFFECTIVE behavior (its
+    # raw_path_.insert is dead code, jps_planner.cpp:193-197); True =
+    # the intended full-prefix stitch (follows the old trajectory over
+    # the truncation window)
+    stitch_full_path: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -159,11 +166,33 @@ def _bresenham(a, b):
 
 
 def _line_collides(blocked, lower, res, p, q):
-    for c in _bresenham(world_to_grid(p, lower, res),
-                        world_to_grid(q, lower, res)):
+    # coord2gridIndex semantics: (p - lower) * (1/res), truncate, clamp
+    # both sides (the reference precomputes inv_grid_interval_; using
+    # /res instead differs by 1 ulp at cell boundaries)
+    H, W = blocked.shape
+    inv = 1.0 / float(res)
+
+    def to_cell(v):
+        return (min(max(int((float(v[0]) - float(lower[0])) * inv), 0),
+                    H - 1),
+                min(max(int((float(v[1]) - float(lower[1])) * inv), 0),
+                    W - 1))
+
+    for c in _bresenham(to_cell(p), to_cell(q)):
         if blocked[c[0], c[1]]:
             return True
     return False
+
+
+def _seg_norm(a, b):
+    """Eigen-style norm: sqrt of the plain sum of squares.  NOT
+    np.linalg.norm (BLAS nrm2 scales by the max component and rounds
+    differently by 1 ulp -- enough to flip the pruner's collinear
+    tie-breaks vs the reference)."""
+    import math
+    dx = float(a[0]) - float(b[0])
+    dy = float(a[1]) - float(b[1])
+    return math.sqrt(dx * dx + dy * dy)
 
 
 def remove_corner_pts(path_xy, blocked, lower, res):
@@ -174,18 +203,21 @@ def remove_corner_pts(path_xy, blocked, lower, res):
     prev = path_xy[0]
     cost1 = (np.inf if _line_collides(blocked, lower, res, path_xy[0],
                                       path_xy[1])
-             else np.linalg.norm(path_xy[0] - path_xy[1]))
+             else _seg_norm(path_xy[0], path_xy[1]))
     for i in range(1, len(path_xy) - 1):
         p1, p2 = path_xy[i], path_xy[i + 1]
         cost2 = (np.inf if _line_collides(blocked, lower, res, p1, p2)
-                 else np.linalg.norm(p1 - p2))
+                 else _seg_norm(p1, p2))
         cost3 = (np.inf if _line_collides(blocked, lower, res, prev, p2)
-                 else np.linalg.norm(prev - p2))
+                 else _seg_norm(prev, p2))
         if cost3 < cost1 + cost2:
             cost1 = cost3
         else:
             out.append(p1)
-            cost1 = cost2
+            # the reference resets cost1 to the PLAIN norm here, without
+            # the collision check (jps_planner.cpp:131) -- a colliding
+            # kept segment re-enters the comparison with finite cost
+            cost1 = _seg_norm(p1, p2)
             prev = p1
     out.append(path_xy[-1])
     return out
@@ -250,6 +282,15 @@ def sample_states(path_xy, start_xyt, end_yaw):
     cur = _unwrap_to(syaw, float(np.arctan2(path_xy[1][1] - path_xy[0][1],
                                             path_xy[1][0] - path_xy[0][0])))
     states.append([sx, sy, cur, cur - syaw, 0.0])
+    # the reference pushes the initial heading a SECOND time, recomputed
+    # as atan2(p0-p1)+pi and re-normalized to the START yaw, dtheta again
+    # relative to the start yaw (jps_planner.cpp:231-233) -- the
+    # duplicate state double-counts the first rotation in the weighted
+    # arc-length budget, stretching the time allocation accordingly
+    cur2 = _unwrap_to(syaw, float(np.arctan2(path_xy[0][1] - path_xy[1][1],
+                                             path_xy[0][0] - path_xy[1][0])
+                                  + np.pi))
+    states.append([sx, sy, cur2, cur2 - syaw, 0.0])
 
     for i in range(1, len(path_xy) - 1):
         p = path_xy[i]
@@ -374,11 +415,14 @@ def plan_frontend(esdf_dist: np.ndarray, lower, res, start_xyt, goal_xyt,
     path exists.  Safe radius shrinks near tight starts/goals
     (jps_planner.cpp:39-44).
 
-    start_path: optional list of (x, y) world points to prepend before the
-    searched path -- the replan continuity stitch of
-    getKinoNodeWithStartPath (jps_planner.cpp:189-215): the search starts
-    from the LAST stitched point while the trajectory still begins at
-    start_xyt.
+    start_path: optional (x, y[, theta]) world points -- the replan
+    continuity stitch of getKinoNodeWithStartPath (jps_planner.cpp:
+    189-215): the search starts from the LAST stitched point while the
+    sampled trajectory begins at start_xyt (= the path's first point).
+    By default this reproduces the reference's EFFECTIVE behavior --
+    its raw_path_.insert is dead code (each pushed point is popped
+    immediately, :193-197) so intermediate points are dropped;
+    cfg.stitch_full_path=True enables the intended full-prefix stitch.
     """
     start_xyt = np.asarray(start_xyt, float)
     goal_xyt = np.asarray(goal_xyt, float)
@@ -406,9 +450,15 @@ def plan_frontend(esdf_dist: np.ndarray, lower, res, start_xyt, goal_xyt,
     path_xy = [grid_to_world(c, lower, res) for c in cells]
     path_xy[0] = search_start.copy()
     path_xy[-1] = goal_xyt[:2].copy()
-    if start_path is not None:
-        # prepend the stitched prefix (raw_path_.insert in
-        # getKinoNodeWithStartPath); pruning may shortcut interior points
+    if start_path is not None and cfg.stitch_full_path:
+        # prepend the stitched prefix as getKinoNodeWithStartPath's
+        # raw_path_.insert INTENDS to (jps_planner.cpp:193-201) -- in
+        # the reference that insert is dead code (each pushed point is
+        # immediately popped, so the inserted range is empty) and only
+        # the sampling start state moves to start_path.front(); the
+        # reference-effective behavior (default, stitch_full_path=False)
+        # samples a straight leg from the predicted state to the
+        # truncated point instead of following the old trajectory
         prefix = [np.asarray(p, float)[:2] for p in start_path[:-1]]
         path_xy = prefix + path_xy
         path_xy[0] = start_xyt[:2].copy()

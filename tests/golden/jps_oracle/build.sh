@@ -1,5 +1,6 @@
 #!/bin/bash
-# Build the reference front-end (JPS/A*) golden oracle (see harness.cpp).
+# Build the reference front-end golden oracles: search (harness.cpp ->
+# jps_oracle) and sampling (kino_harness.cpp -> kino_oracle).
 set -euo pipefail
 cd "$(dirname "$0")"
 
@@ -16,3 +17,12 @@ g++ -O2 -std=c++14 -w \
     -I "$REF/front_end/include" \
     harness.cpp -o jps_oracle
 echo "built $(pwd)/jps_oracle"
+
+g++ -O2 -std=c++14 -w \
+    -I stub \
+    -I ../esdf_oracle/stub \
+    -I ../plant_oracle/stub \
+    -I "$EIGEN" \
+    -I "$REF/front_end/include" \
+    kino_harness.cpp -o kino_oracle
+echo "built $(pwd)/kino_oracle"

@@ -1,0 +1,131 @@
+// Golden-trace oracle for the reference front-end SAMPLING pipeline.
+//
+// Compiles the ACTUAL reference jps_planner.cpp (plan -> removeCornerPts
+// LOS pruning -> getSampleTraj 5-d rotate/translate interleave ->
+// getTrajsWithTime trapezoid time allocation + cut length) on top of the
+// same stub SDFmap the search oracle uses, and prints the resulting
+// FlatTrajData verbatim.  This pins the front-end -> back-end contract:
+// the (yaw, s, t) sample triples, sample interval, sampled positions,
+// boundary flat states, and the cut flag -- including the reference's
+// start-path quirk (getKinoNodeWithStartPath pushes then immediately
+// pops every stitched point, so ONLY start_state moves to the path
+// front; jps_planner.cpp:189-203).
+//
+// stdin:
+//   grid file path (format in stub/plan_env/sdf_map.h)
+//   jps_safe_dis max_jps_dis dist_w yaw_w cutlen max_vel max_acc
+//       max_omega max_domega timeres mintrajnum trunc_time
+//   then queries:
+//     sx sy syaw gx gy gyaw if_forward n_start_path
+//     n_start_path * (x y theta)
+//     vaj (3 floats)  oaj (3 floats)
+// per query prints:
+//   R <found 0/1> <n_pts> <initT> <if_cut>
+//   T <yaw s t>   * n_pts
+//   P <x y yaw>   * n_pts       (UnOccupied_positions)
+//   S <start_state 2x3 row-major> <final_state 2x3 row-major>
+//   X <start_XYTheta 3> <final_XYTheta 3>
+#include <cmath>
+#include <cstdio>
+#include <memory>
+#include <string>
+#include <vector>
+#include <iostream>
+#include <sstream>
+#include <map>
+#include <Eigen/Eigen>
+
+#include <plan_env/sdf_map.h>
+#include <front_end/jps_planner/graph_search.h>
+#include "../../../../reference/planning_ddr_opt/front_end/src/jps_planner/graph_search.cpp"
+// raw_path_/path_ are private; the harness prints them for the
+// decoupled stage-by-stage replay
+#define private public
+#include <front_end/jps_planner/jps_planner.h>
+#undef private
+#include "../../../../reference/planning_ddr_opt/front_end/src/jps_planner/jps_planner.cpp"
+
+int main() {
+    char gridpath[1024];
+    if (scanf("%1023s", gridpath) != 1) return 1;
+    auto map = std::make_shared<SDFmap>();
+    if (!map->loadGrid(gridpath)) {
+        fprintf(stderr, "grid load failed: %s\n", gridpath);
+        return 1;
+    }
+
+    double safe, maxjps, dw, yw, cutlen, mv, ma, mo, mdo, tres, trunc;
+    int mintraj;
+    if (scanf("%lf %lf %lf %lf %lf %lf %lf %lf %lf %lf %d %lf", &safe,
+              &maxjps, &dw, &yw, &cutlen, &mv, &ma, &mo, &mdo, &tres,
+              &mintraj, &trunc) != 12)
+        return 1;
+    oracle_params::set("/jps_safe_dis", safe);
+    oracle_params::set("/max_jps_dis", maxjps);
+    oracle_params::set("/jps_distance_weight", dw);
+    oracle_params::set("/jps_yaw_weight", yw);
+    oracle_params::set("/trajCutLength", cutlen);
+    oracle_params::set("/max_vel", mv);
+    oracle_params::set("/max_acc", ma);
+    oracle_params::set("/max_omega", mo);
+    oracle_params::set("/max_domega", mdo);
+    oracle_params::set("/timeResolution", tres);
+    oracle_params::set("/mintrajNum", mintraj);
+    oracle_params::set("/jps_truncation_time", trunc);
+
+    ros::NodeHandle nh;
+    JPSPlanner planner(map, nh);
+
+    double sx, sy, syaw, gx, gy, gyaw;
+    int fwd, nsp;
+    while (scanf("%lf %lf %lf %lf %lf %lf %d %d", &sx, &sy, &syaw, &gx,
+                 &gy, &gyaw, &fwd, &nsp) == 8) {
+        std::vector<Eigen::Vector3d> start_path;
+        for (int i = 0; i < nsp; ++i) {
+            double x, y, t;
+            if (scanf("%lf %lf %lf", &x, &y, &t) != 3) return 1;
+            start_path.emplace_back(x, y, t);
+        }
+        Eigen::Vector3d vaj, oaj;
+        if (scanf("%lf %lf %lf %lf %lf %lf", &vaj.x(), &vaj.y(),
+                  &vaj.z(), &oaj.x(), &oaj.y(), &oaj.z()) != 6)
+            return 1;
+
+        bool ok = planner.plan(Eigen::Vector3d(sx, sy, syaw),
+                               Eigen::Vector3d(gx, gy, gyaw));
+        if (!ok) {
+            printf("R 0 0 0 0\n");
+            continue;
+        }
+        planner.getKinoNodeWithStartPath(start_path, fwd != 0, vaj, oaj);
+
+        const FlatTrajData& ft = planner.flat_traj_;
+        int n = (int)ft.UnOccupied_traj_pts.size();
+        printf("R 1 %d %.17g %d\n", n, ft.UnOccupied_initT,
+               ft.if_cut ? 1 : 0);
+        printf("D %.17g\n", planner.graph_search_->GetSafeDis());
+        printf("W %d", (int)planner.raw_path_.size());
+        for (const auto& p : planner.raw_path_)
+            printf(" %.17g %.17g", p.x(), p.y());
+        printf("\nV %d", (int)planner.path_.size());
+        for (const auto& p : planner.path_)
+            printf(" %.17g %.17g", p.x(), p.y());
+        printf("\n");
+        for (const auto& p : ft.UnOccupied_traj_pts)
+            printf("T %.17g %.17g %.17g\n", p.x(), p.y(), p.z());
+        for (const auto& p : ft.UnOccupied_positions)
+            printf("P %.17g %.17g %.17g\n", p.x(), p.y(), p.z());
+        printf("S");
+        for (int r = 0; r < 2; ++r)
+            for (int c = 0; c < 3; ++c)
+                printf(" %.17g", ft.start_state(r, c));
+        for (int r = 0; r < 2; ++r)
+            for (int c = 0; c < 3; ++c)
+                printf(" %.17g", ft.final_state(r, c));
+        printf("\nX %.17g %.17g %.17g %.17g %.17g %.17g\n",
+               ft.start_state_XYTheta.x(), ft.start_state_XYTheta.y(),
+               ft.start_state_XYTheta.z(), ft.final_state_XYTheta.x(),
+               ft.final_state_XYTheta.y(), ft.final_state_XYTheta.z());
+    }
+    return 0;
+}

@@ -1,0 +1,87 @@
+"""Record front-end SAMPLING golden traces from the compiled reference.
+
+Runs ./kino_oracle (the ACTUAL reference jps_planner.cpp: plan ->
+removeCornerPts -> getSampleTraj -> getTrajsWithTime) over the same
+grids the search oracle uses, with the jps3ms/car3ms/global_planning3ms
+parameter profile, and stores raw paths, pruned paths and the resulting
+FlatTrajData under tests/golden/kino/.  Two parameter sets: the
+production trajCutLength 600 (never cuts) and a short 2.5 m cut that
+exercises the truncation path.  Queries include start paths (the replan
+stitch -- whose reference implementation pushes then pops every point,
+leaving only the start-state move) and nonzero start velocities.
+Run from this directory after ./build.sh (grids must exist:
+python record_goldens.py first).
+"""
+import os
+import subprocess
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GRIDS = os.path.normpath(os.path.join(HERE, "..", "jps"))
+OUT = os.path.normpath(os.path.join(HERE, "..", "kino"))
+
+# jps_safe max_jps dist_w yaw_w cutlen max_vel max_acc max_omega
+# max_domega timeres mintraj trunc
+PROFILES = {
+    "long": (0.3, 120.0, 1.40, 0.30, 600.0, 3.0, 2.0, 3.0, 4.0, 0.4, 3, 0.5),
+    "cut": (0.3, 120.0, 1.40, 0.30, 2.5, 3.0, 2.0, 3.0, 4.0, 0.4, 3, 0.5),
+}
+
+# per grid kind: (start xyt, goal xyt, if_forward, start_path, vaj, oaj)
+QUERIES = {
+    "boxes": [
+        ((1.05, 1.15, 0.3), (6.85, 4.75, 1.2), 1, [], (0, 0, 0), (0, 0, 0)),
+        ((1.05, 4.55, -0.7), (6.95, 0.85, 2.0), 1, [], (1.2, 0.4, 0),
+         (0.3, -0.1, 0)),
+        ((1.35, 2.05, 0.1), (6.45, 4.15, -2.4), 1,
+         [(1.15, 1.85, 0.05), (1.25, 1.95, 0.08), (1.35, 2.05, 0.1)],
+         (0.8, 0.2, 0), (0.1, 0.0, 0)),
+    ],
+    "corridor": [
+        ((1.05, 3.05, 0.0), (6.55, 2.55, 0.5), 1, [], (0, 0, 0), (0, 0, 0)),
+        ((1.35, 1.25, 1.1), (5.45, 5.05, -0.2), 1,
+         [(1.15, 1.05, 1.0), (1.35, 1.25, 1.1)], (1.5, 0.0, 0),
+         (-0.2, 0.1, 0)),
+    ],
+    "dense": [
+        ((0.95, 0.95, 0.8), (7.05, 5.25, -1.0), 1, [], (0, 0, 0), (0, 0, 0)),
+        ((0.75, 5.15, -2.2), (7.25, 0.65, 0.4), 1, [], (2.0, -0.3, 0),
+         (0.5, 0.2, 0)),
+    ],
+}
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for pname, prof in PROFILES.items():
+        for kind, queries in QUERIES.items():
+            gpath = os.path.join(GRIDS, f"{kind}_grid.bin")
+            lines = [gpath, " ".join(f"{v:.17g}" for v in prof[:10])
+                     + f" {prof[10]} {prof[11]:.17g}"]
+            for (s, g, fwd, sp, vaj, oaj) in queries:
+                lines.append(" ".join(f"{v:.17g}" for v in s) + " "
+                             + " ".join(f"{v:.17g}" for v in g)
+                             + f" {fwd} {len(sp)}")
+                for p in sp:
+                    lines.append(" ".join(f"{v:.17g}" for v in p))
+                lines.append(" ".join(f"{v:.17g}" for v in vaj) + " "
+                             + " ".join(f"{v:.17g}" for v in oaj))
+            res = subprocess.run([os.path.join(HERE, "kino_oracle")],
+                                 input="\n".join(lines) + "\n",
+                                 capture_output=True, text=True,
+                                 check=True)
+            name = f"{kind}_{pname}"
+            with open(os.path.join(OUT, f"{name}_queries.txt"), "w") as f:
+                f.write("\n".join(lines[1:]) + "\n")
+            with open(os.path.join(OUT, f"{name}_results.txt"), "w") as f:
+                f.write(res.stdout)
+            n_ok = res.stdout.count("R 1")
+            n_cut = sum(1 for l in res.stdout.split("\n")
+                        if l.startswith("R 1") and l.split()[4] == "1")
+            print(f"{name}: {len(queries)} queries, {n_ok} found, "
+                  f"{n_cut} cut")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+#pragma once
+#include <vector>
+#include "ros/ros.h"
+#include "geometry_msgs/PoseStamped.h"
+namespace nav_msgs {
+struct Path {
+    std_msgs::Header header;
+    std::vector<geometry_msgs::PoseStamped> poses;
+    typedef std::shared_ptr<const Path> ConstPtr;
+};
+}

@@ -1,0 +1,173 @@
+"""Front-end SAMPLING golden parity vs the compiled reference.
+
+tests/golden/kino/* was recorded by tests/golden/jps_oracle's
+kino_oracle: the ACTUAL reference jps_planner.cpp running plan ->
+removeCornerPts -> getSampleTraj -> getTrajsWithTime and printing the
+FlatTrajData plus the raw and pruned paths.  To decouple sampling parity
+from search tie-breaking (JPS paths of equal cost may differ cell for
+cell; search cost parity is tests/test_jps_parity.py), the replay here
+starts from the ORACLE's raw path and runs our prune -> 5-d sampling ->
+trapezoid time allocation, asserting every FlatTrajData field: pruned
+path, (yaw, s, t) triples, sample interval, sampled positions, boundary
+flat states, cut state and cut flag.  This pins the reference's quirks:
+the duplicated initial-heading state that double-counts the first
+rotation (getSampleTraj :231-233), the dead-code start-path insert
+(:193-197, only the start state moves), the plain-norm cost1 reset in
+the pruner (:131), and the trapezoid's asymmetric velocity clamping.
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.planner.frontend import (
+    FrontendConfig, build_flat_traj, remove_corner_pts, sample_states)
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+RES = 0.1
+SETS = ["boxes_long", "corridor_long", "dense_long",
+        "boxes_cut", "corridor_cut", "dense_cut"]
+
+
+def _load_grid(kind):
+    import struct
+    with open(os.path.join(GOLDEN, "jps", f"{kind}_grid.bin"), "rb") as f:
+        nx, ny = struct.unpack("<ii", f.read(8))
+        x0, y0, res = struct.unpack("<ddd", f.read(24))
+        grid = np.frombuffer(f.read(nx * ny), np.uint8).reshape(nx, ny)
+        dist = np.frombuffer(f.read(nx * ny * 8), "<f8").reshape(nx, ny)
+    return grid, dist, (x0, y0), res
+
+
+def _load(name):
+    kind = name.split("_")[0]
+    grid, dist, lower, res = _load_grid(kind)
+    qpath = os.path.join(GOLDEN, "kino", f"{name}_queries.txt")
+    with open(qpath) as f:
+        qlines = [l for l in f.read().split("\n") if l.strip()]
+    prof = [float(v) for v in qlines[0].split()]
+    queries = []
+    i = 1
+    while i < len(qlines):
+        v = [float(x) for x in qlines[i].split()]
+        s, g, fwd, nsp = v[0:3], v[3:6], int(v[6]), int(v[7])
+        sp = []
+        for k in range(nsp):
+            i += 1
+            sp.append([float(x) for x in qlines[i].split()])
+        i += 1
+        w = [float(x) for x in qlines[i].split()]
+        queries.append((s, g, fwd, sp, w[0:3], w[3:6]))
+        i += 1
+    with open(os.path.join(GOLDEN, "kino", f"{name}_results.txt")) as f:
+        rlines = [l for l in f.read().split("\n") if l.strip()]
+    results = []
+    i = 0
+    while i < len(rlines):
+        r = rlines[i].split()
+        assert r[0] == "R"
+        found, n, init_t, if_cut = (int(r[1]), int(r[2]), float(r[3]),
+                                    int(r[4]))
+        i += 1
+        if not found:
+            results.append(None)
+            continue
+        assert rlines[i].split()[0] == "D"
+        safe = float(rlines[i].split()[1])
+        i += 1
+        w = rlines[i].split()
+        raw = np.array([float(x) for x in w[2:]]).reshape(int(w[1]), 2)
+        i += 1
+        w = rlines[i].split()
+        pruned = np.array([float(x) for x in w[2:]]).reshape(int(w[1]), 2)
+        i += 1
+        triples, positions = [], []
+        for _ in range(n):
+            t = rlines[i].split()
+            triples.append([float(t[1]), float(t[2]), float(t[3])])
+            i += 1
+        for _ in range(n):
+            p = rlines[i].split()
+            positions.append([float(p[1]), float(p[2]), float(p[3])])
+            i += 1
+        s = [float(x) for x in rlines[i].split()[1:]]
+        i += 1
+        x = [float(x) for x in rlines[i].split()[1:]]
+        i += 1
+        results.append(dict(
+            n=n, init_t=init_t, if_cut=if_cut, safe=safe, raw=raw,
+            pruned=pruned,
+            triples=np.array(triples),
+            positions=(np.array(positions) if positions
+                       else np.zeros((0, 3))),
+            start_state=np.array(s[:6]).reshape(2, 3),
+            final_state=np.array(s[6:]).reshape(2, 3),
+            start_xyt=np.array(x[:3]), final_xyt=np.array(x[3:])))
+    return grid, dist, lower, res, prof, queries, results
+
+
+@pytest.mark.parametrize("name", SETS)
+def test_sampling_matches_reference_oracle(name):
+    grid, dist, lower, res, prof, queries, results = _load(name)
+    (safe_dis, _, dw, yw, cutlen, mv, ma, _, _, tres, mintraj,
+     _) = prof
+    cfg = FrontendConfig(safe_dis=safe_dis, distance_weight=dw,
+                         yaw_weight=yw, traj_cut_length=cutlen,
+                         max_vel=mv, max_acc=ma, sample_time=tres,
+                         min_traj_num=int(mintraj), piece_buckets=(),
+                         stitch_full_path=False)
+
+    for (s, g, fwd, sp, vaj, oaj), ref in zip(queries, results):
+        assert ref is not None
+        # the safe radius the reference used (plan, jps_planner.cpp:39-44)
+        def cell_d(p):
+            ix = min(max(int((p[0] - lower[0]) / res), 0),
+                     grid.shape[0] - 1)
+            iy = min(max(int((p[1] - lower[1]) / res), 0),
+                     grid.shape[1] - 1)
+            return dist[ix, iy]
+        search_start = np.asarray(sp[-1][:2] if sp else s[:2])
+        safe = max(min(safe_dis, cell_d(search_start) * 0.8), 0.0)
+        safe = max(min(safe, cell_d(g) * 0.8), 0.0)
+        blocked = dist < safe
+
+        # stage 2: LOS pruning from the ORACLE's raw path
+        pruned = remove_corner_pts(ref["raw"], blocked, lower, res)
+        np.testing.assert_allclose(np.asarray(pruned), ref["pruned"],
+                                   atol=0, err_msg="pruned path differs")
+
+        # stage 3+4: 5-d sampling + trapezoid time allocation.  With a
+        # start path the reference's effective start state is its FRONT
+        # (the insert itself is dead code)
+        start_eff = np.asarray(sp[0][:3] if sp else s)
+        states = sample_states(
+            [np.asarray(p) for p in pruned], start_eff, g[2])
+        ft = build_flat_traj(states, start_eff, np.asarray(vaj),
+                             np.asarray(oaj), cfg, dtype=jnp.float64)
+
+        assert int(ft.inner_yaw_s.shape[1]) == ref["n"]
+        np.testing.assert_allclose(float(ft.init_piece_time),
+                                   ref["init_t"], rtol=1e-12)
+        assert bool(ft.if_cut) == bool(ref["if_cut"])
+        ours_ys = np.asarray(ft.inner_yaw_s, np.float64).T   # (n, 2)
+        np.testing.assert_allclose(ours_ys, ref["triples"][:, :2],
+                                   atol=1e-9)
+        # t values are the accumulated sample times
+        ts = np.cumsum(np.full(ref["n"], float(ft.init_piece_time)))
+        np.testing.assert_allclose(ts, ref["triples"][:, 2], atol=1e-9)
+        ours_pos = np.asarray(ft.inner_positions, np.float64)
+        np.testing.assert_allclose(ours_pos[:-1], ref["positions"],
+                                   atol=1e-9)
+        np.testing.assert_allclose(ours_pos[-1], ref["final_xyt"],
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ft.start_state, np.float64),
+                                   ref["start_state"], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ft.final_state, np.float64),
+                                   ref["final_state"], atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ft.start_xytheta,
+                                              np.float64),
+                                   ref["start_xyt"], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ft.final_xytheta,
+                                              np.float64),
+                                   ref["final_xyt"], atol=1e-9)
