@@ -70,8 +70,17 @@ def init_models(cfg: TrainConfig):
     return models, params
 
 
-def train(cfg: TrainConfig = TrainConfig(), progress=None):
-    """Run PPO training; returns (ppo_state, history of metrics)."""
+def train(cfg: TrainConfig = TrainConfig(), progress=None, mesh=None):
+    """Run PPO training; returns (ppo_state, history of metrics).
+
+    mesh: optional jax.sharding.Mesh -- data-parallel training over its
+    first axis (the reference runner's multi-GPU hooks,
+    on_policy_runner_physic.py:509+, rebuilt the SPMD way): the env
+    batch is sharded across devices, parameters and optimizer state are
+    replicated, and XLA inserts the gradient all-reduce (psum over ICI)
+    from the sharding annotations -- the jitted iteration below is
+    unchanged.  num_envs must be divisible by the mesh size.
+    """
     assert cfg.num_envs % 3 == 0, "num_envs must be a multiple of 3"
     models, params = init_models(cfg)
     ppo_state = ppo_init(params, cfg.ppo)
@@ -103,6 +112,19 @@ def train(cfg: TrainConfig = TrainConfig(), progress=None):
             return s
 
     env_states = jax.vmap(reset_one)(jax.random.split(sub, cfg.num_envs))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        assert cfg.num_envs % mesh.devices.size == 0, \
+            "num_envs must divide evenly over the mesh"
+        batch_sh = NamedSharding(mesh, P(axis))
+        repl_sh = NamedSharding(mesh, P())
+        env_states = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, batch_sh), env_states)
+        ppo_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl_sh), ppo_state)
+        key = jax.device_put(key, repl_sh)
 
     apply_all = lambda p, oh, nd, ed, co: _apply_all(models, p, oh, nd, ed,
                                                      co)
