@@ -1,0 +1,18 @@
+#!/bin/bash
+# Build the reference TrajAnal golden oracle (see harness.cpp).
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=/root/reference/planning_ddr_opt
+EIGEN=$(python - <<'PY'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+
+g++ -O2 -std=c++14 -w \
+    -I "$EIGEN" \
+    -I "$REF/nmpc_controller/include" \
+    -I "$REF/back_end/include" \
+    harness.cpp -o trajanal_oracle
+echo "built $(pwd)/trajanal_oracle"

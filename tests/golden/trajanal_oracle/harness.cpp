@@ -1,0 +1,68 @@
+// Golden-trace oracle for the controller-side trajectory analysis.
+//
+// Compiles the ACTUAL reference TrajAnal
+// (nmpc_controller/include/nmpc_controller/traj_anal.hpp: MINCO spline
+// rebuild from the Polynome contract + cached composite-Simpson ICR
+// position flow + local-Simpson pose queries) and answers pose/velocity
+// /acceleration queries -- the reference sampling the NMPC tracks
+// between replans (mpc.cpp getRefPoints feeds from these).
+//
+// stdin:
+//   state_seq_res integral_appr_resInt
+//   n_pieces
+//   initstate (2x3 row-major)  finalstate (2x3 row-major)
+//   inner (2 x (n-1), row-major rows yaw,s)
+//   times (n)
+//   start_state (x y theta)   icr (xv yr yl -- note TrajAnal reads z()=xv? see below)
+//   n_queries, then t per line
+// NOTE on ICR layout: TrajAnal uses ICR_.z() as the lateral offset x_v
+// (traj_anal.hpp:79-87), matching mpc.cpp's ICR vector (y_r, y_l, x_v).
+// stdout per query: "Q t x y theta dyaw ds ayaw as"
+#include <cstdio>
+#include <vector>
+#include <Eigen/Eigen>
+
+#include "nmpc_controller/traj_anal.hpp"
+
+int main() {
+    double res;
+    int resint;
+    if (scanf("%lf %d", &res, &resint) != 2) return 1;
+    int n;
+    if (scanf("%d", &n) != 1) return 1;
+    Eigen::MatrixXd ini(2, 3), fin(2, 3), inner(2, n - 1);
+    for (int r = 0; r < 2; ++r)
+        for (int c = 0; c < 3; ++c)
+            if (scanf("%lf", &ini(r, c)) != 1) return 1;
+    for (int r = 0; r < 2; ++r)
+        for (int c = 0; c < 3; ++c)
+            if (scanf("%lf", &fin(r, c)) != 1) return 1;
+    for (int r = 0; r < 2; ++r)
+        for (int c = 0; c < n - 1; ++c)
+            if (scanf("%lf", &inner(r, c)) != 1) return 1;
+    Eigen::VectorXd times(n);
+    for (int i = 0; i < n; ++i)
+        if (scanf("%lf", &times(i)) != 1) return 1;
+    Eigen::Vector3d start, icr;
+    if (scanf("%lf %lf %lf %lf %lf %lf", &start.x(), &start.y(),
+              &start.z(), &icr.x(), &icr.y(), &icr.z()) != 6)
+        return 1;
+
+    TrajAnal ta;
+    ta.setRes(res, resint);
+    ta.setTraj(start, ini, fin, inner, times, icr);
+    printf("D %.17g\n", ta.get_traj_duration());
+
+    int nq;
+    if (scanf("%d", &nq) != 1) return 1;
+    for (int q = 0; q < nq; ++q) {
+        double t;
+        if (scanf("%lf", &t) != 1) return 1;
+        Eigen::Vector3d p = ta.getPstate(t);
+        Eigen::Vector2d v = ta.getVstate(t);
+        Eigen::Vector2d a = ta.getAstate(t);
+        printf("Q %.17g %.17g %.17g %.17g %.17g %.17g %.17g %.17g\n",
+               t, p.x(), p.y(), p.z(), v.x(), v.y(), a.x(), a.y());
+    }
+    return 0;
+}

@@ -1,0 +1,68 @@
+"""Record TrajAnal golden traces from the compiled reference.
+
+Feeds synthetic Polynome contracts (boundary flat states + inner points
++ piece times + start pose + ICR) through ./trajanal_oracle at the
+mpc3ms profile (state_seq_res 0.1, Integral_appr_resInt 4) and stores
+pose/velocity/acceleration queries under tests/golden/trajanal/.
+Run from this directory after ./build.sh.
+"""
+import os
+import subprocess
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.normpath(os.path.join(HERE, "..", "trajanal"))
+
+
+def scenario(seed, n):
+    rng = np.random.default_rng(seed)
+    # boundary flat states: rows (yaw; s) x cols (pos, vel, acc)
+    yaw0 = rng.uniform(-2, 2)
+    total_s = rng.uniform(3.0, 6.0)
+    ini = np.array([[yaw0, rng.uniform(-0.3, 0.3), 0.0],
+                    [0.0, rng.uniform(0.2, 1.0), rng.uniform(-0.2, 0.2)]])
+    fin = np.array([[yaw0 + rng.uniform(-1.5, 1.5), 0.0, 0.0],
+                    [total_s, 0.0, 0.0]])
+    fr = np.sort(rng.uniform(0.15, 0.85, n - 1))
+    inner = np.stack([
+        ini[0, 0] + (fin[0, 0] - ini[0, 0]) * fr + rng.normal(0, 0.15, n - 1),
+        total_s * fr + rng.normal(0, 0.08, n - 1)])
+    times = rng.uniform(0.5, 1.2, n)
+    start = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), yaw0])
+    icr = np.array([-0.3, 0.3, 0.2])     # (y_r, y_l, x_v)
+    return ini, fin, inner, times, start, icr
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name, seed, n in [("a", 0, 5), ("b", 3, 8), ("c", 7, 12)]:
+        ini, fin, inner, times, start, icr = scenario(seed, n)
+        total = times.sum()
+        rng = np.random.default_rng(seed + 50)
+        ts = np.concatenate([
+            rng.uniform(0.0, total, 40),
+            [0.0, total * 0.999999, 0.05, total / 2],
+        ])
+        lines = ["0.1 4", str(n)]
+        for m in (ini, fin, inner):
+            for row in m:
+                lines.append(" ".join(f"{v:.17g}" for v in row))
+        lines.append(" ".join(f"{v:.17g}" for v in times))
+        lines.append(" ".join(f"{v:.17g}" for v in start) + " "
+                     + " ".join(f"{v:.17g}" for v in icr))
+        lines.append(str(len(ts)))
+        lines += [f"{t:.17g}" for t in ts]
+        res = subprocess.run([os.path.join(HERE, "trajanal_oracle")],
+                             input="\n".join(lines) + "\n",
+                             capture_output=True, text=True, check=True)
+        with open(os.path.join(OUT, f"{name}_input.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with open(os.path.join(OUT, f"{name}_results.txt"), "w") as f:
+            f.write(res.stdout)
+        dur = float(res.stdout.split("\n")[0].split()[1])
+        print(f"{name}: n={n} duration={dur:.3f} queries={len(ts)}")
+
+
+if __name__ == "__main__":
+    main()

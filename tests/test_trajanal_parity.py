@@ -1,0 +1,75 @@
+"""TrajAnal golden parity: the controller-side trajectory sampling.
+
+tests/golden/trajanal/* was recorded by tests/golden/trajanal_oracle:
+the ACTUAL reference TrajAnal (traj_anal.hpp) rebuilding the MINCO
+spline from a Polynome contract and answering pose queries through its
+cached composite-Simpson ICR flow + local-Simpson correction.  Our
+`build_tracked_traj`/`pstate` uses the same scheme on a static uniform
+grid (2048 steps vs the reference's 0.1 s / 4 sub-steps), so agreement
+is bounded by Simpson truncation error, not bit-exactness: velocities
+and accelerations are spline-exact (1e-10), positions agree to the
+integrator's O(h^4) error (asserted at 5e-7 m here, typical ~1e-8).
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.control.tracked_traj import (
+    build_tracked_traj, astate, pstate, vstate)
+from alore_legged_manipulator_tpu.planner.flat_traj import Polynome
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "golden", "trajanal")
+
+
+def _load(name):
+    with open(os.path.join(GOLDEN, f"{name}_input.txt")) as f:
+        lines = [l for l in f.read().split("\n") if l.strip()]
+    n = int(lines[1])
+    rows = [np.array([float(v) for v in lines[i].split()])
+            for i in range(2, 8)]
+    ini = np.stack(rows[0:2])
+    fin = np.stack(rows[2:4])
+    inner = np.stack(rows[4:6])
+    times = np.array([float(v) for v in lines[8].split()])
+    sv = [float(v) for v in lines[9].split()]
+    start, icr = np.array(sv[:3]), np.array(sv[3:])
+    assert times.size == n and inner.shape == (2, n - 1)
+    with open(os.path.join(GOLDEN, f"{name}_results.txt")) as f:
+        rlines = [l for l in f.read().split("\n") if l.strip()]
+    dur = float(rlines[0].split()[1])
+    rows = np.array([[float(v) for v in l.split()[1:]]
+                     for l in rlines[1:]])
+    return ini, fin, inner, times, start, icr, dur, rows
+
+
+@pytest.mark.parametrize("name", ["a", "b", "c"])
+def test_tracked_traj_matches_trajanal(name):
+    ini, fin, inner, times, start, icr, dur, rows = _load(name)
+    dt = jnp.float64
+    msg = Polynome(
+        traj_start_time=jnp.asarray(0.0, dt),
+        inner_points=jnp.asarray(inner, dt),
+        piece_times=jnp.asarray(times, dt),
+        init_state=jnp.asarray(ini, dt),
+        tail_state=jnp.asarray(fin, dt),
+        start_position=jnp.asarray(start, dt),
+        icr=jnp.asarray([icr[0], icr[1], icr[2]], dt))
+    tt = build_tracked_traj(msg, n_grid=2048)
+    np.testing.assert_allclose(float(tt.duration), dur, rtol=1e-12)
+
+    for t, gx, gy, gth, gdy, gds, gay, gas in rows:
+        p = np.asarray(pstate(tt, jnp.asarray(t, dt)), np.float64)
+        v = np.asarray(vstate(tt, jnp.asarray(t, dt)), np.float64)
+        a = np.asarray(astate(tt, jnp.asarray(t, dt)), np.float64)
+        # spline-exact quantities
+        np.testing.assert_allclose(p[2], gth, atol=1e-10, err_msg=f"t={t}")
+        np.testing.assert_allclose(v, [gdy, gds], atol=1e-10,
+                                   err_msg=f"t={t}")
+        np.testing.assert_allclose(a, [gay, gas], atol=1e-9,
+                                   err_msg=f"t={t}")
+        # flow-integrated position: Simpson-method agreement
+        np.testing.assert_allclose(p[:2], [gx, gy], rtol=0, atol=1e-5,
+                                   err_msg=f"t={t}")
