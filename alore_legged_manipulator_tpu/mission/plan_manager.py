@@ -216,10 +216,23 @@ class MappedPlanManager(PlanManager):
     `occ` is reinterpreted as the GROUND-TRUTH world used only to render
     scans; planning sees the fused occupancy (unknown treated as free,
     matching the known-map "3ms" planner behavior outside sensor range).
+
+    map_mode selects the reference's two mapping pipelines
+    (planner_sim.launch:22 defaults to if_perspective=true):
+      * "raycast": occlusion-aware scan -> Bresenham log-odds fusion
+        (+ optional circular-support carve, cir_sup=True firing on
+        every SECOND scan exactly like the reference's static counter);
+      * "perspective": perspectivePoints cloud -> window-fill +
+        endpoint-stamp branch (no log odds).
+    Both pipelines are golden-exact vs the compiled reference
+    (tests/test_fusion_parity.py).
     """
 
     lidar_cfg: object = None
     occupancy_cfg: object = None
+    map_mode: str = "raycast"
+    cir_sup: bool = False            # if_cirSupRaycast (launch:76)
+    _scan_count: int = 0
 
     def __post_init__(self):
         from ..world.lidar import (LidarConfig, OccupancyConfig,
@@ -235,14 +248,34 @@ class MappedPlanManager(PlanManager):
     def sense(self, pose, n_scans: int = 1):
         """Render scan(s) of the true world from `pose` and fuse them."""
         from ..world.lidar import (lidar_scan, occupancy_classes,
-                                   occupancy_update)
+                                   occupancy_update,
+                                   occupancy_update_perspective,
+                                   perspective_points)
         p = jnp.asarray(pose, self.cfg.dtype)
         for _ in range(n_scans):
-            ranges, hits = lidar_scan(self._true_occ, self.lower, self.res,
-                                      p, self.lidar_cfg)
-            self._map_state = occupancy_update(
-                self._map_state, self.lower, self.res, p, ranges, hits,
-                self.lidar_cfg, self.occupancy_cfg)
+            self._scan_count += 1
+            if self.map_mode == "perspective":
+                pts_s, mask = perspective_points(
+                    self._true_occ, self.lower, self.res, p,
+                    self.lidar_cfg)
+                # sensor frame -> world (the bridge republishes world
+                # clouds to the SDFmap node)
+                c, s = jnp.cos(p[2]), jnp.sin(p[2])
+                px = p[0] + c * pts_s[..., 0] - s * pts_s[..., 1]
+                py = p[1] + s * pts_s[..., 0] + c * pts_s[..., 1]
+                pts_w = jnp.stack([px.reshape(-1), py.reshape(-1)], -1)
+                self._map_state = occupancy_update_perspective(
+                    self._map_state, self.lower, self.res, p, pts_w,
+                    mask.reshape(-1), self.lidar_cfg.max_range,
+                    self.occupancy_cfg)
+            else:
+                ranges, hits = lidar_scan(self._true_occ, self.lower,
+                                          self.res, p, self.lidar_cfg)
+                fire = self.cir_sup and (self._scan_count % 2 == 0)
+                self._map_state = occupancy_update(
+                    self._map_state, self.lower, self.res, p, ranges,
+                    hits, self.lidar_cfg, self.occupancy_cfg,
+                    cir_sup=fire)
         occ_est, _, _ = occupancy_classes(self._map_state,
                                           self.occupancy_cfg)
         self.occ = np.asarray(occ_est)

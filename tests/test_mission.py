@@ -184,3 +184,35 @@ def test_mapped_plan_manager_replans_around_discovered_wall():
     d_aware = float(jnp.min(sample_dist_bilinear(
         true_esdf, node_xy.reshape(-1, 2))))
     assert d_aware > 0.05, f"plan still crosses the wall: {d_aware}"
+
+
+@pytest.mark.parametrize("mode,cir_sup", [("perspective", False),
+                                          ("raycast", True)])
+def test_mapped_plan_manager_modes_discover_obstacles(mode, cir_sup):
+    """The reference's two mapping pipelines inside the unknown-env
+    planner: perspective (planner_sim.launch:22's default) and raycast
+    with the circular-support carve.  Both must expose the wall to the
+    planning ESDF after sensing."""
+    import jax.numpy as jnp
+    from alore_legged_manipulator_tpu.mission.plan_manager import (
+        MappedPlanManager, PlanManagerConfig)
+    from alore_legged_manipulator_tpu.world.lidar import LidarConfig
+
+    occ = np.zeros((60, 60), bool)
+    occ[10:50, 28:32] = True            # wall at y in [2.8, 3.2)
+    cfg = PlanManagerConfig(dtype=jnp.float64)
+    pm = MappedPlanManager(occ=occ, lower=(0.0, 0.0), res=0.1, cfg=cfg,
+                           lidar_cfg=LidarConfig(max_range=4.0),
+                           map_mode=mode, cir_sup=cir_sup)
+    assert not pm.occ.any(), "map must start empty"
+    for _ in range(4):
+        pm.sense((3.0, 1.2, 1.57))      # 1.6 m south of the wall
+    # the wall's front face is mapped occupied
+    assert pm.occ[25:35, 28].any()
+    # free space was established in front of the robot
+    from alore_legged_manipulator_tpu.world.lidar import occupancy_classes
+    _, free, _ = occupancy_classes(pm._map_state, pm.occupancy_cfg)
+    assert bool(free[30, 20])
+    if cir_sup:
+        # the carve classifies no-return cells near the robot Unoccupied
+        assert bool(np.asarray(free).sum() > 400)
