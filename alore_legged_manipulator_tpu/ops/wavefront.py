@@ -1,0 +1,151 @@
+"""Batched on-device grid search: octile wavefront + path extraction.
+
+The host pipeline runs the native C++ JPS (planner/frontend.py); inside
+fully-jitted fleet programs (runtime/mission_fleet.py) a sequential
+expansion cannot run, so this module provides the TPU-native front end
+the SURVEY "hard parts" list anticipates ("batched A* on device"): a
+fixed-depth Bellman-Ford wavefront computing the exact 8-connected
+octile distance-to-goal field -- the same optimal costs as the
+reference's JPS/A* search (graph_search.cpp) with its diagonal corner
+rule (a diagonal move is forbidden only when BOTH adjacent orthogonal
+cells are blocked) -- followed by greedy policy descent to extract a
+path of static maximum length.  Everything is stencil arithmetic:
+min-plus relaxation over 8 shifted copies per sweep, vmappable over
+(fleet x goal) batches.
+
+Costs are in CELL units (1 straight, sqrt(2) diagonal), matching the
+reference's octile path cost that tests/test_jps_parity.py pins.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SQ2 = 1.4142135623730951
+# (dx, dy, cost) for the 8-connected moves
+_MOVES = [(1, 0, 1.0), (-1, 0, 1.0), (0, 1, 1.0), (0, -1, 1.0),
+          (1, 1, SQ2), (1, -1, SQ2), (-1, 1, SQ2), (-1, -1, SQ2)]
+
+_BIG = 1e9
+
+
+def _shift(a, dx, dy, fill):
+    """a shifted so out[c] = a[c + (dx, dy)], `fill` past the border.
+    dx/dy are static ints, so plain slicing lowers to cheap static
+    slices (no dynamic-slice ops)."""
+    H, W = a.shape
+    p = jnp.pad(a, 1, constant_values=fill)
+    return p[1 + dx:1 + dx + H, 1 + dy:1 + dy + W]
+
+
+def octile_distance_field(blocked, goal_cell, n_iters: int | None = None):
+    """(H, W) octile distance to `goal_cell` in cell units; _BIG where
+    unreachable or blocked.  `n_iters` sweeps of min-plus relaxation
+    (default H + W, enough for any simple path on the grid since every
+    sweep relaxes all 8 directions at once)."""
+    H, W = blocked.shape
+    if n_iters is None:
+        n_iters = H + W
+    free = jnp.logical_not(blocked)
+    dist0 = jnp.full((H, W), _BIG, jnp.float32)
+    dist0 = dist0.at[goal_cell[0], goal_cell[1]].set(0.0)
+    dist0 = jnp.where(free, dist0, _BIG)
+
+    # diagonal corner rule, precomputed per direction: moving c <-> c+d
+    # is allowed unless both orthogonal step cells are blocked
+    allow = []
+    for dx, dy, w in _MOVES:
+        if dx and dy:
+            ortho1 = _shift(blocked, dx, 0, True)
+            ortho2 = _shift(blocked, 0, dy, True)
+            allow.append(jnp.logical_not(ortho1 & ortho2))
+        else:
+            allow.append(jnp.ones((H, W), bool))
+
+    def sweep(dist, _):
+        # one pad per sweep, 8 static slices of it
+        p = jnp.pad(dist, 1, constant_values=_BIG)
+        best = dist
+        for (dx, dy, w), ok in zip(_MOVES, allow):
+            cand = p[1 + dx:1 + dx + H, 1 + dy:1 + dy + W] + w
+            best = jnp.minimum(best, jnp.where(ok, cand, _BIG))
+        best = jnp.where(free, best, _BIG)
+        return best, None
+
+    dist, _ = jax.lax.scan(sweep, dist0, None, length=n_iters)
+    return dist
+
+
+def extract_path(dist, start_cell, max_len: int):
+    """Greedy policy descent from `start_cell` to the field's zero.
+
+    Returns (cells (max_len + 1, 2) int32, valid (max_len + 1,) bool).
+    cells[0] is the start; once the goal is reached the cell repeats and
+    valid goes False.  If the start is disconnected (dist >= _BIG) only
+    the start cell is valid.
+    """
+    H, W = dist.shape
+    moves = jnp.asarray([(m[0], m[1]) for m in _MOVES], jnp.int32)
+    costs = jnp.asarray([m[2] for m in _MOVES], jnp.float32)
+
+    def step(carry, _):
+        c, done = carry
+        nbs = c[None, :] + moves                       # (8, 2)
+        inb = ((nbs[:, 0] >= 0) & (nbs[:, 0] < H)
+               & (nbs[:, 1] >= 0) & (nbs[:, 1] < W))
+        nx = jnp.clip(nbs[:, 0], 0, H - 1)
+        ny = jnp.clip(nbs[:, 1], 0, W - 1)
+        # Bellman-consistent move: minimize dist[nb] + step cost
+        score = jnp.where(inb, dist[nx, ny] + costs, _BIG)
+        k = jnp.argmin(score)
+        nxt = jnp.stack([nx[k], ny[k]])
+        at_goal = dist[c[0], c[1]] <= 0.0
+        stuck = score[k] >= _BIG
+        ndone = done | at_goal | stuck
+        c2 = jnp.where(ndone, c, nxt)
+        return (c2, ndone), (c2, jnp.logical_not(ndone))
+
+    start = jnp.asarray(start_cell, jnp.int32)
+    disconnected = dist[start[0], start[1]] >= _BIG
+    (_, _), (cells, valid) = jax.lax.scan(
+        step, (start, disconnected), None, length=max_len)
+    cells = jnp.concatenate([start[None], cells], 0)
+    valid = jnp.concatenate([jnp.ones((1,), bool), valid], 0)
+    return cells, valid
+
+
+def _trapezoid_duration(length, start_v, max_v, max_a):
+    """jnp evaluate_duration (jps_planner.cpp:378-397), end_v = 0."""
+    sv = jnp.minimum(start_v, max_v)
+    sv2, mv2 = sv * sv, max_v * max_v
+    critical = (mv2 - sv2) / (2 * max_a) + mv2 / (2 * max_a)
+    t_long = ((max_v - start_v) / max_a + max_v / max_a
+              + (length - critical) / max_v)
+    tmpv = jnp.sqrt(0.5 * (sv2 + 2 * max_a * length))
+    t_short = (tmpv - start_v) / max_a + tmpv / max_a
+    return jnp.where(length >= critical, t_long, t_short)
+
+
+def _trapezoid_length(curt, locallength, start_v, max_v, max_a):
+    """jnp evaluate_length (jps_planner.cpp:403-441), end_v = 0."""
+    sv = jnp.minimum(start_v, max_v)
+    sv2, mv2 = sv * sv, max_v * max_v
+    critical = (mv2 - sv2) / (2 * max_a) + mv2 / (2 * max_a)
+
+    t1 = (max_v - start_v) / max_a
+    t2 = t1 + (locallength - critical) / max_v
+    s_acc = start_v * curt + 0.5 * max_a * curt * curt
+    s_t1 = start_v * t1 + 0.5 * max_a * t1 * t1
+    long_val = jnp.where(
+        curt <= t1, s_acc,
+        jnp.where(curt <= t2, s_t1 + (curt - t1) * max_v,
+                  s_t1 + (t2 - t1) * max_v + max_v * (curt - t2)
+                  - 0.5 * max_a * (curt - t2) ** 2))
+
+    tmpv = jnp.sqrt(0.5 * (sv2 + 2 * max_a * locallength))
+    tmpt = (tmpv - start_v) / max_a
+    short_val = jnp.where(
+        curt <= tmpt, s_acc,
+        start_v * tmpt + 0.5 * max_a * tmpt * tmpt
+        + tmpv * (curt - tmpt) - 0.5 * max_a * (curt - tmpt) ** 2)
+    return jnp.where(locallength >= critical, long_val, short_val)

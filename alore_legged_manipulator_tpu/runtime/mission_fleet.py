@@ -56,6 +56,18 @@ class MissionFleetConfig(NamedTuple):
                                       # (covers legs up to ~6 m at the
                                       # backend's relaxed-time profile)
     deliver_tol: float = 0.3
+    # push-leg initialization: "wavefront" runs the on-device octile
+    # wavefront front end (ops/wavefront.py) so the initial guess
+    # already routes around obstacles (required for missions through
+    # walls, tests/test_wavefront.py); "straight" is the plain
+    # straight-line init (the back end's penalties do the avoidance) --
+    # the default until the wavefront program's TPU compile cost is
+    # measured on real hardware
+    frontend_mode: str = "straight"
+    path_max_len: int = 160
+    wf_safe_dis: float = 0.2          # blocked threshold for the search
+    distance_weight: float = 1.4      # jps3ms.yaml weighted-arc weights
+    yaw_weight: float = 0.3
 
 
 class MissionFleetResult(NamedTuple):
@@ -121,6 +133,94 @@ def _straight_flat(start_xy, start_yaw, goal_xy, n_pieces: int,
         if_cut=jnp.asarray(False))
 
 
+def _wavefront_flat(esdf: ESDF, start_xy, start_yaw, goal_xy,
+                    cfg: MissionFleetConfig):
+    """On-device front end for the fleet program: octile wavefront
+    distance field -> greedy path -> static-shape trapezoid sampling
+    into a FlatTraj (the jittable counterpart of planner/frontend.py's
+    host pipeline; same weighted-arc-length + trapezoid allocation
+    structure as getTrajsWithTime, with rotations folded into their
+    following translation segment instead of interleaved 5-d states)."""
+    from ..ops.wavefront import (_trapezoid_duration, _trapezoid_length,
+                                 extract_path, octile_distance_field)
+    dtype = start_xy.dtype
+    n_pieces = cfg.n_pieces
+    blocked = esdf.dist < cfg.wf_safe_dis
+    H, W = blocked.shape
+
+    def cell_of(p):
+        return jnp.clip(((p - esdf.lower) / esdf.res).astype(jnp.int32),
+                        0, jnp.asarray([H - 1, W - 1]))
+
+    dist = octile_distance_field(blocked, cell_of(goal_xy))
+    cells, valid = extract_path(dist, cell_of(start_xy),
+                                cfg.path_max_len)
+    pts = (esdf.lower + (cells.astype(dtype) + 0.5) * esdf.res)
+    # pad the tail with the exact goal; pin the exact endpoints
+    pts = jnp.where(valid[:, None], pts, goal_xy[None])
+    pts = pts.at[0].set(start_xy)
+
+    d = pts[1:] - pts[:-1]                             # (L, 2)
+    ds = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    eps = jnp.asarray(1e-9, dtype)
+
+    def yaw_scan(prev, inp):
+        dx, dy, dlen = inp
+        raw = jnp.arctan2(dy, dx)
+        # unwrap to the previous heading; keep heading on zero segments
+        raw = raw + 2.0 * jnp.pi * jnp.round((prev - raw)
+                                             / (2.0 * jnp.pi))
+        yaw = jnp.where(dlen > eps, raw, prev)
+        return yaw, yaw
+
+    _, seg_yaw = jax.lax.scan(yaw_scan, start_yaw,
+                              (d[:, 0], d[:, 1], ds))
+    prev_yaw = jnp.concatenate([start_yaw[None], seg_yaw[:-1]])
+    dyaw = seg_yaw - prev_yaw
+
+    wstep = cfg.distance_weight * ds + cfg.yaw_weight * jnp.abs(dyaw)
+    wlen = jnp.cumsum(wstep)
+    slen = jnp.cumsum(ds)
+    W_tot = jnp.maximum(wlen[-1], 1e-3)
+    S_tot = slen[-1]
+
+    total_t = jnp.maximum(
+        _trapezoid_duration(W_tot, jnp.zeros((), dtype),
+                            cfg.backend.max_vel, cfg.backend.max_acc),
+        1.0)
+    st = total_t / n_pieces
+    ks = jnp.arange(1, n_pieces, dtype=dtype)
+    arcs = _trapezoid_length(ks * st, W_tot, jnp.zeros((), dtype),
+                             cfg.backend.max_vel, cfg.backend.max_acc)
+
+    idx = jnp.clip(jnp.searchsorted(wlen, arcs), 0, wlen.shape[0] - 1)
+    w_hi = wlen[idx]
+    w_lo = jnp.where(idx > 0, wlen[jnp.maximum(idx - 1, 0)], 0.0)
+    frac = jnp.where(w_hi > w_lo, (arcs - w_lo) / (w_hi - w_lo), 1.0)
+    s_lo = jnp.where(idx > 0, slen[jnp.maximum(idx - 1, 0)], 0.0)
+    s_k = s_lo + frac * ds[idx]
+    yaw_k = prev_yaw[idx] + frac * dyaw[idx]
+    xy_k = pts[idx] + frac[:, None] * d[idx]
+
+    final_yaw = seg_yaw[-1]
+    inner = jnp.stack([yaw_k, s_k])
+    positions = jnp.concatenate(
+        [jnp.concatenate([xy_k, yaw_k[:, None]], 1),
+         jnp.concatenate([goal_xy, final_yaw[None]])[None]], 0)
+    z = jnp.zeros((), dtype)
+    return FlatTraj(
+        inner_yaw_s=inner,
+        init_piece_time=st,
+        inner_positions=positions,
+        start_state=jnp.stack([jnp.stack([start_yaw, z, z]),
+                               jnp.stack([z, z, z])]),
+        final_state=jnp.stack([jnp.stack([final_yaw, z, z]),
+                               jnp.stack([S_tot, z, z])]),
+        start_xytheta=jnp.concatenate([start_xy, start_yaw[None]]),
+        final_xytheta=jnp.concatenate([goal_xy, final_yaw[None]]),
+        if_cut=jnp.asarray(False))
+
+
 def run_mission(items, targets, robot_start, esdf: ESDF,
                 true_icr: ICRParams,
                 cfg: MissionFleetConfig = MissionFleetConfig(),
@@ -143,8 +243,11 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
         # grasp ramp holds pose for grasp_ticks (arm ramp only)
 
         # --- push planning: object from item to target ---
-        flat = _straight_flat(item, robot[2], target, cfg.n_pieces,
-                              cfg.backend.max_vel)
+        if cfg.frontend_mode == "wavefront":
+            flat = _wavefront_flat(esdf, item, robot[2], target, cfg)
+        else:
+            flat = _straight_flat(item, robot[2], target, cfg.n_pieces,
+                                  cfg.backend.max_vel)
         res = plan_backend(flat, esdf, cfg.backend)
         msg = Polynome(
             traj_start_time=jnp.zeros((), dtype),

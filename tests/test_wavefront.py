@@ -1,0 +1,116 @@
+"""On-device octile wavefront front end (ops/wavefront.py).
+
+The fixed-depth min-plus wavefront must reproduce the sequential
+search's OPTIMAL octile costs exactly (the same contract the JPS golden
+parity pins for the host front end), its extracted path must realize
+that cost, and inside the fleet mission program it must route push legs
+around walls that defeat the straight-line initialization.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.ops.wavefront import (
+    extract_path, octile_distance_field)
+from alore_legged_manipulator_tpu.planner.frontend import _astar_fallback
+
+SQ2 = np.sqrt(2.0)
+
+
+def _octile_cost(path):
+    c = 0.0
+    for a, b in zip(path, path[1:]):
+        dx, dy = abs(a[0] - b[0]), abs(a[1] - b[1])
+        c += max(dx, dy) + (SQ2 - 1.0) * min(dx, dy)
+    return c
+
+
+def test_field_matches_astar_costs():
+    rng = np.random.default_rng(2)
+    for _ in range(8):
+        occ = np.zeros((40, 30), bool)
+        occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
+        for _ in range(8):
+            x, y = rng.integers(4, 34), rng.integers(4, 24)
+            occ[x:x + 3, y:y + 3] = True
+        free = np.argwhere(~occ)
+        s = tuple(free[rng.integers(len(free))])
+        g = tuple(free[rng.integers(len(free))])
+        dist = octile_distance_field(jnp.asarray(occ), jnp.asarray(g))
+        path = _astar_fallback(occ, s, g)
+        d = float(dist[s[0], s[1]])
+        if path is None:
+            assert d >= 1e8
+            continue
+        np.testing.assert_allclose(d, _octile_cost(path), atol=1e-4)
+        # the greedy descent realizes the field's cost and ends at goal
+        cells, valid = extract_path(dist, jnp.asarray(s), 200)
+        cells, valid = np.asarray(cells), np.asarray(valid)
+        pts = cells[:valid.sum() + 1]
+        assert tuple(pts[-1]) == g
+        np.testing.assert_allclose(_octile_cost(pts), d, atol=1e-3)
+
+
+def test_field_is_jit_and_vmap_friendly():
+    occ = np.zeros((32, 32), bool)
+    occ[10:22, 14:18] = True
+    goals = jnp.asarray([[2, 2], [28, 28], [2, 28]], jnp.int32)
+    f = jax.jit(jax.vmap(lambda g: octile_distance_field(
+        jnp.asarray(occ), g)))
+    d = f(goals)
+    assert d.shape == (3, 32, 32)
+    for i, g in enumerate(np.asarray(goals)):
+        assert float(d[i, g[0], g[1]]) == 0.0
+
+
+@pytest.mark.slow
+def test_fleet_mission_routes_around_wall():
+    """A wall between item and target: the straight-line init drives the
+    back end into its collision-anneal dead end, the wavefront init
+    routes around (the fleet twin of the host JPS front end)."""
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.runtime.mission_fleet import (
+        MissionFleetConfig, run_mission)
+
+    occ = np.zeros((80, 80), bool)
+    occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
+    occ[30:50, 38:42] = True          # wall with gaps at both ends
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+    items = jnp.asarray([[4.0, 2.5]], jnp.float32)
+    targets = jnp.asarray([[4.0, 5.5]], jnp.float32)
+    start = jnp.asarray([3.0, 1.5, 0.5], jnp.float32)
+
+    cfg = MissionFleetConfig(push_ticks=900, frontend_mode="wavefront")
+    run = jax.jit(lambda: run_mission(items, targets, start, esdf, icr,
+                                      cfg))
+    res = run()
+    assert not bool(res.collision[0]), "wavefront init must clear the wall"
+    assert float(res.object_err[0]) < 0.35, float(res.object_err[0])
+
+
+def test_trapezoid_twins_match_host_frontend():
+    """The jnp trapezoid functions used by the static sampler must agree
+    with the host front end's (golden-pinned) python versions."""
+    from alore_legged_manipulator_tpu.ops.wavefront import (
+        _trapezoid_duration, _trapezoid_length)
+    from alore_legged_manipulator_tpu.planner.frontend import (
+        evaluate_duration, evaluate_length)
+
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        L = float(rng.uniform(0.1, 20.0))
+        v0 = float(rng.uniform(0.0, 3.5))       # may exceed max_v
+        mv, ma = 3.0, 2.0
+        T = evaluate_duration(L, v0, 0.0, mv, ma)
+        np.testing.assert_allclose(
+            float(_trapezoid_duration(jnp.float64(L), jnp.float64(v0),
+                                      mv, ma)), T, rtol=1e-12)
+        for t in rng.uniform(0.0, T, 5):
+            s = evaluate_length(float(t), L, v0, 0.0, mv, ma)
+            np.testing.assert_allclose(
+                float(_trapezoid_length(jnp.float64(t), jnp.float64(L),
+                                        jnp.float64(v0), mv, ma)),
+                s, rtol=1e-10, atol=1e-12)
