@@ -1,0 +1,92 @@
+"""Training-side evaluation logging (the reference's CSV hooks).
+
+Rebuild of env_train.py's offline-analysis loggers
+(log_vel_tracking_result :1238-1290, log_joint_effort/-position
+:1292-1400): roll a policy over a batch of eval envs and record, per
+step and per env, the commanded vs realized object velocity (vx, vy,
+omega) plus rewards, then write one CSV per environment for offline
+tracking-accuracy analysis.  Unlike the reference's incremental
+per-step accumulation on the host, the whole eval rollout is one jitted
+`lax.scan`; only the final arrays land on disk.
+"""
+from __future__ import annotations
+
+import csv
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gnn import GraphBatch, build_interaction_graph
+from .env import PushEnvConfig, env_reset, env_step, graph_features
+from .runner import Models, init_models
+
+
+def rollout_tracking(params, models: Models, n_envs: int, n_steps: int,
+                     cfg: PushEnvConfig = PushEnvConfig(), seed: int = 0):
+    """Deterministic (mean-action) eval rollout.
+
+    Returns dict of (n_steps, n_envs, ...) arrays: commanded and
+    realized object velocity, reward, done.
+    """
+    key = jax.random.PRNGKey(seed)
+    states = jax.vmap(lambda k: env_reset(k, cfg))(
+        jax.random.split(key, n_envs))
+
+    def apply(p, st):
+        feats = jax.vmap(graph_features)(st)
+        g = jax.vmap(build_interaction_graph)(*feats)
+        mean, _, _ = models.actor.apply(p["actor"], st.obs_hist,
+                                        GraphBatch(nodes=g.nodes,
+                                                   edge_attr=g.edge_attr))
+        return mean
+
+    @jax.jit
+    def run(params, states):
+        def step(st, _):
+            action = apply(params, st)
+            nst, _, reward, done = jax.vmap(
+                lambda s, a: env_step(s, a, cfg))(st, action)
+            out = dict(cmd=action[:, :3], vel=nst.obj_vel,
+                       reward=reward, done=done)
+            return nst, out
+        _, log = jax.lax.scan(step, states, None, length=n_steps)
+        return log
+
+    return {k: np.asarray(v) for k, v in run(params, states).items()}
+
+
+def write_tracking_csvs(log, out_dir: str):
+    """One CSV per env: step, cmd_vx, cmd_vy, cmd_wz, vx, vy, wz,
+    reward, done (the log_vel_tracking_result file layout)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_steps, n_envs = log["reward"].shape
+    paths = []
+    for e in range(n_envs):
+        path = os.path.join(out_dir, f"vel_tracking_env{e:03d}.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["step", "cmd_vx", "cmd_vy", "cmd_wz",
+                        "vx", "vy", "wz", "reward", "done"])
+            for t in range(n_steps):
+                w.writerow([t, *log["cmd"][t, e].tolist(),
+                            *log["vel"][t, e].tolist(),
+                            float(log["reward"][t, e]),
+                            int(log["done"][t, e])])
+        paths.append(path)
+    return paths
+
+
+def tracking_summary(log):
+    """Aggregate tracking-accuracy metrics (the offline analysis the
+    reference performs on its CSVs)."""
+    err = log["cmd"] - log["vel"]
+    rms = np.sqrt((err ** 2).mean(axis=(0, 1)))
+    return {
+        "rms_err_vx": float(rms[0]),
+        "rms_err_vy": float(rms[1]),
+        "rms_err_wz": float(rms[2]),
+        "mean_reward": float(log["reward"].mean()),
+        "done_rate": float(log["done"].mean()),
+    }

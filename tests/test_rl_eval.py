@@ -1,0 +1,33 @@
+"""Eval logging hooks (env_train.py:1238-1400 CSV analogues)."""
+import csv
+
+import numpy as np
+
+from alore_legged_manipulator_tpu.rl.eval import (rollout_tracking,
+                                                  tracking_summary,
+                                                  write_tracking_csvs)
+from alore_legged_manipulator_tpu.rl.runner import TrainConfig, init_models
+
+
+def test_eval_rollout_and_csvs(tmp_path):
+    cfg = TrainConfig(num_envs=6)
+    models, params = init_models(cfg)
+    log = rollout_tracking(params, models, n_envs=6, n_steps=12,
+                           cfg=cfg.env, seed=3)
+    assert log["cmd"].shape == (12, 6, 3)
+    assert log["vel"].shape == (12, 6, 3)
+
+    paths = write_tracking_csvs(log, str(tmp_path))
+    assert len(paths) == 6
+    with open(paths[0]) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][:4] == ["step", "cmd_vx", "cmd_vy", "cmd_wz"]
+    assert len(rows) == 13
+    # round trip one value
+    np.testing.assert_allclose(float(rows[1][1]), log["cmd"][0, 0, 0],
+                               rtol=1e-6)
+
+    s = tracking_summary(log)
+    assert set(s) == {"rms_err_vx", "rms_err_vy", "rms_err_wz",
+                      "mean_reward", "done_rate"}
+    assert all(np.isfinite(v) for v in s.values())
