@@ -76,17 +76,21 @@ def octile_distance_field(blocked, goal_cell, n_iters: int | None = None):
     return dist
 
 
-def extract_path(dist, start_cell, max_len: int):
+def extract_path(dist, blocked, start_cell, max_len: int):
     """Greedy policy descent from `start_cell` to the field's zero.
 
     Returns (cells (max_len + 1, 2) int32, valid (max_len + 1,) bool).
     cells[0] is the start; once the goal is reached the cell repeats and
     valid goes False.  If the start is disconnected (dist >= _BIG) only
-    the start cell is valid.
+    the start cell is valid.  Moves obey the same diagonal corner rule
+    as the field's relaxation (a diagonal step is forbidden when both
+    adjacent orthogonal cells are blocked), so the extracted path is a
+    legal search path, not just cost-consistent.
     """
     H, W = dist.shape
     moves = jnp.asarray([(m[0], m[1]) for m in _MOVES], jnp.int32)
     costs = jnp.asarray([m[2] for m in _MOVES], jnp.float32)
+    diag = jnp.asarray([bool(m[0] and m[1]) for m in _MOVES])
 
     def step(carry, _):
         c, done = carry
@@ -95,8 +99,13 @@ def extract_path(dist, start_cell, max_len: int):
                & (nbs[:, 1] >= 0) & (nbs[:, 1] < W))
         nx = jnp.clip(nbs[:, 0], 0, H - 1)
         ny = jnp.clip(nbs[:, 1], 0, W - 1)
+        # diagonal corner rule from the current cell
+        ox = jnp.clip(c[0] + moves[:, 0], 0, H - 1)
+        oy = jnp.clip(c[1] + moves[:, 1], 0, W - 1)
+        corner = diag & blocked[ox, c[1]] & blocked[c[0], oy]
         # Bellman-consistent move: minimize dist[nb] + step cost
-        score = jnp.where(inb, dist[nx, ny] + costs, _BIG)
+        score = jnp.where(inb & jnp.logical_not(corner),
+                          dist[nx, ny] + costs, _BIG)
         k = jnp.argmin(score)
         nxt = jnp.stack([nx[k], ny[k]])
         at_goal = dist[c[0], c[1]] <= 0.0

@@ -153,7 +153,7 @@ def _wavefront_flat(esdf: ESDF, start_xy, start_yaw, goal_xy,
                         0, jnp.asarray([H - 1, W - 1]))
 
     dist = octile_distance_field(blocked, cell_of(goal_xy))
-    cells, valid = extract_path(dist, cell_of(start_xy),
+    cells, valid = extract_path(dist, blocked, cell_of(start_xy),
                                 cfg.path_max_len)
     pts = (esdf.lower + (cells.astype(dtype) + 0.5) * esdf.res)
     # pad the tail with the exact goal; pin the exact endpoints

@@ -45,11 +45,19 @@ def test_field_matches_astar_costs():
             continue
         np.testing.assert_allclose(d, _octile_cost(path), atol=1e-4)
         # the greedy descent realizes the field's cost and ends at goal
-        cells, valid = extract_path(dist, jnp.asarray(s), 200)
+        cells, valid = extract_path(dist, jnp.asarray(occ),
+                                    jnp.asarray(s), 200)
         cells, valid = np.asarray(cells), np.asarray(valid)
-        pts = cells[:valid.sum() + 1]
+        pts = cells[:valid.sum()]   # valid counts the start cell
         assert tuple(pts[-1]) == g
         np.testing.assert_allclose(_octile_cost(pts), d, atol=1e-3)
+        # every step must be a legal search move (corner rule included)
+        for a, b in zip(pts, pts[1:]):
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            assert max(abs(dx), abs(dy)) == 1
+            assert not occ[b[0], b[1]]
+            if dx and dy:
+                assert not (occ[a[0] + dx, a[1]] and occ[a[0], a[1] + dy])
 
 
 def test_field_is_jit_and_vmap_friendly():
