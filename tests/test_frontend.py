@@ -94,3 +94,40 @@ def test_full_frontend_backend_pipeline():
     assert not bool(res.collision)
     err = float(jnp.linalg.norm(res.final_xy_err))
     assert err < 0.02
+
+
+def test_stitch_full_path_follows_old_trajectory():
+    """stitch_full_path=True prepends the predicted path (the intended
+    raw_path_.insert); the default reproduces the reference's effective
+    dead-code behavior (straight leg from the predicted state to the
+    truncated point).  With an L-shaped start path the stitched
+    trajectory's first samples must hug the path corner."""
+    import jax.numpy as jnp
+    from alore_legged_manipulator_tpu.planner.frontend import (
+        FrontendConfig, plan_frontend)
+
+    H = W = 60
+    dist = np.full((H, W), 2.0)
+    dist[13:19, 13:19] = -0.1       # blob blocking the (1,1)-(2,2) diagonal
+    start_path = [(1.0, 1.0, 0.0), (2.0, 1.0, 0.0), (2.0, 2.0, 1.57)]
+    start = np.asarray(start_path[0])
+    goal = (5.0, 2.0, 0.0)
+
+    def positions(cfg):
+        ft = plan_frontend(dist, (0.0, 0.0), 0.1, start, goal, cfg,
+                           start_path=start_path, dtype=jnp.float64)
+        return np.asarray(ft.inner_positions)[:, :2]
+
+    base = FrontendConfig(piece_buckets=())
+    pos_ref = positions(base)                        # effective behavior
+    pos_stitch = positions(base._replace(stitch_full_path=True))
+
+    corner = np.array([2.0, 1.0])
+
+    def min_dist(pos):
+        return np.min(np.linalg.norm(pos - corner, axis=1))
+
+    # the full stitch passes through the corner region; the
+    # reference-effective path cuts the diagonal from (1,1) to (2,2)
+    assert min_dist(pos_stitch) < 0.35, min_dist(pos_stitch)
+    assert min_dist(pos_ref) > min_dist(pos_stitch)
