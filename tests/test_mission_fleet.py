@@ -85,3 +85,46 @@ def test_mission_seconds_accounting():
     per = (cfg.approach_ticks + cfg.grasp_ticks + cfg.release_ticks) * 0.02 \
         + cfg.push_ticks * 0.01
     assert abs(s - 3 * per) < 1e-9
+
+
+@pytest.mark.slow
+def test_endurance_32_objects_zero_failures():
+    """Twin of the reference's headline continuous-operation claim
+    (README.md:28: 8 loops, 32 chairs rearranged, zero failures): 8
+    four-object arrangement missions, 32 deliveries, all delivered with
+    zero post-anneal collisions."""
+    import numpy as np
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.runtime.mission_fleet import (
+        MissionFleetConfig, run_mission)
+
+    occ = np.zeros((80, 80), bool)
+    occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
+    occ[34:46, 36:40] = True          # central wall to route around
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+
+    B, K = 8, 4
+    rng = np.random.default_rng(4)
+    items = jnp.asarray(np.stack([
+        rng.uniform(1.5, 3.0, (B, K)), rng.uniform(1.5, 6.0, (B, K))],
+        -1), jnp.float32)
+    targets = jnp.asarray(np.stack([
+        rng.uniform(5.5, 7.0, (B, K)), rng.uniform(1.5, 6.0, (B, K))],
+        -1), jnp.float32)
+    starts = jnp.asarray(np.concatenate([
+        rng.uniform(1.0, 2.0, (B, 2)), rng.uniform(-1, 1, (B, 1))], 1),
+        jnp.float32)
+
+    cfg = MissionFleetConfig(push_ticks=1600)   # 16 s: longest detour leg
+    res = jax.jit(jax.vmap(
+        lambda i, t, s: run_mission(i, t, s, esdf, icr, cfg)))(
+            items, targets, starts)
+    delivered = np.asarray(res.delivered)
+    collisions = np.asarray(res.collision)
+    assert delivered.shape == (B, K)
+    assert delivered.all(), (
+        f"{int((~delivered).sum())}/32 failed; errs "
+        f"{np.asarray(res.object_err)[~delivered]}")
+    assert not collisions.any(), f"{int(collisions.sum())} collisions"
