@@ -1,0 +1,242 @@
+"""Physics-backed pushing env: real contact dynamics under the policy.
+
+The default `rl/env.py` realizes commanded object velocity through a
+first-order surrogate (fast, used for PPO throughput).  This module is
+the HIGH-FIDELITY mode: the same observation/action/reward contract, but
+the object moves ONLY through rigid-body contact and the grasp weld of
+`world/physics2d.py` -- the role PhysX plays in the reference env
+(env_train.py:438-543: joint targets in, PhysX contact out).
+
+Per 50 Hz step (reference control_dt, cfg :160-211):
+  - action[:3] is the commanded planar velocity handed to the low-level
+    locomotion abstraction -- here the traction-limited base velocity
+    servo (physics2d.servo_forces);
+  - `decimation` (4) substeps at 200 Hz run servo forces, the grasp weld
+    (the gripper holding the object, env_train.py:438-443), box-box
+    contact, and floor friction;
+  - the object's realized body-frame velocity is observed/rewarded
+    exactly as in the surrogate env.
+
+Failure modes now emerge from physics rather than being scripted: a
+heavy/low-friction object lags its command (tracking reward drops), and
+yanking harder than the grip-force budget makes the weld slip until the
+anchor gap exceeds `grasp_loss_dist` -- the gripper-contact-loss
+termination (env_train.py:1003-1017).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..world import physics2d as ph
+from .env import (CRITIC_EXTRA, HIST, N_ACTIONS, OBS_DIM, PushEnvConfig)
+
+ROBOT, OBJ = 0, 1
+
+# B2 base footprint ~0.9x0.6 m, mass ~60 kg; object boxes per class
+ROBOT_HALF_EXT = (0.45, 0.30)
+ROBOT_MASS = 60.0
+OBJ_HALF_EXT = ((0.30, 0.30), (0.50, 0.35), (0.25, 0.20))  # chair/table/box
+
+
+class PhysicsEnvConfig(NamedTuple):
+    base: PushEnvConfig = PushEnvConfig()
+    decimation: int = 4
+    sim_dt: float = 1.0 / 200.0
+    grasp_anchor_robot: tuple = (0.65, 0.0)   # EE point in base frame
+    grasp_loss_dist: float = 0.15
+    # grip budget must exceed the worst-case drag force of the object
+    # range (40 kg x mu 1.2 -> ~470 N) or every heavy episode slips
+    grip_force: float = 600.0                 # weld force budget [N]
+    physics: ph.PhysicsConfig = ph.PhysicsConfig(
+        dt=1.0 / 200.0, grasp_impulse_cap=600.0)
+
+
+class PhysPushEnvState(NamedTuple):
+    bodies: ph.BodyState           # 2 bodies: robot, object
+    obj_anchor: jnp.ndarray        # (2,) grasp anchor in object frame
+    grasp_active: jnp.ndarray      # () bool
+    cmd: jnp.ndarray               # (3,) commanded object velocity
+    friction: jnp.ndarray          # () object-floor mu (privileged)
+    com: jnp.ndarray               # (2,) object COM offset (privileged)
+    obj_type: jnp.ndarray          # () int32
+    arm_q: jnp.ndarray             # (6,)
+    prev_action: jnp.ndarray       # (9,)
+    obs_hist: jnp.ndarray          # (HIST, OBS_DIM)
+    t: jnp.ndarray                 # () int32
+    key: jnp.ndarray
+
+
+def _body_frame_vel(pose, vel):
+    """World (vx, vy, w) -> body frame (vx, vy, w)."""
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    return jnp.stack([c * vel[0] + s * vel[1],
+                      -s * vel[0] + c * vel[1], vel[2]])
+
+
+def _observe(st: PhysPushEnvState, cfg: PhysicsEnvConfig):
+    """Same 70-d layout as env._observe, sourced from physics state."""
+    key, sub = jax.random.split(st.key)
+    obj_vel = _body_frame_vel(st.bodies.pose[OBJ], st.bodies.vel[OBJ])
+    vel_noisy = obj_vel + 0.02 * jax.random.normal(sub, (3,),
+                                                   obj_vel.dtype)
+    onehot = jax.nn.one_hot(st.obj_type, 3, dtype=obj_vel.dtype)
+    yaw = st.bodies.pose[OBJ, 2]
+    parts = [st.cmd, vel_noisy,
+             jnp.sin(yaw)[None], jnp.cos(yaw)[None],
+             st.arm_q, st.prev_action, onehot]
+    obs = jnp.concatenate(parts)
+    pad = OBS_DIM - obs.shape[0]
+    obs = jnp.concatenate([obs, jnp.zeros((pad,), obs.dtype)])
+    return obs, key
+
+
+def critic_observation(st: PhysPushEnvState, cfg: PhysicsEnvConfig):
+    """Privileged tail mirrors env.critic_observation (true velocity,
+    mass, friction, COM, type, tracking error)."""
+    obj_vel = _body_frame_vel(st.bodies.pose[OBJ], st.bodies.vel[OBJ])
+    actor_flat = st.obs_hist.reshape(-1)
+    priv = jnp.concatenate([
+        obj_vel,
+        st.bodies.mass[OBJ][None] / 40.0, st.friction[None],
+        st.com,
+        jax.nn.one_hot(st.obj_type, 3, dtype=obj_vel.dtype),
+        st.cmd - obj_vel,
+        jnp.zeros((1,), obj_vel.dtype),
+    ])
+    assert priv.shape[0] == CRITIC_EXTRA
+    return jnp.concatenate([actor_flat, priv])
+
+
+def env_reset(key, cfg: PhysicsEnvConfig = PhysicsEnvConfig(),
+              dtype=jnp.float32) -> PhysPushEnvState:
+    b = cfg.base
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    mass = jax.random.uniform(k1, (), dtype, *b.mass_range)
+    fric = jax.random.uniform(k2, (), dtype, *b.friction_range)
+    com = jax.random.uniform(k3, (2,), dtype, -b.com_range, b.com_range)
+    cmd = jax.random.uniform(k4, (3,), dtype, -1.0, 1.0) \
+        * jnp.asarray([1.0, 0.5, 1.0], dtype)
+    obj_type = jax.random.randint(k5, (), 0, 3)
+    obj_he = jnp.asarray(OBJ_HALF_EXT, dtype)[obj_type]
+    yaw0 = jax.random.uniform(k7, (), dtype, -jnp.pi, jnp.pi)
+
+    # robot starts "docked": its EE anchor coincides with the object's
+    # grasp anchor (the reference grips during the reset window before
+    # actions unfreeze, env_train.py:429, 438-443)
+    anchor_r = jnp.asarray(cfg.grasp_anchor_robot, dtype)
+    anchor_o = jnp.stack([-obj_he[0], jnp.asarray(0.0, dtype)])
+    c, s = jnp.cos(yaw0), jnp.sin(yaw0)
+    R = jnp.asarray([[c, -s], [s, c]])
+    obj_pos = jnp.asarray([0.0, 0.0], dtype)
+    robot_pos = obj_pos + R @ anchor_o - (_rot2(yaw0) @ anchor_r)
+    poses = jnp.stack([
+        jnp.concatenate([robot_pos, yaw0[None]]),
+        jnp.concatenate([obj_pos, yaw0[None]])])
+
+    masses = jnp.stack([jnp.asarray(ROBOT_MASS, dtype), mass])
+    half_ext = jnp.stack([jnp.asarray(ROBOT_HALF_EXT, dtype), obj_he])
+    bodies = ph.BodyState(
+        pose=poses, vel=jnp.zeros((2, 3), dtype), mass=masses,
+        inertia=ph.box_inertia(masses, half_ext), half_ext=half_ext,
+        box_off=jnp.stack([jnp.zeros((2,), dtype), -com]),
+        mu_ground=jnp.stack([jnp.asarray(1.0, dtype), fric]))
+
+    st = PhysPushEnvState(
+        bodies=bodies, obj_anchor=anchor_o,
+        grasp_active=jnp.asarray(True),
+        cmd=cmd, friction=fric, com=com, obj_type=obj_type,
+        arm_q=jnp.zeros((6,), dtype),
+        prev_action=jnp.zeros((N_ACTIONS,), dtype),
+        obs_hist=jnp.zeros((HIST, OBS_DIM), dtype),
+        t=jnp.zeros((), jnp.int32), key=k6)
+    obs, key = _observe(st, cfg)
+    hist = jnp.broadcast_to(obs, (HIST, OBS_DIM))
+    return st._replace(obs_hist=hist, key=key)
+
+
+def _rot2(yaw):
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    return jnp.asarray([[c, -s], [s, c]])
+
+
+def as_surrogate_view(st: PhysPushEnvState):
+    """Duck-typed PushEnvState over the physics state.
+
+    Lets the training runner reuse env.graph_features /
+    env.critic_observation unchanged in physics mode: the view exposes
+    the object's pose and BODY-FRAME velocity exactly as the surrogate
+    env stores them.
+    """
+    from .env import PushEnvState
+    return PushEnvState(
+        obj_pose=st.bodies.pose[OBJ],
+        obj_vel=_body_frame_vel(st.bodies.pose[OBJ], st.bodies.vel[OBJ]),
+        arm_q=st.arm_q, cmd=st.cmd, mass=st.bodies.mass[OBJ],
+        friction=st.friction, com=st.com, obj_type=st.obj_type,
+        prev_action=st.prev_action, obs_hist=st.obs_hist, t=st.t,
+        key=st.key)
+
+
+def env_step(st: PhysPushEnvState, action,
+             cfg: PhysicsEnvConfig = PhysicsEnvConfig()):
+    """One 50 Hz step through `decimation` contact-dynamics substeps."""
+    b = cfg.base
+    dtype = st.bodies.vel.dtype
+    a = jnp.clip(action, -1.0, 1.0).astype(dtype)
+    vel_cmd = a[:3] * jnp.asarray([b.action_scale_lin, b.action_scale_lin,
+                                   b.action_scale_ang], dtype)
+    arm_delta = a[3:] * b.action_scale_arm
+
+    pcfg = cfg.physics
+    grasp = (st.grasp_active, ROBOT,
+             jnp.asarray(cfg.grasp_anchor_robot, dtype), OBJ,
+             st.obj_anchor, jnp.asarray(True))
+    servo_mask = jnp.asarray([True, False])
+
+    def substep(bodies, _):
+        w = ph.servo_forces(bodies, ROBOT, vel_cmd, pcfg)
+        bodies, _ = ph.physics_substep(
+            bodies, w, [(ROBOT, OBJ)], pcfg, grasp=grasp,
+            servo_mask=servo_mask)
+        return bodies, None
+
+    bodies, _ = jax.lax.scan(substep, st.bodies, None,
+                             length=cfg.decimation)
+
+    # grasp-loss: the (force-capped) weld slipped too far
+    wa = bodies.pose[ROBOT, :2] + _rot2(bodies.pose[ROBOT, 2]) \
+        @ jnp.asarray(cfg.grasp_anchor_robot, dtype)
+    wb = bodies.pose[OBJ, :2] + _rot2(bodies.pose[OBJ, 2]) @ st.obj_anchor
+    gap = jnp.linalg.norm(wb - wa)
+    grasp_lost = gap > cfg.grasp_loss_dist
+
+    arm_new = jnp.clip(st.arm_q + arm_delta, -1.5, 1.5)
+    prev_a = st.prev_action
+    st = st._replace(bodies=bodies, arm_q=arm_new, prev_action=a,
+                     grasp_active=st.grasp_active & ~grasp_lost,
+                     t=st.t + 1)
+    obs, key = _observe(st, cfg)
+    hist = jnp.concatenate([st.obs_hist[1:], obs[None]], axis=0)
+    st = st._replace(obs_hist=hist, key=key)
+
+    # identical reward structure to env.env_step (_get_rewards)
+    obj_vel = _body_frame_vel(bodies.pose[OBJ], bodies.vel[OBJ])
+    err_lin = jnp.sum((st.cmd[:2] - obj_vel[:2]) ** 2)
+    err_ang = (st.cmd[2] - obj_vel[2]) ** 2
+    r_track = b.w_track_lin * jnp.exp(-err_lin / 0.25) \
+        + b.w_track_ang * jnp.exp(-err_ang / 0.25)
+    vdir, cdir = obj_vel[:2], st.cmd[:2]
+    align = jnp.sum(vdir * cdir) / (
+        jnp.linalg.norm(vdir) * jnp.linalg.norm(cdir) + 1e-6)
+    r_align = b.w_align * align
+    r_smooth = b.w_smooth * jnp.sum((a - prev_a) ** 2)
+    r_arm = b.w_arm_effort * jnp.sum(arm_delta ** 2)
+    reward = r_track + r_align + r_smooth + r_arm
+
+    tipped = jnp.linalg.norm(obj_vel) > b.tip_vel_limit
+    timeout = st.t >= b.max_steps
+    done = tipped | timeout | grasp_lost
+    return st, hist, reward, done

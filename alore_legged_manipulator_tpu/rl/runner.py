@@ -36,6 +36,10 @@ class TrainConfig(NamedTuple):
     # the ROBOT'S REALIZED velocity (env_train.py:438-543)
     low_level_params: object = None
     hierarchy: HierarchyConfig = HierarchyConfig()
+    # physics-env training (PhysX-analogue mode): the object moves only
+    # through rigid-body contact + the grasp weld (rl/env_physics.py)
+    physics_env: bool = False
+    physics: object = None       # PhysicsEnvConfig override
 
 
 class Models(NamedTuple):
@@ -101,6 +105,19 @@ def train(cfg: TrainConfig = TrainConfig(), progress=None, mesh=None):
 
         def push_of(s):
             return s[0]
+    elif cfg.physics_env:
+        from .env_physics import (PhysicsEnvConfig, as_surrogate_view,
+                                  env_reset as phys_reset,
+                                  env_step as phys_step)
+        pcfg = cfg.physics or PhysicsEnvConfig(base=cfg.env)
+
+        def reset_one(k):
+            return phys_reset(k, pcfg)
+
+        def step_one(s, a):
+            return phys_step(s, a, pcfg)
+
+        push_of = as_surrogate_view
     else:
         def reset_one(k):
             return env_reset(k, cfg.env)
@@ -133,7 +150,7 @@ def train(cfg: TrainConfig = TrainConfig(), progress=None, mesh=None):
         def step(carry, _):
             env_states, key = carry
             key, ka, kr = jax.random.split(key, 3)
-            push = jax.vmap(push_of)(env_states) if hier else env_states
+            push = jax.vmap(push_of)(env_states)
             graphs = jax.vmap(_graph_of)(push)
             obs_hist = push.obs_hist
             cobs = jax.vmap(lambda s: critic_observation(s, cfg.env))(push)
@@ -164,7 +181,7 @@ def train(cfg: TrainConfig = TrainConfig(), progress=None, mesh=None):
         (env_states, key), rollout = jax.lax.scan(
             step, (env_states, key), None, length=cfg.steps_per_env)
 
-        push = jax.vmap(push_of)(env_states) if hier else env_states
+        push = jax.vmap(push_of)(env_states)
         graphs = jax.vmap(_graph_of)(push)
         cobs = jax.vmap(lambda s: critic_observation(s, cfg.env))(push)
         _, _, last_value, _ = apply_all(params, push.obs_hist,

@@ -306,6 +306,11 @@ class YoloPoseDetector:
         yaw_deg = self.quantize_yaw_deg(object_yaw_world - cam_yaw)
         yaw_rad = math.radians(yaw_deg)
 
+        return self._push_sample(avg_dist, real_offset_x, yaw_rad)
+
+    def _push_sample(self, avg_dist: float,
+                     real_offset_x: float,
+                     yaw_rad: float) -> Optional[np.ndarray]:
         current = [float(avg_dist), float(real_offset_x), 0.0,
                    float(yaw_rad), 0.0, 0.0, 0.0, 1.0]        # :184-193
         self.pose_buffer.append(current)
@@ -319,6 +324,51 @@ class YoloPoseDetector:
             self.last_pose = final
             return final
         return None
+
+    def process_rendered_frame(self, depth_img, sem_img, sem_id: int,
+                               camera_pose: SE3,
+                               object_yaw_world: float
+                               ) -> Optional[np.ndarray]:
+        """Image-space variant: consumes REAL rendered depth + semantic
+        images (world/camera.py -- the bridge's camera topics) instead of
+        projecting the true pose.  Bbox comes from the semantic mask
+        (what the YOLO head would emit), avg depth from the z-depth crop
+        inside it within the [2, 4] m window (yolo_pose.py:167-173), the
+        lateral offset from the bbox-center pixel offset (:175-181); the
+        buffering/publication flow is shared with process_frame."""
+        if not self.state_finding:
+            return None
+        self.frame_count += 1
+        if self.frame_count % self.process_interval != 0:   # :141-143
+            return None
+
+        depth_img = np.asarray(depth_img)
+        sem_img = np.asarray(sem_img)
+        mask = sem_img == sem_id
+        if not mask.any():
+            return None      # "No object detected" -- keeps finding (:218)
+        vs, us = np.nonzero(mask)
+        x1, x2 = float(us.min()), float(us.max())
+
+        # range image -> OpenCV z-depth for the crop average
+        H, W = depth_img.shape
+        uu = (us + 0.5 - self.intr.cx) / self.intr.fx
+        vv = (vs + 0.5 - self.intr.cy) / self.intr.fy
+        inv_norm = 1.0 / np.sqrt(uu ** 2 + vv ** 2 + 1.0)
+        zs = depth_img[vs, us] * inv_norm
+        zs = zs[np.isfinite(zs)]
+        avg = float(zs.mean()) if zs.size else 0.0
+        avg_dist = avg if (self.DEPTH_MIN <= avg <= self.DEPTH_MAX) else 0.0
+
+        real_offset_x = 0.0
+        if avg_dist > 0:                                     # :175-181
+            pixel_offset = (x1 + x2) / 2.0 - self.intr.cx
+            real_offset_x = avg_dist * pixel_offset / self.intr.fx
+
+        cam_yaw = math.atan2(camera_pose.R[1, 2], camera_pose.R[0, 2])
+        yaw_rad = math.radians(
+            self.quantize_yaw_deg(object_yaw_world - cam_yaw))
+        return self._push_sample(avg_dist, real_offset_x, yaw_rad)
 
 
 # base<-lidar extrinsic (env_perception_auto.py:52-61)

@@ -1,0 +1,183 @@
+"""Synthetic pinhole camera: batched depth + semantic rendering.
+
+The reference's Isaac bridge publishes color / depth / semantic /
+depth-cloud camera topics (Simulation/isaac_b2_controller/ros1/
+b2z1_ros1_bridge.py:31-600) that feed the YOLO object detector
+(Deployment/perception/yolo_pose.py) and AprilTag PnP.  Isaac's
+renderer does not exist on TPU, so this module renders those products
+directly from the planar scene description: every world box (obstacle
+footprints and object bodies, extruded to a height) is intersected
+analytically with each pixel ray -- a (pixels x boxes) slab test, pure
+elementwise math that XLA fuses and `vmap` batches over cameras, with no
+data-dependent control flow.
+
+Products:
+  * depth image (H, W) f32, +inf where the ray escapes,
+  * semantic image (H, W) int32 (`SKY`/`GROUND` or box semantic id),
+  * depth -> point-cloud unprojection (the depth_cloud topic),
+  * bbox extraction for a semantic id (what the YOLO detector's image
+    branch consumes).
+
+Camera convention: OpenCV pinhole -- +z optical axis forward, +x right,
++y down; intrinsics (fx, fy, cx, cy).  The camera pose maps camera
+coordinates to world coordinates.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+SKY = -1
+GROUND = 0
+
+
+class CameraModel(NamedTuple):
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int
+    height: int
+
+
+class BoxScene(NamedTuple):
+    """K extruded boxes: planar OBB footprint + [0, height] extrusion.
+
+    `sem_id` >= 1 (0 is reserved for the ground plane).
+    """
+    center: jnp.ndarray    # (K, 2) footprint center (world)
+    yaw: jnp.ndarray       # (K,)
+    half_ext: jnp.ndarray  # (K, 2)
+    height: jnp.ndarray    # (K,)
+    sem_id: jnp.ndarray    # (K,) int32
+
+
+def camera_rays(cam: CameraModel, dtype=jnp.float32):
+    """Unit ray directions in the camera frame, (H, W, 3)."""
+    u = jnp.arange(cam.width, dtype=dtype) + 0.5
+    v = jnp.arange(cam.height, dtype=dtype) + 0.5
+    uu, vv = jnp.meshgrid(u, v)
+    d = jnp.stack([(uu - cam.cx) / cam.fx, (vv - cam.cy) / cam.fy,
+                   jnp.ones_like(uu)], axis=-1)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def pose_matrix(xyz, rpy):
+    """World-from-camera SE(3) from position + roll/pitch/yaw (ZYX)."""
+    r, p, y = rpy
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    Rz = jnp.asarray([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    Ry = jnp.asarray([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
+    Rx = jnp.asarray([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
+    R = Rz @ Ry @ Rx
+    return R, jnp.asarray(xyz)
+
+
+ROBOT_CAM_RPY = (-jnp.pi / 2, 0.0, -jnp.pi / 2)  # look along +x, z-up world
+
+
+def _ray_box(o, d, center, yaw, he, height):
+    """Slab test of ray o + t d against one extruded box.
+
+    Returns (t_enter, hit): t of the first intersection with the box
+    volume, +inf if missed.  Branchless.
+    """
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    # world -> box frame (rotate xy by -yaw, z unchanged)
+    ox = c * (o[0] - center[0]) + s * (o[1] - center[1])
+    oy = -s * (o[0] - center[0]) + c * (o[1] - center[1])
+    dx = c * d[0] + s * d[1]
+    dy = -s * d[0] + c * d[1]
+    lo = jnp.stack([-he[0], -he[1], jnp.zeros_like(height)])
+    hi = jnp.stack([he[0], he[1], height])
+    oo = jnp.stack([ox, oy, o[2]])
+    dd = jnp.stack([dx, dy, d[2]])
+    inv = 1.0 / jnp.where(jnp.abs(dd) < 1e-12,
+                          jnp.where(dd < 0, -1e-12, 1e-12), dd)
+    t1 = (lo - oo) * inv
+    t2 = (hi - oo) * inv
+    tmin = jnp.max(jnp.minimum(t1, t2))
+    tmax = jnp.min(jnp.maximum(t1, t2))
+    hit = (tmax >= jnp.maximum(tmin, 0.0))
+    t = jnp.where(tmin > 0.0, tmin, tmax)   # inside the box: exit face
+    return jnp.where(hit & (t > 0.0), t, jnp.inf)
+
+
+def render(cam: CameraModel, R, t, scene: BoxScene, max_range=20.0):
+    """Render (depth, semantic) for a camera at world-from-camera (R, t).
+
+    depth is along the RAY (range image); use `depth_to_z` for the
+    OpenCV z-depth convention if needed.
+    """
+    dtype = R.dtype
+    rays_c = camera_rays(cam, dtype)                     # (H, W, 3)
+    rays_w = jnp.einsum("ij,hwj->hwi", R, rays_c)
+    o = t
+
+    def per_pixel(d):
+        ts = jax.vmap(lambda c, y, he, h: _ray_box(o, d, c, y, he, h))(
+            scene.center, scene.yaw, scene.half_ext, scene.height)
+        k = jnp.argmin(ts)
+        t_box = ts[k]
+        sem_box = scene.sem_id[k]
+        # ground plane z=0
+        t_gnd = jnp.where(d[2] < -1e-9, -o[2] / d[2], jnp.inf)
+        t_best = jnp.minimum(t_box, t_gnd)
+        sem = jnp.where(t_box <= t_gnd, sem_box, GROUND)
+        sem = jnp.where(jnp.isinf(t_best) | (t_best > max_range), SKY, sem)
+        depth = jnp.where(jnp.isinf(t_best) | (t_best > max_range),
+                          jnp.inf, t_best)
+        return depth, sem
+
+    flat = rays_w.reshape(-1, 3)
+    depth, sem = jax.vmap(per_pixel)(flat)
+    return (depth.reshape(cam.height, cam.width),
+            sem.reshape(cam.height, cam.width).astype(jnp.int32))
+
+
+def depth_to_z(cam: CameraModel, depth):
+    """Range image -> OpenCV z-depth (distance along the optical axis)."""
+    rays = camera_rays(cam, depth.dtype)
+    return depth * rays[..., 2]
+
+
+def depth_cloud(cam: CameraModel, R, t, depth, stride=1):
+    """Unproject a depth image to a world-frame point cloud (P, 3) with a
+    finite-mask (the bridge's depth-cloud topic)."""
+    rays_c = camera_rays(cam, depth.dtype)[::stride, ::stride]
+    d = depth[::stride, ::stride]
+    pts_c = rays_c * d[..., None]
+    pts_w = jnp.einsum("ij,hwj->hwi", R, pts_c) + t
+    mask = jnp.isfinite(d)
+    return pts_w.reshape(-1, 3), mask.reshape(-1)
+
+
+def semantic_bbox(sem, sem_id):
+    """Pixel bbox (u_min, v_min, u_max, v_max, count) of a semantic id.
+
+    Branchless min/max over masked pixel coordinates; count==0 means the
+    id is not visible (bbox values are then meaningless).  This is the
+    detector-side input: the reference YOLO node consumes xyxy bboxes
+    (yolo_pose.py:149-160).
+    """
+    H, W = sem.shape
+    uu = jnp.broadcast_to(jnp.arange(W), (H, W))
+    vv = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W))
+    m = sem == sem_id
+    big = jnp.iinfo(jnp.int32).max
+    u_min = jnp.min(jnp.where(m, uu, big))
+    v_min = jnp.min(jnp.where(m, vv, big))
+    u_max = jnp.max(jnp.where(m, uu, -1))
+    v_max = jnp.max(jnp.where(m, vv, -1))
+    return u_min, v_min, u_max, v_max, jnp.sum(m)
+
+
+def bbox_depth_mean(depth, sem, sem_id):
+    """Mean depth over the semantic mask (the reference averages the
+    depth crop inside the detection bbox, yolo_pose.py:167-173)."""
+    m = (sem == sem_id) & jnp.isfinite(depth)
+    return jnp.sum(jnp.where(m, depth, 0.0)) / jnp.maximum(jnp.sum(m), 1)

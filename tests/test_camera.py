@@ -1,0 +1,141 @@
+"""Synthetic camera tests (world/camera.py).
+
+Pins the renderer's geometry analytically: depth at known pixels,
+semantic labeling, occlusion ordering, ground-plane depth, point-cloud
+unprojection landing on box faces, and the detector-side bbox/crop
+helpers the YOLO analogue consumes.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alore_legged_manipulator_tpu.world import camera as cm
+
+
+def _cam(w=64, h=48, f=40.0):
+    return cm.CameraModel(fx=f, fy=f, cx=w / 2, cy=h / 2, width=w,
+                          height=h)
+
+
+def _scene(boxes):
+    """boxes: list of (cx, cy, yaw, hx, hy, height, sem)."""
+    a = np.asarray(boxes, np.float32)
+    return cm.BoxScene(center=jnp.asarray(a[:, 0:2]),
+                       yaw=jnp.asarray(a[:, 2]),
+                       half_ext=jnp.asarray(a[:, 3:5]),
+                       height=jnp.asarray(a[:, 5]),
+                       sem_id=jnp.asarray(a[:, 6], jnp.int32))
+
+
+def _fwd_cam_pose(x, y, z, yaw=0.0):
+    """Camera at (x, y, z) looking along world +x (for yaw=0), z-up."""
+    R, t = cm.pose_matrix(
+        (x, y, z), (cm.ROBOT_CAM_RPY[0], cm.ROBOT_CAM_RPY[1],
+                    cm.ROBOT_CAM_RPY[2] + yaw))
+    return R, t
+
+
+def test_camera_axis_convention():
+    # the optical axis of the robot camera convention is world +x
+    R, t = _fwd_cam_pose(0.0, 0.0, 1.0)
+    axis = np.asarray(R) @ np.array([0.0, 0.0, 1.0])
+    np.testing.assert_allclose(axis, [1.0, 0.0, 0.0], atol=1e-6)
+    # +y (image down) maps to world -z
+    down = np.asarray(R) @ np.array([0.0, 1.0, 0.0])
+    np.testing.assert_allclose(down, [0.0, 0.0, -1.0], atol=1e-6)
+
+
+def test_center_pixel_depth_of_front_face():
+    cam = _cam()
+    scene = _scene([(3.0, 0.0, 0.0, 0.5, 0.5, 2.0, 1)])
+    R, t = _fwd_cam_pose(0.0, 0.0, 1.0)
+    depth, sem = cm.render(cam, R, t, scene)
+    cu, cv = int(cam.cx), int(cam.cy)
+    # front face at x = 2.5, camera at x = 0 -> center-ray depth 2.5
+    np.testing.assert_allclose(float(depth[cv, cu]), 2.5, atol=2e-3)
+    assert int(sem[cv, cu]) == 1
+
+
+def test_ground_and_sky_labels():
+    cam = _cam()
+    scene = _scene([(100.0, 100.0, 0.0, 0.1, 0.1, 0.1, 1)])  # out of view
+    R, t = _fwd_cam_pose(0.0, 0.0, 1.0)
+    depth, sem = cm.render(cam, R, t, scene)
+    # top rows look up -> sky; bottom rows hit the ground plane
+    assert int(sem[0, int(cam.cx)]) == cm.SKY
+    assert int(sem[cam.height - 1, int(cam.cx)]) == cm.GROUND
+    v = cam.height - 1
+    d = float(depth[v, int(cam.cx)])
+    # analytic ground-range: t = z_cam / |d_z| for that pixel ray
+    ray = np.asarray(cm.camera_rays(cam))[v, int(cam.cx)]
+    d_world_z = -ray[1]  # camera +y (down) is world -z for this pose
+    np.testing.assert_allclose(d, 1.0 / abs(d_world_z), rtol=1e-4)
+
+
+def test_occlusion_ordering():
+    cam = _cam()
+    scene = _scene([(5.0, 0.0, 0.0, 0.5, 1.0, 2.0, 1),
+                    (2.5, 0.0, 0.0, 0.3, 0.6, 2.0, 2)])
+    R, t = _fwd_cam_pose(0.0, 0.0, 1.0)
+    depth, sem = cm.render(cam, R, t, scene)
+    cu, cv = int(cam.cx), int(cam.cy)
+    assert int(sem[cv, cu]) == 2              # nearer box wins
+    np.testing.assert_allclose(float(depth[cv, cu]), 2.2, atol=2e-3)
+
+
+def test_depth_cloud_on_box_face():
+    cam = _cam()
+    scene = _scene([(3.0, 0.0, 0.0, 0.5, 2.0, 3.0, 1)])
+    R, t = _fwd_cam_pose(0.0, 0.0, 1.0)
+    depth, sem = cm.render(cam, R, t, scene)
+    pts, mask = cm.depth_cloud(cam, R, t, depth)
+    sem_flat = np.asarray(sem).reshape(-1)
+    on_box = np.asarray(mask) & (sem_flat == 1)
+    assert on_box.sum() > 50
+    xs = np.asarray(pts)[on_box, 0]
+    np.testing.assert_allclose(xs, 2.5, atol=1e-3)  # all on the front face
+
+
+def test_semantic_bbox_and_crop_depth():
+    cam = _cam(w=128, h=96, f=80.0)
+    scene = _scene([(4.0, 0.0, 0.0, 0.5, 0.5, 1.5, 7)])
+    R, t = _fwd_cam_pose(0.0, 0.0, 1.0)
+    depth, sem = cm.render(cam, R, t, scene)
+    u0, v0, u1, v1, cnt = cm.semantic_bbox(sem, 7)
+    assert int(cnt) > 0
+    # projected footprint: half-width 0.5 m at 3.5 m -> ~80*0.5/3.5 px
+    w_px = int(u1) - int(u0)
+    assert abs(w_px - 2 * 80.0 * 0.5 / 3.5) < 4
+    # bbox is centered horizontally
+    assert abs((int(u0) + int(u1)) / 2 - cam.cx) < 2
+    mean_d = float(cm.bbox_depth_mean(depth, sem, 7))
+    assert 3.5 <= mean_d <= 4.6                    # face..rear corner range
+
+
+def test_yaw_rotated_camera_sees_side_object():
+    cam = _cam()
+    scene = _scene([(0.0, 3.0, 0.0, 0.5, 0.5, 2.0, 3)])
+    R, t = _fwd_cam_pose(0.0, 0.0, 1.0, yaw=np.pi / 2)  # look along +y
+    depth, sem = cm.render(cam, R, t, scene)
+    cu, cv = int(cam.cx), int(cam.cy)
+    assert int(sem[cv, cu]) == 3
+    np.testing.assert_allclose(float(depth[cv, cu]), 2.5, atol=2e-3)
+
+
+def test_render_jits_and_batches():
+    cam = _cam(w=32, h=24)
+    scene = _scene([(3.0, 0.0, 0.3, 0.5, 0.5, 2.0, 1),
+                    (2.0, 1.0, -0.4, 0.3, 0.3, 1.0, 2)])
+
+    @jax.jit
+    def render_at(x):
+        R, t = _fwd_cam_pose(x, 0.0, 1.0)
+        return cm.render(cam, R, t, scene)
+
+    xs = jnp.linspace(-1.0, 0.5, 8)
+    depths, sems = jax.vmap(render_at)(xs)
+    assert depths.shape == (8, 24, 32)
+    d = np.asarray(depths)
+    # nearer camera -> strictly smaller center depth
+    center = d[:, 12, 16]
+    assert np.all(np.diff(center) < 0)

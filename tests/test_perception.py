@@ -188,3 +188,66 @@ class TestAutoPerception:
         # default object table (env_perception_auto.py:18-21)
         np.testing.assert_allclose(obs.objects[0].xyz[:2], [-17, -17])
         np.testing.assert_allclose(obs.objects[3].xyz[:2], [14, -16])
+
+
+class TestYoloRenderedImageMode:
+    """Image-space detector branch driven by the synthetic camera
+    renderer (world/camera.py): bbox from the semantic mask, depth from
+    the rendered z-depth crop -- cross-checked against the true-pose
+    projection branch on the same geometry."""
+
+    def _render(self, obj_xy, obj_yaw, cam_h=0.5, w=160, h=120, f=120.0):
+        import jax.numpy as jnp
+        from alore_legged_manipulator_tpu.world import camera as cmr
+
+        cam = cmr.CameraModel(fx=f, fy=f, cx=w / 2, cy=h / 2,
+                              width=w, height=h)
+        scene = cmr.BoxScene(
+            center=jnp.asarray([obj_xy], jnp.float32),
+            yaw=jnp.asarray([obj_yaw], jnp.float32),
+            half_ext=jnp.asarray([[0.3, 0.3]], jnp.float32),
+            height=jnp.asarray([1.2], jnp.float32),
+            sem_id=jnp.asarray([5], jnp.int32))
+        R, t = cmr.pose_matrix(
+            (0.0, 0.0, cam_h),
+            (cmr.ROBOT_CAM_RPY[0], cmr.ROBOT_CAM_RPY[1],
+             cmr.ROBOT_CAM_RPY[2]))
+        depth, sem = cmr.render(cam, R, t, scene)
+        intr = CameraIntrinsics(fx=f, fy=f, cx=w / 2, cy=h / 2,
+                                width=w, height=h)
+        cam_pose = SE3(np.asarray(R), np.asarray(t))
+        return depth, sem, intr, cam_pose
+
+    def test_rendered_matches_truth_projection(self):
+        obj_xy, obj_yaw = (3.0, 0.25), math.radians(40.0)
+        depth, sem, intr, cam_pose = self._render(obj_xy, obj_yaw)
+
+        bus = MessageBus()
+        det = YoloPoseDetector(bus, intr=intr, depth_noise=0.0)
+        bus.publish(TOPIC_YOLO_TRIGGER, True)
+        final = None
+        for _ in range(40):
+            out = det.process_rendered_frame(depth, sem, 5, cam_pose,
+                                             obj_yaw)
+            if out is not None:
+                final = out
+                break
+        assert final is not None
+        # range from the image crop: front-face..center band of the box
+        assert 2.6 <= float(final[0]) <= 3.2
+        # lateral offset recovered from the bbox center (object 0.25 m
+        # to the camera's LEFT -> negative image-x offset)
+        assert abs(float(final[1]) - (-0.25)) < 0.08
+        # same 45-degree yaw bin as the truth branch
+        assert abs(float(final[3]) - math.radians(45.0)) < 1e-6
+        assert det.state_finding is False
+
+    def test_no_mask_keeps_finding(self):
+        depth, sem, intr, cam_pose = self._render((3.0, 0.0), 0.0)
+        bus = MessageBus()
+        det = YoloPoseDetector(bus, intr=intr, depth_noise=0.0)
+        bus.publish(TOPIC_YOLO_TRIGGER, True)
+        for _ in range(9):
+            out = det.process_rendered_frame(depth, sem, 99, cam_pose, 0.0)
+            assert out is None
+        assert det.state_finding is True

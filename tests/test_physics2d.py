@@ -1,0 +1,356 @@
+"""Planar rigid-body contact engine tests (world/physics2d.py).
+
+The engine fills PhysX's role in the training env (SURVEY §2.2:
+env_train.py delegates all object motion to PhysX contact).  These
+tests pin the physical invariants a contact solver must satisfy:
+manifold geometry, momentum conservation, the Coulomb cone, penetration
+resolution, floor-friction stopping distances, the grasp weld, and
+batched/jitted execution.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.world import physics2d as ph
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _rollout(st, cfg, pairs_t, steps, servo_mask=None, v_cmd=None,
+             grasp=None):
+    """Jitted N-step rollout (optional robot velocity servo on body 0)."""
+    pairs = list(pairs_t)
+
+    def step(st, _):
+        if v_cmd is not None:
+            w = ph.servo_forces(st, 0, v_cmd, cfg)
+        else:
+            w = jnp.zeros_like(st.vel)
+        st, _ = ph.physics_substep(st, w, pairs, cfg, grasp=grasp,
+                                   servo_mask=servo_mask)
+        return st, st.vel
+    st, _ = jax.lax.scan(step, st, None, length=steps)
+    return st
+
+
+def make_state(poses, vels, masses, half_exts, mu_ground=0.5,
+               box_off=None, dtype=jnp.float64):
+    poses = jnp.asarray(poses, dtype)
+    n = poses.shape[0]
+    masses = jnp.asarray(masses, dtype)
+    half_exts = jnp.asarray(half_exts, dtype)
+    return ph.BodyState(
+        pose=poses, vel=jnp.asarray(vels, dtype), mass=masses,
+        inertia=ph.box_inertia(masses, half_exts), half_ext=half_exts,
+        box_off=(jnp.zeros((n, 2), dtype) if box_off is None
+                 else jnp.asarray(box_off, dtype)),
+        mu_ground=jnp.full((n,), mu_ground, dtype))
+
+
+class TestManifold:
+    def test_separated_boxes_no_contact(self):
+        m = ph.obb_manifold(jnp.asarray([0.0, 0.0]), jnp.asarray(0.0),
+                            jnp.asarray([0.5, 0.5]),
+                            jnp.asarray([2.0, 0.0]), jnp.asarray(0.0),
+                            jnp.asarray([0.5, 0.5]))
+        assert not bool(jnp.any(m.valid))
+
+    def test_axis_aligned_overlap(self):
+        # B overlaps A's +x face by 0.1
+        m = ph.obb_manifold(jnp.asarray([0.0, 0.0]), jnp.asarray(0.0),
+                            jnp.asarray([0.5, 0.5]),
+                            jnp.asarray([0.9, 0.0]), jnp.asarray(0.0),
+                            jnp.asarray([0.5, 0.5]))
+        assert bool(jnp.all(m.valid))
+        np.testing.assert_allclose(np.abs(np.asarray(m.normal)),
+                                   [1.0, 0.0], atol=1e-12)
+        assert float(m.normal[0]) > 0          # A -> B
+        np.testing.assert_allclose(np.asarray(m.depth), [0.1, 0.1],
+                                   atol=1e-12)
+        # contact points on the overlap band, clipped to the face extent
+        pts = np.asarray(m.points)
+        assert np.all(pts[:, 0] > 0.35) and np.all(pts[:, 0] < 0.55)
+        assert set(np.round(pts[:, 1], 6)) == {-0.5, 0.5}
+
+    def test_rotated_corner_contact(self):
+        # 45-degree box corner dipping into A's top face
+        cB = jnp.asarray([0.0, 0.5 + 0.5 * np.sqrt(2.0) - 0.05])
+        m = ph.obb_manifold(jnp.asarray([0.0, 0.0]), jnp.asarray(0.0),
+                            jnp.asarray([1.0, 0.5]),
+                            cB, jnp.asarray(np.pi / 4),
+                            jnp.asarray([0.5, 0.5]))
+        v = np.asarray(m.valid)
+        assert v.any()
+        d = np.asarray(m.depth)[v]
+        assert np.all(d > 0) and np.all(d < 0.1)
+        n = np.asarray(m.normal)
+        np.testing.assert_allclose(n, [0.0, 1.0], atol=1e-9)
+
+
+class TestContactSolve:
+    def test_momentum_conservation_free_collision(self):
+        # frictionless floor, two boxes colliding head-on
+        st = make_state([[0.0, 0.0, 0.0], [1.003, 0.0, 0.0]],
+                        [[1.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+                        [2.0, 3.0], [[0.5, 0.5], [0.5, 0.5]],
+                        mu_ground=0.0)
+        cfg = ph.PhysicsConfig(mu_contact=0.0, baumgarte=0.0)
+        p0 = np.sum(np.asarray(st.mass)[:, None]
+                    * np.asarray(st.vel[:, :2]), axis=0)
+        for _ in range(5):
+            st, _ = ph.physics_substep(
+                st, jnp.zeros_like(st.vel), [(0, 1)], cfg)
+        p1 = np.sum(np.asarray(st.mass)[:, None]
+                    * np.asarray(st.vel[:, :2]), axis=0)
+        np.testing.assert_allclose(p1, p0, atol=1e-10)
+        # inelastic (e=0): relative normal velocity ~ 0 after impact
+        assert abs(float(st.vel[1, 0] - st.vel[0, 0])) < 1e-6
+
+    def test_restitution_bounce(self):
+        st = make_state([[0.0, 0.0, 0.0], [1.002, 0.0, 0.0]],
+                        [[1.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+                        [1.0, 1e9], [[0.5, 0.5], [0.5, 0.5]],
+                        mu_ground=0.0)
+        cfg = ph.PhysicsConfig(mu_contact=0.0, baumgarte=0.0,
+                               restitution=0.8)
+        st = _rollout(st, cfg, ((0, 1),), 3)
+        # bounces back off the (effectively static) wall at ~0.8x
+        assert float(st.vel[0, 0]) < -0.7
+
+    def test_friction_cone(self):
+        # oblique impact: |Pt| <= mu * Pn at every contact point
+        st = make_state([[0.0, 0.0, 0.0], [0.95, 0.3, 0.0]],
+                        [[1.0, 0.5, 0.0], [0.0, 0.0, 0.0]],
+                        [1.0, 1.0], [[0.5, 0.5], [0.5, 0.5]],
+                        mu_ground=0.0)
+        cfg = ph.PhysicsConfig(mu_contact=0.4, baumgarte=0.0)
+        _, dbg = ph.physics_substep(
+            st, jnp.zeros_like(st.vel), [(0, 1)], cfg)
+        pn = np.asarray(dbg.pn)
+        pt = np.abs(np.asarray(dbg.pt))
+        assert np.all(pt <= 0.4 * pn + 1e-9)
+        assert pn.max() > 0
+
+    def test_penetration_resolved(self):
+        st = make_state([[0.0, 0.0, 0.0], [0.92, 0.0, 0.0]],
+                        [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+                        [1.0, 1.0], [[0.5, 0.5], [0.5, 0.5]],
+                        mu_ground=0.0)
+        cfg = ph.PhysicsConfig()
+        st = _rollout(st, cfg, ((0, 1),), 300)
+        gap = float(st.pose[1, 0] - st.pose[0, 0])
+        assert gap >= 1.0 - cfg.slop - 1e-3
+
+    def test_no_spurious_energy_at_rest(self):
+        st = make_state([[0.0, 0.0, 0.0], [1.2, 0.0, 0.0]],
+                        [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+                        [1.0, 1.0], [[0.5, 0.5], [0.5, 0.5]])
+        cfg = ph.PhysicsConfig()
+        st2, _ = ph.physics_substep(
+            st, jnp.zeros_like(st.vel), [(0, 1)], cfg)
+        np.testing.assert_allclose(np.asarray(st2.vel), 0.0, atol=1e-12)
+
+
+class TestGroundFriction:
+    def test_sliding_deceleration_rate(self):
+        # a sliding box decelerates at mu*g and stops (no overshoot)
+        st = make_state([[0.0, 0.0, 0.0]], [[2.0, 0.0, 0.0]], [5.0],
+                        [[0.4, 0.4]], mu_ground=0.5)
+        cfg = ph.PhysicsConfig()
+        stop_t = 2.0 / (0.5 * ph.GRAV)       # v0 / (mu g) = 0.4077 s
+
+        @jax.jit
+        def roll(st):
+            def step(st, _):
+                st, _ = ph.physics_substep(
+                    st, jnp.zeros_like(st.vel), [], cfg)
+                return st, st.vel[0, 0]
+            return jax.lax.scan(step, st, None, length=120)
+
+        st, vels = roll(st)
+        vels = np.asarray(vels)
+        stop_idx = int(np.argmax(vels < 1e-6))
+        assert abs(stop_idx * cfg.dt - stop_t) < 0.02
+        assert np.all(vels >= -1e-12)         # never reverses
+        # deceleration slope == mu*g while sliding
+        slope = (vels[0] - vels[40]) / (40 * cfg.dt)
+        assert abs(slope - 0.5 * ph.GRAV) < 0.05
+
+    def test_spin_stops(self):
+        st = make_state([[0.0, 0.0, 0.0]], [[0.0, 0.0, 3.0]], [5.0],
+                        [[0.4, 0.4]], mu_ground=0.5)
+        st = _rollout(st, ph.PhysicsConfig(), (), 1000)
+        assert abs(float(st.vel[0, 2])) < 1e-6
+
+
+class TestServoAndPush:
+    def _push_setup(self, obj_mass, mu_ground=0.3, dtype=jnp.float32):
+        # robot behind the object, commanded forward
+        return make_state(
+            [[0.0, 0.0, 0.0], [0.75, 0.0, 0.0]],
+            [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+            [60.0, obj_mass], [[0.45, 0.3], [0.3, 0.3]],
+            mu_ground=mu_ground, dtype=dtype)
+
+    def _run_push(self, st, v_cmd, steps=400):
+        cfg = ph.PhysicsConfig()
+        servo_mask = jnp.asarray([True, False])
+
+        def step(st, _):
+            w = ph.servo_forces(st, 0, jnp.asarray(v_cmd, st.vel.dtype),
+                                cfg)
+            st, _ = ph.physics_substep(st, w, [(0, 1)], cfg,
+                                       servo_mask=servo_mask)
+            return st, st.vel[1]
+
+        st, obj_vels = jax.lax.scan(step, st, None, length=steps)
+        return st, np.asarray(obj_vels)
+
+    def test_push_realizes_commanded_velocity(self):
+        st = self._push_setup(10.0)
+        st, vels = self._run_push(st, [0.4, 0.0, 0.0])
+        # steady state: object carried at ~ the commanded speed
+        assert abs(vels[-50:, 0].mean() - 0.4) < 0.05
+        assert float(st.pose[1, 0]) > 0.8     # actually moved
+
+    def test_object_moves_only_through_contact(self):
+        # same command, but robot starts far away: object must not move
+        st = make_state(
+            [[0.0, 0.0, 0.0], [5.0, 0.0, 0.0]],
+            [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+            [60.0, 10.0], [[0.45, 0.3], [0.3, 0.3]], mu_ground=0.3,
+            dtype=jnp.float32)
+        cfg = ph.PhysicsConfig()
+        st = _rollout(st, cfg, ((0, 1),), 50,
+                      servo_mask=jnp.asarray([True, False]),
+                      v_cmd=jnp.asarray([0.4, 0.0, 0.0], jnp.float32))
+        np.testing.assert_allclose(np.asarray(st.pose[1]),
+                                   [5.0, 0.0, 0.0], atol=1e-6)
+
+    def test_heavier_object_lags_commanded_speed(self):
+        _, v_light = self._run_push(self._push_setup(8.0),
+                                    [0.5, 0.0, 0.0], steps=120)
+        _, v_heavy = self._run_push(self._push_setup(80.0, mu_ground=0.8),
+                                    [0.5, 0.0, 0.0], steps=120)
+        assert v_light[:80, 0].mean() > v_heavy[:80, 0].mean() + 0.02
+
+    def test_traction_limit_bounds_push_force(self):
+        # an immovable wall: servo force saturates at mu_feet*m*g, the
+        # robot cannot tunnel through
+        st = make_state(
+            [[0.0, 0.0, 0.0], [0.8, 0.0, 0.0]],
+            [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+            [60.0, 1e7], [[0.45, 0.3], [0.3, 0.3]], mu_ground=5.0,
+            dtype=jnp.float32)
+        cfg = ph.PhysicsConfig()
+        # servo force saturates at the traction bound
+        st_fast = st._replace(vel=st.vel.at[0, 0].set(-2.0))
+        w = ph.servo_forces(st_fast, 0, jnp.asarray([1.0, 0.0, 0.0],
+                                                    jnp.float32), cfg)
+        fmag = float(jnp.linalg.norm(w[0, :2]))
+        np.testing.assert_allclose(fmag, cfg.mu_feet * 60.0 * ph.GRAV,
+                                   rtol=1e-5)
+        st = _rollout(st, cfg, ((0, 1),), 200,
+                      servo_mask=jnp.asarray([True, False]),
+                      v_cmd=jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+        assert float(st.pose[1, 0] - st.pose[0, 0]) > 0.7
+
+
+class TestGrasp:
+    def test_weld_drags_object(self):
+        # grasped object behind the robot; robot drives away -- the weld
+        # drags the object along (pulling, which contact alone cannot do)
+        st = make_state(
+            [[0.0, 0.0, 0.0], [0.9, 0.0, 0.0]],
+            [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+            [60.0, 12.0], [[0.45, 0.3], [0.3, 0.3]], mu_ground=0.4,
+            dtype=jnp.float32)
+        cfg = ph.PhysicsConfig()
+        grasp = (jnp.asarray(True), 0,
+                 jnp.asarray([0.6, 0.0], jnp.float32), 1,
+                 jnp.asarray([-0.3, 0.0], jnp.float32),
+                 jnp.asarray(True))
+        st = _rollout(st, cfg, ((0, 1),), 400,
+                      servo_mask=jnp.asarray([True, False]),
+                      v_cmd=jnp.asarray([-0.3, 0.0, 0.0], jnp.float32),
+                      grasp=grasp)
+        assert float(st.pose[1, 0]) < 0.5       # dragged backward
+        # anchors stay coincident
+        gap = float(st.pose[1, 0] - 0.3 - (st.pose[0, 0] + 0.6))
+        assert abs(gap) < 0.02
+
+    def test_inactive_grasp_is_noop(self):
+        st = make_state(
+            [[0.0, 0.0, 0.0], [3.0, 0.0, 0.0]],
+            [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+            [60.0, 12.0], [[0.45, 0.3], [0.3, 0.3]], dtype=jnp.float32)
+        cfg = ph.PhysicsConfig()
+        grasp = (jnp.asarray(False), 0,
+                 jnp.asarray([0.6, 0.0], jnp.float32), 1,
+                 jnp.asarray([-0.3, 0.0], jnp.float32),
+                 jnp.asarray(True))
+        st2, _ = ph.physics_substep(
+            st, jnp.zeros_like(st.vel), [(0, 1)], cfg, grasp=grasp)
+        np.testing.assert_allclose(np.asarray(st2.pose),
+                                   np.asarray(st.pose), atol=1e-7)
+
+
+class TestBatchingAndJit:
+    def test_vmap_jit_batch(self):
+        B = 64
+        rng = np.random.default_rng(0)
+        poses = np.zeros((B, 2, 3), np.float32)
+        poses[:, 1, 0] = rng.uniform(0.72, 0.92, B)
+        st = ph.BodyState(
+            pose=jnp.asarray(poses),
+            vel=jnp.zeros((B, 2, 3), jnp.float32),
+            mass=jnp.asarray(np.broadcast_to([60.0, 10.0], (B, 2)),
+                             jnp.float32),
+            inertia=ph.box_inertia(
+                jnp.asarray(np.broadcast_to([60.0, 10.0], (B, 2)),
+                            jnp.float32),
+                jnp.asarray(np.broadcast_to([[0.45, 0.3], [0.3, 0.3]],
+                                            (B, 2, 2)), jnp.float32)),
+            half_ext=jnp.asarray(np.broadcast_to(
+                [[0.45, 0.3], [0.3, 0.3]], (B, 2, 2)), jnp.float32),
+            box_off=jnp.zeros((B, 2, 2), jnp.float32),
+            mu_ground=jnp.full((B, 2), 0.4, jnp.float32))
+        cfg = ph.PhysicsConfig()
+
+        @jax.jit
+        def rollout(st):
+            def step(st, _):
+                w = jax.vmap(lambda s: ph.servo_forces(
+                    s, 0, jnp.asarray([0.4, 0.0, 0.0], jnp.float32),
+                    cfg))(st)
+                st, _ = jax.vmap(lambda s, w: ph.physics_substep(
+                    s, w, [(0, 1)], cfg,
+                    servo_mask=jnp.asarray([True, False])))(st, w)
+                return st, None
+            st, _ = jax.lax.scan(step, st, None, length=250)
+            return st
+
+        out = rollout(st)
+        assert np.all(np.isfinite(np.asarray(out.pose)))
+        # every scenario's object got pushed forward
+        assert np.all(np.asarray(out.pose[:, 1, 0]) > poses[:, 1, 0])
+
+    def test_gradients_flow(self):
+        cfg = ph.PhysicsConfig()
+
+        def loss(v0):
+            st = make_state([[0.0, 0.0, 0.0], [1.003, 0.0, 0.0]],
+                            [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+                            [2.0, 3.0], [[0.5, 0.5], [0.5, 0.5]],
+                            mu_ground=0.0)
+            st = st._replace(vel=st.vel.at[0, 0].set(v0))
+            for _ in range(3):
+                st, _ = ph.physics_substep(
+                    st, jnp.zeros_like(st.vel), [(0, 1)], cfg)
+            return st.pose[1, 0]
+
+        g = jax.grad(loss)(jnp.asarray(1.0, jnp.float64))
+        assert np.isfinite(float(g)) and float(g) > 0
