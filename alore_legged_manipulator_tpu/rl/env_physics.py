@@ -52,6 +52,12 @@ class PhysicsEnvConfig(NamedTuple):
     grip_force: float = 600.0                 # weld force budget [N]
     physics: ph.PhysicsConfig = ph.PhysicsConfig(
         dt=1.0 / 200.0, grasp_impulse_cap=600.0)
+    # static scene obstacles (infinite-mass bodies appended at reset);
+    # robot-obstacle contact above `collision_impulse_done` terminates
+    # the episode (the reference's base contact-sensor done,
+    # env_train.py:984-1002)
+    n_obstacles: int = 0
+    collision_impulse_done: float = 50.0      # [N s] per substep
 
 
 class PhysPushEnvState(NamedTuple):
@@ -111,7 +117,10 @@ def critic_observation(st: PhysPushEnvState, cfg: PhysicsEnvConfig):
 
 
 def env_reset(key, cfg: PhysicsEnvConfig = PhysicsEnvConfig(),
-              dtype=jnp.float32) -> PhysPushEnvState:
+              dtype=jnp.float32, obstacles=None) -> PhysPushEnvState:
+    """obstacles: optional (centers (M,2), yaws (M,), half_exts (M,2)) --
+    M must equal cfg.n_obstacles; appended as INFINITE-mass bodies the
+    contact solver treats as immovable walls."""
     b = cfg.base
     k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     mass = jax.random.uniform(k1, (), dtype, *b.mass_range)
@@ -143,6 +152,23 @@ def env_reset(key, cfg: PhysicsEnvConfig = PhysicsEnvConfig(),
         inertia=ph.box_inertia(masses, half_ext), half_ext=half_ext,
         box_off=jnp.stack([jnp.zeros((2,), dtype), -com]),
         mu_ground=jnp.stack([jnp.asarray(1.0, dtype), fric]))
+
+    M = cfg.n_obstacles
+    if M:
+        assert obstacles is not None, "cfg.n_obstacles set but no obstacles"
+        oc, oy, ohe = (jnp.asarray(x, dtype) for x in obstacles)
+        inf = jnp.full((M,), jnp.inf, dtype)
+        bodies = ph.BodyState(
+            pose=jnp.concatenate(
+                [bodies.pose, jnp.concatenate([oc, oy[:, None]], -1)]),
+            vel=jnp.concatenate([bodies.vel, jnp.zeros((M, 3), dtype)]),
+            mass=jnp.concatenate([bodies.mass, inf]),
+            inertia=jnp.concatenate([bodies.inertia, inf]),
+            half_ext=jnp.concatenate([bodies.half_ext, ohe]),
+            box_off=jnp.concatenate([bodies.box_off,
+                                     jnp.zeros((M, 2), dtype)]),
+            mu_ground=jnp.concatenate([bodies.mu_ground,
+                                       jnp.ones((M,), dtype)]))
 
     st = PhysPushEnvState(
         bodies=bodies, obj_anchor=anchor_o,
@@ -180,6 +206,24 @@ def as_surrogate_view(st: PhysPushEnvState):
         key=st.key)
 
 
+def _grasp_tuple(st: PhysPushEnvState, cfg: PhysicsEnvConfig, dtype):
+    return (st.grasp_active, ROBOT,
+            jnp.asarray(cfg.grasp_anchor_robot, dtype), OBJ,
+            st.obj_anchor, jnp.asarray(True))
+
+
+def _contact_layout(cfg: PhysicsEnvConfig):
+    """Static pair list + servo mask + robot-obstacle contact indices."""
+    pairs = [(ROBOT, OBJ)]
+    robot_obs_rows = []
+    for i in range(cfg.n_obstacles):
+        robot_obs_rows.append(len(pairs))
+        pairs.append((ROBOT, 2 + i))
+        pairs.append((OBJ, 2 + i))
+    mask = jnp.asarray([True, False] + [False] * cfg.n_obstacles)
+    return pairs, mask, robot_obs_rows
+
+
 def env_step(st: PhysPushEnvState, action,
              cfg: PhysicsEnvConfig = PhysicsEnvConfig()):
     """One 50 Hz step through `decimation` contact-dynamics substeps."""
@@ -188,23 +232,83 @@ def env_step(st: PhysPushEnvState, action,
     a = jnp.clip(action, -1.0, 1.0).astype(dtype)
     vel_cmd = a[:3] * jnp.asarray([b.action_scale_lin, b.action_scale_lin,
                                    b.action_scale_ang], dtype)
-    arm_delta = a[3:] * b.action_scale_arm
 
     pcfg = cfg.physics
-    grasp = (st.grasp_active, ROBOT,
-             jnp.asarray(cfg.grasp_anchor_robot, dtype), OBJ,
-             st.obj_anchor, jnp.asarray(True))
-    servo_mask = jnp.asarray([True, False])
+    grasp = _grasp_tuple(st, cfg, dtype)
+    pairs, servo_mask, obs_rows = _contact_layout(cfg)
 
-    def substep(bodies, _):
+    def substep(carry, _):
+        bodies, hit = carry
         w = ph.servo_forces(bodies, ROBOT, vel_cmd, pcfg)
-        bodies, _ = ph.physics_substep(
-            bodies, w, [(ROBOT, OBJ)], pcfg, grasp=grasp,
-            servo_mask=servo_mask)
-        return bodies, None
+        bodies, dbg = ph.physics_substep(
+            bodies, w, pairs, pcfg, grasp=grasp, servo_mask=servo_mask)
+        if obs_rows:
+            hit = jnp.maximum(hit, jnp.max(dbg.pn[jnp.asarray(obs_rows)]))
+        return (bodies, hit), None
 
-    bodies, _ = jax.lax.scan(substep, st.bodies, None,
-                             length=cfg.decimation)
+    (bodies, hit), _ = jax.lax.scan(
+        substep, (st.bodies, jnp.zeros((), dtype)), None,
+        length=cfg.decimation)
+    return _finish_step(st, bodies, a, cfg, collision_impulse=hit)
+
+
+def hierarchical_env_step(st: PhysPushEnvState, rs, action, low_params,
+                          cfg: PhysicsEnvConfig = PhysicsEnvConfig(),
+                          hcfg=None):
+    """The COMPLETE reference stack in one step: 9-d high-level action ->
+    frozen low-level WBC (200 Hz decimation loop, rl/hierarchy.py) ->
+    realized base velocity -> traction-limited servo -> contact + grasp
+    weld -> object motion (env_train.py:422-543 end to end).
+
+    Each 200 Hz substep interleaves one WBC tick (policy -> joint PD ->
+    realized base velocity) with one contact-dynamics substep whose
+    servo tracks that realized velocity -- so bad joint targets degrade
+    locomotion, which degrades pushing, which degrades reward.
+
+    Returns (env_state, robot_state, obs_hist, reward, done).
+    """
+    from .hierarchy import (HierarchyConfig, hierarchical_substep,
+                            low_level_policy_cfg)
+
+    hcfg = hcfg or HierarchyConfig()
+    b = cfg.base
+    dtype = st.bodies.vel.dtype
+    a = jnp.clip(action, -1.0, 1.0).astype(dtype)
+    vel_cmd = a[:3] * jnp.asarray([b.action_scale_lin, b.action_scale_lin,
+                                   b.action_scale_ang], dtype)
+
+    pcfg = cfg.physics
+    grasp = _grasp_tuple(st, cfg, dtype)
+    pairs, servo_mask, obs_rows = _contact_layout(cfg)
+    policy = low_level_policy_cfg()
+
+    def substep(carry, _):
+        rs, bodies, hit = carry
+        rs = hierarchical_substep(rs, vel_cmd, low_params, hcfg, policy)
+        # keep the WBC's pose estimate consistent with the physics body
+        rs = rs._replace(base_pose=bodies.pose[ROBOT])
+        w = ph.servo_forces(bodies, ROBOT, rs.base_vel, pcfg)
+        bodies, dbg = ph.physics_substep(
+            bodies, w, pairs, pcfg, grasp=grasp, servo_mask=servo_mask)
+        if obs_rows:
+            hit = jnp.maximum(hit, jnp.max(dbg.pn[jnp.asarray(obs_rows)]))
+        return (rs, bodies, hit), None
+
+    (rs, bodies, hit), _ = jax.lax.scan(
+        substep, (rs, st.bodies, jnp.zeros((), dtype)), None,
+        length=cfg.decimation)
+    st, hist, reward, done = _finish_step(st, bodies, a, cfg,
+                                          collision_impulse=hit)
+    return st, rs, hist, reward, done
+
+
+def _finish_step(st: PhysPushEnvState, bodies, a,
+                 cfg: PhysicsEnvConfig, collision_impulse=None):
+    """Shared step tail: grasp-loss check, arm integration, observation,
+    reward (env.env_step structure), termination."""
+    b = cfg.base
+    dtype = bodies.vel.dtype
+    arm_delta = a[3:] * b.action_scale_arm
 
     # grasp-loss: the (force-capped) weld slipped too far
     wa = bodies.pose[ROBOT, :2] + _rot2(bodies.pose[ROBOT, 2]) \
@@ -239,4 +343,9 @@ def env_step(st: PhysPushEnvState, action,
     tipped = jnp.linalg.norm(obj_vel) > b.tip_vel_limit
     timeout = st.t >= b.max_steps
     done = tipped | timeout | grasp_lost
+    if collision_impulse is not None and cfg.n_obstacles:
+        # base contact-sensor termination (env_train.py:984-1002): a hard
+        # robot-obstacle impulse ends the episode
+        done = done | (collision_impulse
+                       > cfg.collision_impulse_done * cfg.physics.dt)
     return st, hist, reward, done

@@ -380,13 +380,15 @@ def ground_friction(st: BodyState, cfg: PhysicsConfig,
     v = st.vel[:, :2]
     # safe norm: linalg.norm has a NaN gradient at exactly 0
     speed = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-18)
-    p_max = st.mu_ground * st.mass * GRAV * cfg.dt
-    dv_mag = jnp.minimum(speed, p_max / st.mass)
+    # mass cancels in the velocity change (mu m g dt / m); avoiding the
+    # ratio keeps infinite-mass STATIC bodies NaN-free (inf/inf)
+    dv_mag = jnp.minimum(speed, st.mu_ground * GRAV * cfg.dt)
     v_new = v - v * (dv_mag / jnp.maximum(speed, 1e-9))[:, None]
 
     w = st.vel[:, 2]
     arm = 0.5 * jnp.mean(st.half_ext, axis=-1)
-    tw_max = st.mu_ground * st.mass * GRAV * arm * cfg.dt / st.inertia
+    m_over_I = jnp.where(jnp.isfinite(st.mass), st.mass / st.inertia, 0.0)
+    tw_max = st.mu_ground * GRAV * arm * cfg.dt * m_over_I
     w_new = w - jnp.clip(w, -tw_max, tw_max)
 
     vel = jnp.concatenate([v_new, w_new[:, None]], axis=-1)
