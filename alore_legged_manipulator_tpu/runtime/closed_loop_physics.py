@@ -1,0 +1,163 @@
+"""Closed-loop tracking on the CONTACT-PHYSICS plant.
+
+`runtime/closed_loop.py` validates the planner/NMPC/EKF stack on the
+reference's kinematic ICR plant (its simulator node).  This module
+closes the same loop on the rigid-body contact engine instead: the
+"plant" is the grasped robot+object assembly of `world/physics2d.py`,
+so the pushed object's apparent ICR dynamics EMERGE from the grasp
+geometry and slip rather than being scripted -- the physical situation
+the reference's real-robot deployment faces (README.md:20-28: the
+pushed object behaves like a differential-drive robot with an offset
+ICR).
+
+Data flow per 100 Hz control tick (mirrors simulate_tracking):
+
+  1. NMPC RTI on the EKF's estimate of the OBJECT pose, with the EKF's
+     ONLINE-IDENTIFIED ICR parameters as OnlineData -- the controller's
+     internal model is fitted to the contact system as it runs (what
+     icrekf exists for in the reference stack);
+  2. the wheel command maps to a body twist through the same identified
+     ICR (body_vel_from_wheels) and becomes the robot servo command;
+  3. the contact engine advances at 200 Hz (servo -> grasp weld ->
+     contact -> floor friction);
+  4. the EKF updates from the noisy OBJECT pose.
+
+There is no ground-truth ICR anywhere in the loop: the EKF has to
+explain the realized object motion, and tracking quality is the proof
+that the identified model is good enough for control.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..control.nmpc import NmpcConfig, nmpc_init, nmpc_rti_step
+from ..control.tracked_traj import TrackedTraj, pstate, ref_points
+from ..core.dynamics import ICRParams, body_vel_from_wheels
+from ..estimator.icr_ekf import EkfConfig, ekf_init, ekf_predict, ekf_update
+from ..world import physics2d as ph
+
+ROBOT, OBJ = 0, 1
+
+
+class PhysicsLoopConfig(NamedTuple):
+    nmpc: NmpcConfig = NmpcConfig()
+    ekf: EkfConfig = EkfConfig()
+    physics: ph.PhysicsConfig = ph.PhysicsConfig(
+        dt=0.005, grasp_impulse_cap=600.0)
+    substeps: int = 2               # 200 Hz physics under 100 Hz control
+    icr_guess: tuple = (-0.3, 0.3, 0.2)
+    pose_noise: float = 0.001       # object pose measurement noise [m]
+    obj_mass: float = 15.0
+    obj_fric: float = 0.4
+    obj_half_ext: tuple = (0.3, 0.3)
+    grasp_anchor_robot: tuple = (0.65, 0.0)
+
+
+class PhysicsTrackingResult(NamedTuple):
+    obj_xytheta: jnp.ndarray   # (T, 3) true object poses
+    est: jnp.ndarray           # (T, 6) EKF states
+    u_cmd: jnp.ndarray         # (T, 2) wheel commands (vr, vl)
+    pos_err: jnp.ndarray       # (T,) object distance to reference pose
+    grasp_gap: jnp.ndarray     # (T,) weld anchor separation
+
+
+def _docked_bodies(obj_pose, cfg: PhysicsLoopConfig, dtype):
+    """Robot docked behind the object, EE anchor on the object's rear
+    face (the grasped configuration the mission FSM establishes)."""
+    he_o = jnp.asarray(cfg.obj_half_ext, dtype)
+    anchor_r = jnp.asarray(cfg.grasp_anchor_robot, dtype)
+    anchor_o = jnp.stack([-he_o[0], jnp.zeros((), dtype)])
+    yaw = obj_pose[2]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    R = jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+    robot_pos = obj_pose[:2] + R @ anchor_o - R @ anchor_r
+    poses = jnp.stack([
+        jnp.concatenate([robot_pos, yaw[None]]),
+        obj_pose])
+    masses = jnp.asarray([60.0, cfg.obj_mass], dtype)
+    half_ext = jnp.stack([jnp.asarray([0.45, 0.30], dtype), he_o])
+    bodies = ph.BodyState(
+        pose=poses, vel=jnp.zeros((2, 3), dtype), mass=masses,
+        inertia=ph.box_inertia(masses, half_ext), half_ext=half_ext,
+        box_off=jnp.zeros((2, 2), dtype),
+        mu_ground=jnp.asarray([1.0, cfg.obj_fric], dtype))
+    return bodies, anchor_r, anchor_o
+
+
+def simulate_tracking_physics(tt: TrackedTraj, n_ticks: int,
+                              cfg: PhysicsLoopConfig = PhysicsLoopConfig(),
+                              seed: int = 0) -> PhysicsTrackingResult:
+    """Track a planned object trajectory with the contact plant."""
+    dtype = tt.seq.dtype
+    dt = cfg.nmpc.dt
+    x_start = tt.seq[0]
+
+    bodies, anchor_r, anchor_o = _docked_bodies(x_start, cfg, dtype)
+    grasp = (jnp.asarray(True), ROBOT, anchor_r, OBJ, anchor_o,
+             jnp.asarray(True))
+    servo_mask = jnp.asarray([True, False])
+
+    ekf = ekf_init(x_start, jnp.asarray(cfg.icr_guess, dtype), cfg.ekf,
+                   dtype)
+    carry = nmpc_init(cfg.nmpc, x_start, dtype)
+    key = jax.random.PRNGKey(seed)
+    u_prev = jnp.zeros((2,), dtype)
+
+    def tick(state, k):
+        bodies, ekf, carry, u_prev, key = state
+        t = k.astype(dtype) * dt
+
+        # --- NMPC on the EKF estimate, with the IDENTIFIED ICR ---
+        est_pose = ekf.x[:3]
+        icr_est = ICRParams(yr=ekf.x[3], yl=ekf.x[4], xv=ekf.x[5])
+        ref_x, ref_u = ref_points(tt, t, cfg.nmpc.horizon, dt, est_pose[2])
+        carry, u_cmd, _, _ = nmpc_rti_step(carry, est_pose, ref_x, ref_u,
+                                           icr_est, cfg.nmpc)
+
+        # --- EKF predict on the applied command (vl, vr order) ---
+        u_applied = u_prev
+        ekf = ekf_predict(ekf, jnp.stack([u_applied[1], u_applied[0]]), dt,
+                          cfg.ekf)
+
+        # --- wheel command -> body twist through the SAME model the
+        #     controller assumed; the physics realizes what it can ---
+        v, w, _ = body_vel_from_wheels(u_applied[1], u_applied[0], icr_est)
+        servo_cmd = jnp.stack([v, jnp.zeros((), dtype), w])
+
+        def sub(bodies, _):
+            wf = ph.servo_forces(bodies, ROBOT, servo_cmd, cfg.physics)
+            bodies, _ = ph.physics_substep(
+                bodies, wf, [(ROBOT, OBJ)], cfg.physics, grasp=grasp,
+                servo_mask=servo_mask)
+            return bodies, None
+
+        bodies, _ = jax.lax.scan(sub, bodies, None, length=cfg.substeps)
+
+        # --- EKF pose update from the noisy OBJECT pose ---
+        key, sk = jax.random.split(key)
+        noise = cfg.pose_noise * jax.random.normal(sk, (3,), dtype)
+        obj_pose = bodies.pose[OBJ] + noise
+        ekf = ekf_update(ekf, obj_pose, cfg.ekf)
+
+        # diagnostics
+        ref_now = pstate(tt, t + dt)
+        pos_err = jnp.linalg.norm(bodies.pose[OBJ, :2] - ref_now[:2])
+        c0, s0 = jnp.cos(bodies.pose[ROBOT, 2]), jnp.sin(bodies.pose[ROBOT, 2])
+        Rr = jnp.stack([jnp.stack([c0, -s0]), jnp.stack([s0, c0])])
+        c1, s1 = jnp.cos(bodies.pose[OBJ, 2]), jnp.sin(bodies.pose[OBJ, 2])
+        Ro = jnp.stack([jnp.stack([c1, -s1]), jnp.stack([s1, c1])])
+        gap = jnp.linalg.norm(
+            (bodies.pose[OBJ, :2] + Ro @ anchor_o)
+            - (bodies.pose[ROBOT, :2] + Rr @ anchor_r))
+
+        out = (bodies.pose[OBJ], ekf.x, u_cmd, pos_err, gap)
+        return (bodies, ekf, carry, u_cmd, key), out
+
+    init = (bodies, ekf, carry, u_prev, key)
+    _, (xs, es, us, perr, gaps) = jax.lax.scan(tick, init,
+                                               jnp.arange(n_ticks))
+    return PhysicsTrackingResult(obj_xytheta=xs, est=es, u_cmd=us,
+                                 pos_err=perr, grasp_gap=gaps)
