@@ -1,0 +1,60 @@
+"""Throughput of the contact-physics pushing env (the PhysX analogue).
+
+Measures env-steps/s/chip for `rl/env_physics.py` -- each step is 4
+substeps of the sequential-impulse contact solve (manifold + 8 PGS
+iterations + grasp weld + floor friction) plus observation/reward --
+batched over thousands of scenes and chained inside one jit (the same
+dispatch-amortized methodology as bench.py; see ROOFLINE.md).
+
+Reference context: IsaacLab trains this env on PhysX at O(10k) steps/s
+on a workstation GPU for ~4k envs (SURVEY §6 training row).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from alore_legged_manipulator_tpu.rl import env_physics as penv
+
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    K = int(os.environ.get("BENCH_CHAIN", "25"))
+    cfg = penv.PhysicsEnvConfig()
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    sts = jax.vmap(lambda k: penv.env_reset(k, cfg))(keys)
+    acts = jnp.zeros((B, 9), jnp.float32).at[:, 0].set(0.4)
+
+    @jax.jit
+    def chained(sts):
+        def body(sts, _):
+            sts, _, r, _ = jax.vmap(
+                lambda s, a: penv.env_step(s, a, cfg))(sts, acts)
+            return sts, jnp.sum(r)
+        sts, rs = jax.lax.scan(body, sts, None, length=K)
+        return sts, jnp.sum(rs)
+
+    sts, checksum = chained(sts)          # compile + warm
+    jax.block_until_ready(checksum)
+
+    reps, best = 5, float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sts, checksum = chained(sts)
+        jax.block_until_ready(checksum)
+        best = min(best, time.perf_counter() - t0)
+
+    steps_per_s = B * K / best
+    print(f"physics env: B={B} K={K} batch-time {best*1e3:.1f} ms "
+          f"-> {steps_per_s/1e3:.1f}k env-steps/s/chip "
+          f"({steps_per_s*cfg.base.dt:.0f}x realtime aggregate)")
+
+
+if __name__ == "__main__":
+    main()
