@@ -55,6 +55,12 @@ class ArrangementMission:
     fsm_cfg: FsmConfig = field(default_factory=FsmConfig)
     loop_cfg: LoopConfig = field(default_factory=LoopConfig)
     robot_dt: float = 0.05
+    # push-phase plant selection: False = the reference's kinematic ICR
+    # simulator twin (closed_loop.py); True = the rigid-body contact
+    # engine (closed_loop_physics.py) with the EKF identifying the
+    # effective ICR online -- the real-robot situation
+    use_physics_plant: bool = False
+    phys_cfg: object = None      # PhysicsLoopConfig override
 
     def _path_len(self, pm, a, b):
         blocked = np.asarray(pm.esdf.dist) < 0.3
@@ -151,18 +157,39 @@ class ArrangementMission:
                 # ICR plant; EKF estimates pose + ICR online)
                 dur = float(pm.tracked.duration)
                 ticks = int(dur / 0.01) + 60
-                res = jax.jit(lambda tt: simulate_tracking(
-                    tt, self.true_icr, ticks, self.loop_cfg, seed=guard)
-                )(pm.tracked)
+                if self.use_physics_plant:
+                    from .closed_loop_physics import (
+                        PhysicsLoopConfig, simulate_tracking_physics)
+                    pcfg = self.phys_cfg or PhysicsLoopConfig()
+                    # bucket the scan length so repeated pushes reuse the
+                    # compiled program (tick count is a static shape)
+                    ticks = ((ticks + 199) // 200) * 200
+                    res = jax.jit(lambda tt: simulate_tracking_physics(
+                        tt, ticks, pcfg, seed=guard))(pm.tracked)
+                    track = np.asarray(res.obj_xytheta)
+                    # error stats only inside the trajectory's duration:
+                    # the padded settle ticks compare against a reference
+                    # extrapolated past the end
+                    res = res._replace(
+                        pos_err=res.pos_err[:int(dur / 0.01)])
+                else:
+                    res = jax.jit(lambda tt: simulate_tracking(
+                        tt, self.true_icr, ticks, self.loop_cfg,
+                        seed=guard))(pm.tracked)
+                    track = np.asarray(res.xytheta)
                 perr = np.asarray(res.pos_err)
                 push_errs.append(float(np.percentile(perr, 95)))
                 if record_tracks:
-                    object_tracks.append(np.asarray(res.xytheta))
-                final = np.asarray(res.xytheta[-1])
+                    object_tracks.append(track)
+                final = track[-1]
                 obj_poses[cur_i] = final.copy()
-                robot[:2] = final[:2] - 0.6 * np.array(
-                    [np.cos(final[2]), np.sin(final[2])])
-                robot[2] = final[2]
+                if self.use_physics_plant:
+                    # the contact rollout simulated the real robot too
+                    robot[:] = np.asarray(res.robot_xytheta[-1])
+                else:
+                    robot[:2] = final[:2] - 0.6 * np.array(
+                        [np.cos(final[2]), np.sin(final[2])])
+                    robot[2] = final[2]
                 t_sim += ticks * 0.01
                 fsm.object_path_ready()
                 fsm.state = FsmState.RELEASING

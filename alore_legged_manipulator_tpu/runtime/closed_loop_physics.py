@@ -58,6 +58,7 @@ class PhysicsLoopConfig(NamedTuple):
 
 class PhysicsTrackingResult(NamedTuple):
     obj_xytheta: jnp.ndarray   # (T, 3) true object poses
+    robot_xytheta: jnp.ndarray  # (T, 3) true robot poses
     est: jnp.ndarray           # (T, 6) EKF states
     u_cmd: jnp.ndarray         # (T, 2) wheel commands (vr, vl)
     pos_err: jnp.ndarray       # (T,) object distance to reference pose
@@ -122,10 +123,15 @@ def simulate_tracking_physics(tt: TrackedTraj, n_ticks: int,
         ekf = ekf_predict(ekf, jnp.stack([u_applied[1], u_applied[0]]), dt,
                           cfg.ekf)
 
-        # --- wheel command -> body twist through the SAME model the
-        #     controller assumed; the physics realizes what it can ---
-        v, w, _ = body_vel_from_wheels(u_applied[1], u_applied[0], icr_est)
-        servo_cmd = jnp.stack([v, jnp.zeros((), dtype), w])
+        # --- wheel command -> the OBJECT's desired twist through the
+        #     controller's model, then transformed to the ROBOT's frame:
+        #     for the rigid grasped pair, v_robot = v_obj + w x r where
+        #     r is the object->robot offset (-L along x), so the robot
+        #     must sidestep -L*w during rotations (the quadruped WBC is
+        #     omnidirectional, so a lateral command is realizable) ---
+        v, w, vy = body_vel_from_wheels(u_applied[1], u_applied[0], icr_est)
+        L = cfg.grasp_anchor_robot[0] + cfg.obj_half_ext[0]
+        servo_cmd = jnp.stack([v, vy - L * w, w])
 
         def sub(bodies, _):
             wf = ph.servo_forces(bodies, ROBOT, servo_cmd, cfg.physics)
@@ -153,11 +159,13 @@ def simulate_tracking_physics(tt: TrackedTraj, n_ticks: int,
             (bodies.pose[OBJ, :2] + Ro @ anchor_o)
             - (bodies.pose[ROBOT, :2] + Rr @ anchor_r))
 
-        out = (bodies.pose[OBJ], ekf.x, u_cmd, pos_err, gap)
+        out = (bodies.pose[OBJ], bodies.pose[ROBOT], ekf.x, u_cmd,
+               pos_err, gap)
         return (bodies, ekf, carry, u_cmd, key), out
 
     init = (bodies, ekf, carry, u_prev, key)
-    _, (xs, es, us, perr, gaps) = jax.lax.scan(tick, init,
-                                               jnp.arange(n_ticks))
-    return PhysicsTrackingResult(obj_xytheta=xs, est=es, u_cmd=us,
-                                 pos_err=perr, grasp_gap=gaps)
+    _, (xs, rxs, es, us, perr, gaps) = jax.lax.scan(tick, init,
+                                                    jnp.arange(n_ticks))
+    return PhysicsTrackingResult(obj_xytheta=xs, robot_xytheta=rxs,
+                                 est=es, u_cmd=us, pos_err=perr,
+                                 grasp_gap=gaps)

@@ -19,3 +19,26 @@ def test_two_object_mission_full_stack():
     assert max(rep.final_object_err) < 0.1
     assert rep.push_tracking_err_p95 < 0.2
     assert len(rep.order) == 2
+
+
+@pytest.mark.slow
+def test_two_object_mission_on_contact_plant():
+    """Same mission, but the push phase runs on the rigid-body CONTACT
+    plant (runtime/closed_loop_physics.py): the object is dragged by the
+    grasp weld + contact, the EKF identifies the effective ICR online,
+    and delivery accuracy must hold without any scripted ICR."""
+    from alore_legged_manipulator_tpu.runtime.arrangement import (
+        ArrangementMission)
+
+    occ = np.zeros((100, 100), bool)
+    occ[48:52, 20:45] = True
+    mission = ArrangementMission(
+        occ=occ, lower=(0.0, 0.0), res=0.1,
+        items=[(2.5, 2.5, 0.0), (2.5, 7.5, 0.0)],
+        targets=[(8.0, 7.5, 0.0), (8.0, 6.0, 0.0)],
+        use_physics_plant=True)
+    rep = mission.run(robot_start=(5.0, 1.0, 1.57))
+    assert all(rep.delivered), rep
+    assert max(rep.final_object_err) < 0.15
+    assert rep.push_tracking_err_p95 < 0.25
+    assert len(rep.order) == 2
