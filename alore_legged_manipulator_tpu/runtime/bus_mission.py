@@ -218,14 +218,24 @@ class BusMissionReport:
 
 def run_bus_mission(items, targets, order=None, robot_start=(0.0, 0.0, 0.0),
                     max_ticks: int = 20000, seed: int = 0,
-                    dt: float = 0.05) -> BusMissionReport:
-    """Compose the three nodes over one bus and run to completion."""
+                    dt: float = 0.05,
+                    perception: str = "mocap") -> BusMissionReport:
+    """Compose the three nodes over one bus and run to completion.
+
+    perception: "mocap" (VRPN twin) or "camera" (rendered depth+semantic
+    frames -> YOLO-style range/bearing + near-field tag handoff,
+    runtime/camera_perception.py).
+    """
     bus = MessageBus()
     world = WorldState(robot=np.asarray(robot_start, float).copy(),
                        objects=[np.asarray(i, float).copy() for i in items])
     if order is None:
         order = list(range(len(items)))
-    percept = PerceptionNode(bus, seed=seed)
+    if perception == "camera":
+        from .camera_perception import CameraPerceptionNode
+        percept = CameraPerceptionNode(bus, n_objects=len(items), seed=seed)
+    else:
+        percept = PerceptionNode(bus, seed=seed)
     fsm_node = MissionFsmNode(bus, items, targets, order, dt=dt)
     ctrl = ControllerNode(bus, world, dt=dt)
 
