@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--objects", type=int, default=3)
     ap.add_argument("--plot", type=str, default=None,
                     help="save a mission-overview figure PNG to this path")
+    ap.add_argument("--physics", action="store_true",
+                    help="run the push phase on the rigid-body contact "
+                         "plant (grasp weld + contact, EKF identifying "
+                         "the effective ICR online) instead of the "
+                         "kinematic ICR simulator twin")
     args = ap.parse_args()
 
     from alore_legged_manipulator_tpu.runtime.arrangement import (
@@ -34,8 +39,11 @@ def main():
     targets = [(8.0, 7.5, 0.0), (8.0, 6.0, 0.0), (6.5, 8.0, 0.0)][:args.objects]
 
     mission = ArrangementMission(occ=occ, lower=(0.0, 0.0), res=0.1,
-                                 items=items, targets=targets)
-    print(f"mission: {len(items)} objects; running full stack...")
+                                 items=items, targets=targets,
+                                 use_physics_plant=args.physics)
+    plant = "contact-physics" if args.physics else "kinematic ICR"
+    print(f"mission: {len(items)} objects; running full stack "
+          f"({plant} plant)...")
     t0 = time.time()
     rep = mission.run(robot_start=(5.0, 1.0, 1.57), verbose=True,
                       record_tracks=bool(args.plot))
