@@ -35,6 +35,7 @@ class DeployState(enum.Enum):
     MOVE_TO_DEFAULT = 1
     POLICY = 2
     EMERGENCY = 3
+    DEFAULT_HOLD = 4   # at default pose, waiting for the operator's A
 
 
 @dataclass
@@ -94,10 +95,20 @@ class DeployController:
     low_level_fn: Callable    # (prop, prop_hist) -> 18 joint deltas
     high_level_fn: Optional[Callable] = None  # obs_hist -> 9-d action
     cfg: DeployConfig = field(default_factory=DeployConfig)
+    # optional operator channel (runtime/remote.py): when present, state
+    # transitions follow the reference's button sequencing -- start to
+    # leave zero-torque, A to arm the policy, select to stop
+    # (deploy_real_b2z1_obj.py:606-620); the bus topic "wireless_remote"
+    # feeds it raw frames
+    remote: Optional[object] = None
 
     state: DeployState = DeployState.ZERO_TORQUE
     t_in_state: float = 0.0
     start_pose: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.remote is not None:
+            self.bus.subscribe("wireless_remote", self.remote.feed)
 
     def request_policy(self):
         if self.state == DeployState.ZERO_TORQUE:
@@ -110,9 +121,24 @@ class DeployController:
     def emergency_stop(self):
         self.state = DeployState.EMERGENCY
 
+    def _apply_remote_gating(self):
+        from .remote import GatePhase
+        g = self.remote
+        if g.phase == GatePhase.STOPPED:
+            self.state = DeployState.EMERGENCY
+        elif self.state == DeployState.ZERO_TORQUE \
+                and g.phase >= GatePhase.RAMPING:
+            self.request_policy()
+        elif self.state == DeployState.DEFAULT_HOLD \
+                and g.phase == GatePhase.ARMED:
+            self.state = DeployState.POLICY
+            self.t_in_state = 0.0
+
     def tick(self) -> JointCommand:
         c = self.cfg
         n = c.n_joints
+        if self.remote is not None:
+            self._apply_remote_gating()
         self.t_in_state += c.control_dt
         low = self.bus.latest("low_state") or {
             "q": np.zeros(n), "dq": np.zeros(n),
@@ -133,8 +159,19 @@ class DeployController:
             gains_d[12:] = c.arm_kd
             cmd = JointCommand(q, gains_p, gains_d)
             if a >= 1.0:
-                self.state = DeployState.POLICY
+                if self.remote is not None:
+                    self.remote.ramp_done()
+                    self.state = DeployState.DEFAULT_HOLD
+                else:
+                    self.state = DeployState.POLICY
                 self.t_in_state = 0.0
+        elif self.state == DeployState.DEFAULT_HOLD:
+            gains_p = np.full(n, c.stand_kp)
+            gains_p[12:] = c.arm_kp
+            gains_d = np.full(n, c.stand_kd)
+            gains_d[12:] = c.arm_kd
+            cmd = JointCommand(np.asarray(c.default_pose, float), gains_p,
+                               gains_d)
         else:  # POLICY
             # high level (if present) publishes the velocity/arm command
             if self.high_level_fn is not None:

@@ -1,0 +1,86 @@
+"""Wireless-remote channel tests (runtime/remote.py + deploy gating).
+
+Pins the frame wire format (decode == encode roundtrip), the operator
+button sequencing (start -> ramp -> A -> policy; select stops from any
+phase), and the teleop joystick-to-velocity mapping.
+"""
+import numpy as np
+
+from alore_legged_manipulator_tpu.runtime.deploy import (
+    DeployConfig, DeployController, DeployState, MessageBus)
+from alore_legged_manipulator_tpu.runtime.remote import (
+    FRAME_SIZE, GatePhase, KeyMap, RemoteGate, RemoteState, pack_remote)
+
+
+def test_frame_roundtrip():
+    frame = pack_remote(lx=0.25, rx=-0.5, ry=0.75, ly=-1.0,
+                        buttons=[KeyMap.A, KeyMap.L1, KeyMap.up])
+    assert len(frame) == FRAME_SIZE
+    st = RemoteState()
+    st.set(frame)
+    np.testing.assert_allclose([st.lx, st.rx, st.ry, st.ly],
+                               [0.25, -0.5, 0.75, -1.0], rtol=1e-6)
+    assert st.button[KeyMap.A] == 1
+    assert st.button[KeyMap.L1] == 1
+    assert st.button[KeyMap.up] == 1
+    assert st.button[KeyMap.start] == 0
+    assert sum(st.button) == 3
+
+
+def test_gate_sequencing():
+    g = RemoteGate()
+    assert g.phase == GatePhase.WAIT_START
+    g.feed(pack_remote(buttons=[KeyMap.A]))       # A before start: ignored
+    assert g.phase == GatePhase.WAIT_START
+    g.feed(pack_remote(buttons=[KeyMap.start]))
+    assert g.phase == GatePhase.RAMPING
+    g.feed(pack_remote(buttons=[KeyMap.A]))       # A during ramp: ignored
+    assert g.phase == GatePhase.RAMPING
+    g.ramp_done()
+    assert g.phase == GatePhase.WAIT_A
+    g.feed(pack_remote(buttons=[KeyMap.A]))
+    assert g.phase == GatePhase.ARMED
+    g.feed(pack_remote(buttons=[KeyMap.select]))  # stop from anywhere
+    assert g.phase == GatePhase.STOPPED
+
+
+def test_teleop_mapping():
+    g = RemoteGate()
+    g.feed(pack_remote(lx=0.4, rx=0.6, ly=0.8))
+    np.testing.assert_allclose(g.teleop_cmd(), [0.4, -0.2, -0.3],
+                               rtol=1e-6)
+
+
+def _controller(remote):
+    bus = MessageBus()
+    n = 18
+    bus.publish("low_state", {"q": np.zeros(n), "dq": np.zeros(n),
+                              "prop": np.zeros(33),
+                              "prop_hist": np.zeros((10, 33))})
+    ctrl = DeployController(
+        bus=bus, low_level_fn=lambda p, h: np.zeros(n),
+        cfg=DeployConfig(move_to_default_s=0.04), remote=remote)
+    return bus, ctrl
+
+
+def test_deploy_follows_remote_sequencing():
+    g = RemoteGate()
+    bus, ctrl = _controller(g)
+
+    ctrl.tick()
+    assert ctrl.state == DeployState.ZERO_TORQUE      # no start yet
+    bus.publish("wireless_remote", pack_remote(buttons=[KeyMap.start]))
+    ctrl.tick()
+    assert ctrl.state == DeployState.MOVE_TO_DEFAULT
+    ctrl.tick()                                       # ramp completes
+    assert ctrl.state == DeployState.DEFAULT_HOLD     # holds for A
+    ctrl.tick()
+    assert ctrl.state == DeployState.DEFAULT_HOLD
+    bus.publish("wireless_remote", pack_remote(buttons=[KeyMap.A]))
+    ctrl.tick()
+    assert ctrl.state == DeployState.POLICY
+    bus.publish("wireless_remote", pack_remote(buttons=[KeyMap.select]))
+    cmd = ctrl.tick()
+    assert ctrl.state == DeployState.EMERGENCY
+    # damped stop: zero kp, nonzero kd
+    assert np.all(cmd.kp == 0) and np.all(cmd.kd > 0)
