@@ -64,6 +64,11 @@ class MissionFleetConfig(NamedTuple):
     # 7.0 s vs 8.5 s steady-state per 16-mission CPU fleet, 16/16 vs
     # 14/16 delivered).  "straight" keeps the plain straight-line init.
     frontend_mode: str = "wavefront"
+    # push-leg plant: "kinematic" (reference simulator twin) or
+    # "physics" (the rigid-body contact engine with online-identified
+    # ICR, runtime/closed_loop_physics.py) -- the whole mission program
+    # stays one jittable function either way
+    plant: str = "kinematic"
     path_max_len: int = 160
     wf_safe_dis: float = 0.2          # blocked threshold for the search
     distance_weight: float = 1.4      # jps3ms.yaml weighted-arc weights
@@ -261,9 +266,17 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
         tt = build_tracked_traj(msg, n_grid=256)
 
         # --- OBJECT_TRACKING: closed-loop NMPC push from the item pose ---
-        tr = simulate_tracking(tt, true_icr, cfg.push_ticks, cfg.loop,
-                               seed=seed + k, x0=tt.seq[0])
-        obj_final = tr.xytheta[-1]
+        if cfg.plant == "physics":
+            from .closed_loop_physics import (PhysicsLoopConfig,
+                                              simulate_tracking_physics)
+            tr = simulate_tracking_physics(tt, cfg.push_ticks,
+                                           PhysicsLoopConfig(),
+                                           seed=seed + k)
+            obj_final = tr.obj_xytheta[-1]
+        else:
+            tr = simulate_tracking(tt, true_icr, cfg.push_ticks, cfg.loop,
+                                   seed=seed + k, x0=tt.seq[0])
+            obj_final = tr.xytheta[-1]
         err = jnp.linalg.norm(obj_final[:2] - target)
         errs.append(err)
         dels.append(err < cfg.deliver_tol)

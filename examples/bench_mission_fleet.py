@@ -31,13 +31,15 @@ def main():
 
     B = int(os.environ.get("FLEET", "256"))
     K = int(os.environ.get("OBJECTS", "3"))
+    plant = os.environ.get("PLANT", "kinematic")  # or "physics"
     dtype = jnp.float32
 
     occ = np.zeros((80, 80), bool)
     occ[30:40, 44:50] = True
     esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
     icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
-    cfg = MissionFleetConfig(approach_ticks=700, push_ticks=550)
+    cfg = MissionFleetConfig(approach_ticks=700, push_ticks=550,
+                             plant=plant)
 
     rng = np.random.default_rng(0)
     # items on the left, targets on the right with bounded lateral
@@ -80,6 +82,7 @@ def main():
     missions_per_s = B / med
     print(json.dumps({
         "metric": "full_missions_per_s_per_chip",
+        "plant": plant,
         "fleet": B,
         "objects_per_mission": K,
         "missions_per_s": round(missions_per_s, 1),

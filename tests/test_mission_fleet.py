@@ -128,3 +128,21 @@ def test_endurance_32_objects_zero_failures():
         f"{int((~delivered).sum())}/32 failed; errs "
         f"{np.asarray(res.object_err)[~delivered]}")
     assert not collisions.any(), f"{int(collisions.sum())} collisions"
+
+
+@pytest.mark.slow
+def test_fleet_mission_on_contact_plant():
+    """The same fully-jitted mission program with the push legs running
+    on the rigid-body contact engine (plant="physics"): still one jit,
+    still delivers."""
+    esdf = _esdf()
+    items = jnp.asarray([[2.0, 2.0], [5.0, 6.5]], jnp.float64)
+    targets = jnp.asarray([[6.5, 2.0], [2.0, 6.5]], jnp.float64)
+    robot0 = jnp.asarray([1.0, 4.0, 0.0], jnp.float64)
+    cfg = MissionFleetConfig(approach_ticks=300, push_ticks=400,
+                             plant="physics")
+    res = jax.jit(lambda i, t, r: run_mission(i, t, r, esdf, ICR, cfg))(
+        items, targets, robot0)
+    assert bool(res.delivered.all()), res
+    assert not bool(res.collision.any())
+    assert float(res.object_err.max()) < 0.2
