@@ -58,6 +58,10 @@ class PhysicsEnvConfig(NamedTuple):
     # env_train.py:984-1002)
     n_obstacles: int = 0
     collision_impulse_done: float = 50.0      # [N s] per substep
+    # bystander objects: the other object classes present in the scene
+    # as DYNAMIC bodies (the reference scene holds 3 rigid objects per
+    # env, env cfg :176-182); bumping them moves them
+    n_bystanders: int = 0
 
 
 class PhysPushEnvState(NamedTuple):
@@ -153,6 +157,34 @@ def env_reset(key, cfg: PhysicsEnvConfig = PhysicsEnvConfig(),
         box_off=jnp.stack([jnp.zeros((2,), dtype), -com]),
         mu_ground=jnp.stack([jnp.asarray(1.0, dtype), fric]))
 
+    NB = cfg.n_bystanders
+    if NB:
+        # bystanders: the other classes, placed on a ring around the
+        # work area, dynamic (mass/friction drawn from the env ranges)
+        kb1, kb2, kb3, kb4 = jax.random.split(
+            jax.random.fold_in(k6, 17), 4)
+        b_types = (obj_type + 1 + jnp.arange(NB)) % 3
+        b_he = jnp.asarray(OBJ_HALF_EXT, dtype)[b_types]
+        ang = jax.random.uniform(kb1, (NB,), dtype, -jnp.pi, jnp.pi)
+        rad = jax.random.uniform(kb2, (NB,), dtype, 2.0, 3.5)
+        b_pos = jnp.stack([rad * jnp.cos(ang), rad * jnp.sin(ang)], -1)
+        b_yaw = jax.random.uniform(kb3, (NB,), dtype, -jnp.pi, jnp.pi)
+        b_mass = jax.random.uniform(kb4, (NB,), dtype, *b.mass_range)
+        bodies = ph.BodyState(
+            pose=jnp.concatenate(
+                [bodies.pose,
+                 jnp.concatenate([b_pos, b_yaw[:, None]], -1)]),
+            vel=jnp.concatenate([bodies.vel, jnp.zeros((NB, 3), dtype)]),
+            mass=jnp.concatenate([bodies.mass, b_mass]),
+            inertia=jnp.concatenate([bodies.inertia,
+                                     ph.box_inertia(b_mass, b_he)]),
+            half_ext=jnp.concatenate([bodies.half_ext, b_he]),
+            box_off=jnp.concatenate([bodies.box_off,
+                                     jnp.zeros((NB, 2), dtype)]),
+            mu_ground=jnp.concatenate(
+                [bodies.mu_ground,
+                 jnp.full((NB,), 0.6, dtype)]))
+
     M = cfg.n_obstacles
     if M:
         assert obstacles is not None, "cfg.n_obstacles set but no obstacles"
@@ -213,14 +245,23 @@ def _grasp_tuple(st: PhysPushEnvState, cfg: PhysicsEnvConfig, dtype):
 
 
 def _contact_layout(cfg: PhysicsEnvConfig):
-    """Static pair list + servo mask + robot-obstacle contact indices."""
-    pairs = [(ROBOT, OBJ)]
+    """Static pair list + servo mask + robot-obstacle contact indices.
+
+    Body layout: [robot, object, bystanders..., obstacles...].  All
+    dynamic bodies collide with each other and with every obstacle;
+    only ROBOT-OBSTACLE impulses feed the collision termination.
+    """
+    NB, M = cfg.n_bystanders, cfg.n_obstacles
+    dyn = [ROBOT, OBJ] + [2 + i for i in range(NB)]
+    obs = [2 + NB + i for i in range(M)]
+    pairs = [(a, b) for i, a in enumerate(dyn) for b in dyn[i + 1:]]
     robot_obs_rows = []
-    for i in range(cfg.n_obstacles):
-        robot_obs_rows.append(len(pairs))
-        pairs.append((ROBOT, 2 + i))
-        pairs.append((OBJ, 2 + i))
-    mask = jnp.asarray([True, False] + [False] * cfg.n_obstacles)
+    for o in obs:
+        for d in dyn:
+            if d == ROBOT:
+                robot_obs_rows.append(len(pairs))
+            pairs.append((d, o))
+    mask = jnp.asarray([True] + [False] * (1 + NB + M))
     return pairs, mask, robot_obs_rows
 
 

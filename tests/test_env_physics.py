@@ -251,3 +251,39 @@ def test_ppo_learns_on_physics_env():
     mid = np.mean(rs[5:10])
     last = np.mean(rs[-5:])
     assert last > mid + 0.15, (rs,)
+
+
+def test_bystander_objects_move_when_bumped():
+    """The scene's other object classes are DYNAMIC bodies: driving the
+    grasped object into a bystander displaces it (and only contact can
+    do that)."""
+    cfg = penv.PhysicsEnvConfig(n_bystanders=2)
+    st = penv.env_reset(jax.random.PRNGKey(21), cfg)
+    assert st.bodies.pose.shape == (4, 3)
+    # place bystander 0 squarely in the push lane, forward of the object
+    yaw = float(st.bodies.pose[1, 2])
+    ahead = np.asarray(st.bodies.pose[1, :2]) + 1.2 * np.array(
+        [np.cos(yaw), np.sin(yaw)])
+    bodies = st.bodies._replace(
+        pose=st.bodies.pose.at[2].set(
+            jnp.asarray([ahead[0], ahead[1], 0.0], jnp.float32)),
+        mass=st.bodies.mass.at[1].set(20.0).at[2].set(10.0),
+        mu_ground=st.bodies.mu_ground.at[1].set(0.5).at[2].set(0.4))
+    st = st._replace(bodies=bodies._replace(
+        inertia=penv.ph.box_inertia(bodies.mass, bodies.half_ext)))
+    b0 = np.asarray(st.bodies.pose[2, :2]).copy()
+    far0 = np.asarray(st.bodies.pose[3, :2]).copy()
+    action = jnp.zeros((senv.N_ACTIONS,), jnp.float32).at[0].set(0.6)
+
+    @jax.jit
+    def roll(st):
+        def body(st, _):
+            st, _, r, d = penv.env_step(st, action, cfg)
+            return st, r
+        return jax.lax.scan(body, st, None, length=80)
+
+    st, rew = roll(st)
+    moved = np.linalg.norm(np.asarray(st.bodies.pose[2, :2]) - b0)
+    far_moved = np.linalg.norm(np.asarray(st.bodies.pose[3, :2]) - far0)
+    assert moved > 0.1, moved            # bumped bystander displaced
+    assert np.all(np.isfinite(np.asarray(rew)))
