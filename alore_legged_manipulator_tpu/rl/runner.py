@@ -93,7 +93,26 @@ def train(cfg: TrainConfig = TrainConfig(), progress=None, mesh=None):
     key, sub = jax.random.split(key)
 
     hier = cfg.low_level_params is not None
-    if hier:
+    if hier and cfg.physics_env:
+        # the COMPLETE stack: frozen WBC inside the contact loop
+        # (env_physics.hierarchical_env_step)
+        from .env_physics import (PhysicsEnvConfig, as_surrogate_view,
+                                  env_reset as phys_reset)
+        from .env_physics import hierarchical_env_step as phys_hier_step
+        pcfg = cfg.physics or PhysicsEnvConfig(base=cfg.env)
+
+        def reset_one(k):
+            return (phys_reset(k, pcfg), robot_reset())
+
+        def step_one(s, a):
+            st, rs = s
+            st, rs, hist, r, d = phys_hier_step(
+                st, rs, a, cfg.low_level_params, pcfg, cfg.hierarchy)
+            return (st, rs), hist, r, d
+
+        def push_of(s):
+            return as_surrogate_view(s[0])
+    elif hier:
         def reset_one(k):
             return (env_reset(k, cfg.env), robot_reset())
 

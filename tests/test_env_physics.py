@@ -287,3 +287,21 @@ def test_bystander_objects_move_when_bumped():
     far_moved = np.linalg.norm(np.asarray(st.bodies.pose[3, :2]) - far0)
     assert moved > 0.1, moved            # bumped bystander displaced
     assert np.all(np.isfinite(np.asarray(rew)))
+
+
+def test_ppo_trains_hierarchy_plus_physics():
+    """Runner mode with BOTH the frozen WBC and the contact engine in the
+    loop (the full reference training pipeline)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_torch_convert import TorchLowAC, _randomize
+    from alore_legged_manipulator_tpu.models.torch_convert import (
+        convert_low_level_actor)
+    from alore_legged_manipulator_tpu.rl.runner import TrainConfig, train
+
+    params = convert_low_level_actor(_randomize(TorchLowAC(), seed=11))
+    cfg = TrainConfig(num_envs=6, steps_per_env=4, iterations=2,
+                      physics_env=True, low_level_params=params)
+    _, hist = train(cfg)
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]["mean_reward"])
