@@ -156,6 +156,21 @@ def depth_cloud(cam: CameraModel, R, t, depth, stride=1):
     return pts_w.reshape(-1, 3), mask.reshape(-1)
 
 
+def cloud_for_mapping(cam: CameraModel, R, t, depth, far, stride=1):
+    """Depth image -> endpoint cloud for voxel_map.insert_point_cloud.
+
+    Misses (inf depth: sky or beyond max_range) are replaced with
+    endpoints at `far` along the ray; used with
+    insert_point_cloud(max_range < far) they carve free space and
+    register no hit -- octomap's maxrange semantics for non-returns.
+    """
+    d = jnp.where(jnp.isfinite(depth), depth, far)
+    rays_c = camera_rays(cam, d.dtype)[::stride, ::stride]
+    pts_c = rays_c * d[::stride, ::stride, ..., None]
+    pts_w = jnp.einsum("ij,hwj->hwi", R, pts_c) + t
+    return pts_w.reshape(-1, 3)
+
+
 def semantic_bbox(sem, sem_id):
     """Pixel bbox (u_min, v_min, u_max, v_max, count) of a semantic id.
 

@@ -139,3 +139,37 @@ def test_render_jits_and_batches():
     # nearer camera -> strictly smaller center depth
     center = d[:, 12, 16]
     assert np.all(np.diff(center) < 0)
+
+
+def test_depth_cloud_builds_voxel_map():
+    """Rendered depth feeds the 3-D voxel map (the depth-cloud ->
+    octomap consumer path of the sim bridge): the box front face becomes
+    occupied, the corridor to it is carved free, and the volume behind
+    stays unknown."""
+    from alore_legged_manipulator_tpu.world import voxel_map as vm
+
+    cam = _cam(w=64, h=48, f=50.0)
+    scene = _scene([(3.0, 0.0, 0.0, 0.4, 1.0, 2.0, 1)])
+    R, t = _fwd_cam_pose(0.0, 0.0, 1.0)
+    depth, sem = cm.render(cam, R, t, scene, max_range=8.0)
+    pts = cm.cloud_for_mapping(cam, R, t, depth, far=12.0)
+
+    res = 0.2
+    lower = jnp.asarray([-1.0, -4.0, -1.0])
+    state = vm.voxel_map_init((40, 40, 20))
+    state = vm.insert_point_cloud(state, lower, res, np.asarray(t), pts,
+                                  max_range=9.0)
+    occ = vm.occupied_mask(state)
+
+    def vox(x, y, z):
+        return tuple(int(v) for v in ((np.array([x, y, z])
+                                       - np.asarray(lower)) / res))
+
+    # endpoints sit just inside the x=2.6 face plane -> voxel [2.4,2.6)
+    assert bool(occ[vox(2.59, 0.05, 1.05)])       # front face occupied
+    # free corridor between camera and box
+    lo = vm._logit(0.5)
+    assert float(state.log_odds[vox(1.5, 0.0, 1.0)]) < lo
+    # behind the box: unknown (prior log-odds)
+    np.testing.assert_allclose(
+        float(state.log_odds[vox(4.5, 0.0, 1.0)]), lo, atol=1e-6)
