@@ -47,9 +47,9 @@ class PhysicsEnvConfig(NamedTuple):
     sim_dt: float = 1.0 / 200.0
     grasp_anchor_robot: tuple = (0.65, 0.0)   # EE point in base frame
     grasp_loss_dist: float = 0.15
-    # grip budget must exceed the worst-case drag force of the object
-    # range (40 kg x mu 1.2 -> ~470 N) or every heavy episode slips
-    grip_force: float = 600.0                 # weld force budget [N]
+    # the weld force budget is physics.grasp_impulse_cap: it must exceed
+    # the worst-case drag force of the object range (40 kg x mu 1.2 ->
+    # ~470 N) or every heavy episode slips
     physics: ph.PhysicsConfig = ph.PhysicsConfig(
         dt=1.0 / 200.0, grasp_impulse_cap=600.0)
     # static scene obstacles (infinite-mass bodies appended at reset);
@@ -57,7 +57,10 @@ class PhysicsEnvConfig(NamedTuple):
     # the episode (the reference's base contact-sensor done,
     # env_train.py:984-1002)
     n_obstacles: int = 0
-    collision_impulse_done: float = 50.0      # [N s] per substep
+    # robot-obstacle termination threshold on the PER-SUBSTEP contact
+    # impulse [N s]; 5 N s ~ a 60 kg base decelerated by ~8 cm/s in one
+    # 5 ms substep -- a real bump, not a grazing touch
+    collision_impulse_done: float = 5.0
     # bystander objects: the other object classes present in the scene
     # as DYNAMIC bodies (the reference scene holds 3 rigid objects per
     # env, env cfg :176-182); bumping them moves them
@@ -87,37 +90,18 @@ def _body_frame_vel(pose, vel):
 
 
 def _observe(st: PhysPushEnvState, cfg: PhysicsEnvConfig):
-    """Same 70-d layout as env._observe, sourced from physics state."""
-    key, sub = jax.random.split(st.key)
-    obj_vel = _body_frame_vel(st.bodies.pose[OBJ], st.bodies.vel[OBJ])
-    vel_noisy = obj_vel + 0.02 * jax.random.normal(sub, (3,),
-                                                   obj_vel.dtype)
-    onehot = jax.nn.one_hot(st.obj_type, 3, dtype=obj_vel.dtype)
-    yaw = st.bodies.pose[OBJ, 2]
-    parts = [st.cmd, vel_noisy,
-             jnp.sin(yaw)[None], jnp.cos(yaw)[None],
-             st.arm_q, st.prev_action, onehot]
-    obs = jnp.concatenate(parts)
-    pad = OBS_DIM - obs.shape[0]
-    obs = jnp.concatenate([obs, jnp.zeros((pad,), obs.dtype)])
-    return obs, key
+    """Delegates to the surrogate env's observation builder through
+    as_surrogate_view -- ONE implementation of the 70-d layout, so the
+    two env modes cannot drift apart."""
+    from .env import _observe as surrogate_observe
+    return surrogate_observe(as_surrogate_view(st), cfg.base)
 
 
 def critic_observation(st: PhysPushEnvState, cfg: PhysicsEnvConfig):
-    """Privileged tail mirrors env.critic_observation (true velocity,
-    mass, friction, COM, type, tracking error)."""
-    obj_vel = _body_frame_vel(st.bodies.pose[OBJ], st.bodies.vel[OBJ])
-    actor_flat = st.obs_hist.reshape(-1)
-    priv = jnp.concatenate([
-        obj_vel,
-        st.bodies.mass[OBJ][None] / 40.0, st.friction[None],
-        st.com,
-        jax.nn.one_hot(st.obj_type, 3, dtype=obj_vel.dtype),
-        st.cmd - obj_vel,
-        jnp.zeros((1,), obj_vel.dtype),
-    ])
-    assert priv.shape[0] == CRITIC_EXTRA
-    return jnp.concatenate([actor_flat, priv])
+    """Delegates to env.critic_observation on the surrogate view (same
+    single-source rationale as _observe)."""
+    from .env import critic_observation as surrogate_critic
+    return surrogate_critic(as_surrogate_view(st), cfg.base)
 
 
 def env_reset(key, cfg: PhysicsEnvConfig = PhysicsEnvConfig(),
@@ -387,6 +371,5 @@ def _finish_step(st: PhysPushEnvState, bodies, a,
     if collision_impulse is not None and cfg.n_obstacles:
         # base contact-sensor termination (env_train.py:984-1002): a hard
         # robot-obstacle impulse ends the episode
-        done = done | (collision_impulse
-                       > cfg.collision_impulse_done * cfg.physics.dt)
+        done = done | (collision_impulse > cfg.collision_impulse_done)
     return st, hist, reward, done

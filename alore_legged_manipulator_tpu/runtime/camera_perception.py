@@ -54,8 +54,10 @@ class CameraPerceptionNode:
     prior_noise: float = 0.25      # coarse prior map error
     seed: int = 0
     max_range: float = 12.0
-    period: int = 5                # render every k-th tick (10 Hz vision
-                                   # under the 50 Hz bus, yolo_pose.py:98)
+    period: int = 5                # render every k-th bus tick (the
+                                   # detector's process_interval idea,
+                                   # yolo_pose.py:98; at bus_mission's
+                                   # 20 Hz dt this is 4 Hz vision)
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
@@ -131,17 +133,28 @@ class CameraPerceptionNode:
                                    for o in world.objects], jnp.float32)
             yaws = jnp.asarray([float(np.asarray(o, float)[2])
                                 for o in world.objects], jnp.float32)
+            # the physical camera sits on the TRUE robot; the frame is
+            # rendered from truth and unprojected through the ESTIMATE,
+            # so localization error propagates into the object estimates
+            # (it must not cancel)
             depth, sem = self._render(
-                jnp.asarray(robot_est, jnp.float32), centers, yaws)
+                jnp.asarray(robot_true, jnp.float32), centers, yaws)
             vision = self._estimate_from_image(depth, sem, robot_est)
             for i, pos in vision.items():
                 self._est[i] = pos
         for i, o in enumerate(world.objects):
             true_xy = np.asarray(o, float)[:2]
             if np.linalg.norm(true_xy - robot_true[:2]) < self.close_range:
-                # AprilTag-style precise near-field relative pose
-                self._est[i] = true_xy + self._rng.normal(
-                    0, self.tag_noise, 2)
+                # AprilTag-style near-field handoff: the tag gives a
+                # RELATIVE pose in the robot frame (truth-relative +
+                # noise), composed with the noisy localization estimate
+                cy, sy = np.cos(robot_true[2]), np.sin(robot_true[2])
+                R_true = np.array([[cy, sy], [-sy, cy]])   # world->robot
+                rel = R_true @ (true_xy - robot_true[:2]) \
+                    + self._rng.normal(0, self.tag_noise, 2)
+                ce, se = np.cos(robot_est[2]), np.sin(robot_est[2])
+                R_est = np.array([[ce, -se], [se, ce]])    # robot->world
+                self._est[i] = robot_est[:2] + R_est @ rel
 
         def body_of(x, y, yaw):
             return RigidBodyPose(

@@ -69,6 +69,8 @@ class MissionFleetConfig(NamedTuple):
     # ICR, runtime/closed_loop_physics.py) -- the whole mission program
     # stays one jittable function either way
     plant: str = "kinematic"
+    phys_loop: object = None          # PhysicsLoopConfig override for
+                                      # plant="physics" (None = defaults)
     path_max_len: int = 160
     wf_safe_dis: float = 0.2          # blocked threshold for the search
     distance_weight: float = 1.4      # jps3ms.yaml weighted-arc weights
@@ -269,9 +271,9 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
         if cfg.plant == "physics":
             from .closed_loop_physics import (PhysicsLoopConfig,
                                               simulate_tracking_physics)
-            tr = simulate_tracking_physics(tt, cfg.push_ticks,
-                                           PhysicsLoopConfig(),
-                                           seed=seed + k)
+            tr = simulate_tracking_physics(
+                tt, cfg.push_ticks, cfg.phys_loop or PhysicsLoopConfig(),
+                seed=seed + k)
             obj_final = tr.obj_xytheta[-1]
         else:
             tr = simulate_tracking(tt, true_icr, cfg.push_ticks, cfg.loop,

@@ -97,7 +97,6 @@ def test_grasp_loss_termination():
     # a grip budget far below what yanking a heavy high-friction object
     # needs -> the weld slips -> grasp-loss done fires
     cfg = penv.PhysicsEnvConfig(
-        grip_force=5.0,
         physics=penv.ph.PhysicsConfig(dt=1.0 / 200.0,
                                       grasp_impulse_cap=5.0))
     st = penv.env_reset(jax.random.PRNGKey(4))
