@@ -61,6 +61,30 @@ class ArrangementMission:
     # effective ICR online -- the real-robot situation
     use_physics_plant: bool = False
     phys_cfg: object = None      # PhysicsLoopConfig override
+    # unknown-environment mode: the planning map starts EMPTY and is
+    # built online from lidar scans of the true world (the reference's
+    # *_unknown profile, MappedPlanManager); the robot senses while it
+    # moves and REPLANS its approach when a discovered obstacle blocks
+    # the current path
+    mapped: bool = False
+    map_mode: str = "raycast"
+    cir_sup: bool = False
+    lidar_cfg: object = None     # LidarConfig override (sensor range/FOV)
+    sense_every: int = 20        # approach ticks between scans
+
+    def _path_blocked(self, pm, waypoints, clearance=0.2) -> bool:
+        """True if any remaining waypoint (or segment midpoint) is within
+        `clearance` of a mapped obstacle."""
+        import jax.numpy as jnp
+        from ..ops.esdf import sample_dist_bilinear
+        pts = [np.asarray(w, float)[:2] for w in waypoints]
+        if len(pts) >= 2:
+            mids = [(pts[i] + pts[i + 1]) / 2 for i in range(len(pts) - 1)]
+            pts = pts + mids
+        if not pts:
+            return False
+        d = sample_dist_bilinear(pm.esdf, jnp.asarray(np.stack(pts)))
+        return bool(jnp.min(d) < clearance)
 
     def _path_len(self, pm, a, b):
         blocked = np.asarray(pm.esdf.dist) < 0.3
@@ -77,8 +101,20 @@ class ArrangementMission:
 
     def run(self, robot_start, verbose: bool = False,
             record_tracks: bool = False) -> MissionReport:
-        pm = PlanManager(occ=self.occ.copy(), lower=self.lower, res=self.res,
-                         cfg=self.pm_cfg)
+        if self.mapped:
+            from ..mission.plan_manager import MappedPlanManager
+            pm = MappedPlanManager(occ=self.occ.copy(), lower=self.lower,
+                                   res=self.res, cfg=self.pm_cfg,
+                                   map_mode=self.map_mode,
+                                   cir_sup=self.cir_sup,
+                                   lidar_cfg=self.lidar_cfg)
+            # initial look-around from the start pose (the reference
+            # robot boots with the lidar running)
+            for yaw in (0.0, 1.57, 3.14, -1.57):
+                pm.sense((robot_start[0], robot_start[1], yaw))
+        else:
+            pm = PlanManager(occ=self.occ.copy(), lower=self.lower,
+                             res=self.res, cfg=self.pm_cfg)
         n = len(self.items)
 
         # visit order from JPS path costs BEFORE painting (the reference
@@ -126,6 +162,19 @@ class ArrangementMission:
                 t_sim += self.robot_dt
                 if record_tracks and guard % 5 == 0:
                     robot_track.append(robot.copy())
+                if self.mapped and guard % self.sense_every == 0 \
+                        and fsm.state == FsmState.ROBOT_TRACKING:
+                    pm.sense(robot)
+                    # replan-on-discovery: if the remaining approach
+                    # path now crosses a mapped obstacle, go back to
+                    # WAIT_ROBOT_PATH (the reference's REPLAN loop)
+                    if fsm.robot_path is not None and self._path_blocked(
+                            pm, fsm.robot_path[fsm.path_index:]):
+                        fsm.robot_path = None
+                        fsm.state = FsmState.WAIT_ROBOT_PATH
+                        if verbose:
+                            print(f"  t={t_sim:7.2f}s obstacle "
+                                  "discovered -> approach replan")
 
             elif fsm.state == FsmState.WAIT_ROBOT_PATH:
                 # unlock the item area for approach (MapUpdateThread :526-533)
@@ -144,6 +193,10 @@ class ArrangementMission:
                 fsm.set_robot_path(path + [cur_obj[:2]])
 
             elif fsm.state == FsmState.WAIT_OBJECT_PATH:
+                if self.mapped:
+                    # look around before planning the push corridor
+                    for yaw in (0.0, 1.57, 3.14, -1.57):
+                        pm.sense((robot[0], robot[1], yaw))
                 # plan the object push with the real planner stack
                 target = fsm.current_target()
                 pm.state = PlanState.IDLE

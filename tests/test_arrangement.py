@@ -42,3 +42,28 @@ def test_two_object_mission_on_contact_plant():
     assert max(rep.final_object_err) < 0.15
     assert rep.push_tracking_err_p95 < 0.25
     assert len(rep.order) == 2
+
+
+@pytest.mark.slow
+def test_mapped_physics_mission_discovers_and_replans():
+    """The full real-robot composition: the planning map starts EMPTY,
+    lidar scans build it online, a short-range sensor forces the wall to
+    be DISCOVERED mid-approach (triggering a replan), the push plans run
+    on the fused map, and the push plant is the rigid-body contact
+    engine.  Both objects must still be delivered."""
+    from alore_legged_manipulator_tpu.runtime.arrangement import (
+        ArrangementMission)
+    from alore_legged_manipulator_tpu.world.lidar import LidarConfig
+
+    occ = np.zeros((100, 100), bool)
+    occ[48:52, 20:45] = True
+    mission = ArrangementMission(
+        occ=occ, lower=(0.0, 0.0), res=0.1,
+        items=[(2.5, 2.5, 0.0), (2.5, 7.5, 0.0)],
+        targets=[(8.0, 7.5, 0.0), (8.0, 6.0, 0.0)],
+        use_physics_plant=True, mapped=True,
+        lidar_cfg=LidarConfig(max_range=3.0))
+    rep = mission.run(robot_start=(5.0, 1.0, 1.57))
+    assert all(rep.delivered), rep
+    assert max(rep.final_object_err) < 0.15
+    assert len(rep.order) == 2
