@@ -146,3 +146,43 @@ def test_fleet_mission_on_contact_plant():
     assert bool(res.delivered.all()), res
     assert not bool(res.collision.any())
     assert float(res.object_err.max()) < 0.2
+
+
+@pytest.mark.slow
+def test_endurance_on_contact_plant():
+    """The endurance scenario re-run with the push legs on the
+    rigid-body contact engine (plant="physics"): 8 missions x 4 objects,
+    every delivery lands."""
+    import numpy as np
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.runtime.mission_fleet import (
+        MissionFleetConfig, run_mission)
+
+    occ = np.zeros((80, 80), bool)
+    occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
+    occ[34:46, 36:40] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+
+    B, K = 8, 4
+    rng = np.random.default_rng(4)
+    items = jnp.asarray(np.stack([
+        rng.uniform(1.5, 3.0, (B, K)), rng.uniform(1.5, 6.0, (B, K))],
+        -1), jnp.float32)
+    targets = jnp.asarray(np.stack([
+        rng.uniform(5.5, 7.0, (B, K)), rng.uniform(1.5, 6.0, (B, K))],
+        -1), jnp.float32)
+    starts = jnp.asarray(np.concatenate([
+        rng.uniform(1.0, 2.0, (B, 2)), rng.uniform(-1, 1, (B, 1))], 1),
+        jnp.float32)
+
+    cfg = MissionFleetConfig(push_ticks=1600, plant="physics")
+    res = jax.jit(jax.vmap(
+        lambda i, t, s: run_mission(i, t, s, esdf, icr, cfg)))(
+            items, targets, starts)
+    delivered = np.asarray(res.delivered)
+    assert delivered.all(), (
+        f"{int((~delivered).sum())}/32 failed; errs "
+        f"{np.asarray(res.object_err)[~delivered]}")
+    assert not np.asarray(res.collision).any()
