@@ -1,0 +1,34 @@
+"""Execute every python snippet in USAGE.md verbatim.
+
+USAGE.md promises that its code blocks are run by this test, so the doc
+cannot rot.  Snippets share one namespace and run in document order
+(section 2 consumes `res`/`flat` from section 1), mirroring a user
+pasting them into one REPL session.
+"""
+import re
+from pathlib import Path
+
+import pytest
+
+DOC = Path(__file__).resolve().parent.parent / "USAGE.md"
+
+_BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)
+
+
+def _blocks():
+    text = DOC.read_text()
+    blocks = _BLOCK_RE.findall(text)
+    assert blocks, "USAGE.md has no python blocks"
+    return blocks
+
+
+_NS: dict = {}
+_PARAMS = list(enumerate(_blocks(), start=1))
+
+
+@pytest.mark.parametrize("idx,src", _PARAMS, ids=[f"snippet{i}" for i, _ in _PARAMS])
+def test_usage_snippet(idx, src):
+    # Sections run in order within one pytest file; a shared namespace
+    # carries section 1's plan into section 2's tracking loop.
+    code = compile(src, f"{DOC.name}:snippet{idx}", "exec")
+    exec(code, _NS)
