@@ -1,0 +1,18 @@
+#!/bin/bash
+# Build the reference mission-ordering golden oracle (B&B + greedy
+# warm start + Hungarian, compiled from plan_manager's headers).
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=/root/reference/planning_ddr_opt
+EIGEN=$(python - <<'PY'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+
+g++ -O2 -std=c++14 -w \
+    -I "$EIGEN" \
+    -I "$REF/plan_manager/include" \
+    harness.cpp -o ordering_oracle
+echo "built $(pwd)/ordering_oracle"

@@ -1,0 +1,81 @@
+// Standalone golden-trace oracle for the reference mission-ordering
+// layer (L6 TAMP): BranchAndBoundCombined (best-first B&B over
+// (item, fixed-target) pair visit orders with a greedy warm start and
+// the admissible nearest-chair + remaining-pair-legs lower bound) and
+// HungarianAlgorithm -- compiled directly from
+//   /root/reference/planning_ddr_opt/plan_manager/include/plan_manager/
+//     branch_and_bound.hpp  (BranchAndBoundCombined::solve/solveGreedy)
+//     hungarian.hpp         (HungarianAlgorithm::solve)
+// so the exact solver the robot's plan_manager runs
+// (plan_manager.hpp:252-345 solvePathWithBranchAndBound) can be
+// replayed on fixed distance matrices.
+//
+// Protocol (stdin -> stdout), a stream of cases:
+//   B n  d[0][0] ... d[m-1][m-1]      (m = 1 + 2n, row-major)
+//     -> "R <cost> <k> <idx...>"      B&B visit order (global indices,
+//                                      leading start index 0 included)
+//   G n  d...                         -> same, for the greedy warm start
+//                                      (solveGreedy, fixed assignment)
+//   H n m  c[0][0] ... c[n-1][m-1]    -> "A <cost> <a_0 ... a_{n-1}>"
+// Unreachable legs are passed as large finite numbers (the reference
+// uses numeric_limits<double>::max(); text round-tripping max() is
+// lossy, so goldens use 1e17 sentinels instead -- same arithmetic).
+
+#include <cstdio>
+#include <vector>
+#include <queue>
+#include <limits>
+#include <algorithm>
+#include <Eigen/Eigen>
+
+// expose BranchAndBoundCombined::solveGreedy (private) for the G mode;
+// all std/Eigen headers are already processed above so the remap only
+// touches the reference headers
+#define private public
+#include <plan_manager/branch_and_bound.hpp>
+#include <plan_manager/hungarian.hpp>
+#undef private
+
+int main() {
+    char mode;
+    while (scanf(" %c", &mode) == 1) {
+        if (mode == 'B' || mode == 'G') {
+            int n;
+            if (scanf("%d", &n) != 1) return 1;
+            const int m = 1 + 2 * n;
+            Eigen::MatrixXd d(m, m);
+            for (int i = 0; i < m; ++i)
+                for (int j = 0; j < m; ++j)
+                    if (scanf("%lf", &d(i, j)) != 1) return 1;
+            std::vector<int> assignment(n);
+            for (int i = 0; i < n; ++i) assignment[i] = i;
+            BranchAndBoundCombined solver(d, n);
+            std::vector<int> path;
+            double cost;
+            if (mode == 'B') {
+                cost = solver.solve(assignment, path);
+            } else {
+                cost = solver.solveGreedy(assignment, path);
+            }
+            printf("R %.17g %zu", cost, path.size());
+            for (int idx : path) printf(" %d", idx);
+            printf("\n");
+        } else if (mode == 'H') {
+            int n, m;
+            if (scanf("%d %d", &n, &m) != 2) return 1;
+            Eigen::MatrixXd c(n, m);
+            for (int i = 0; i < n; ++i)
+                for (int j = 0; j < m; ++j)
+                    if (scanf("%lf", &c(i, j)) != 1) return 1;
+            HungarianAlgorithm hung;
+            std::vector<int> assignment;
+            double cost = hung.solve(c, assignment);
+            printf("A %.17g", cost);
+            for (int a : assignment) printf(" %d", a);
+            printf("\n");
+        } else {
+            return 1;
+        }
+    }
+    return 0;
+}

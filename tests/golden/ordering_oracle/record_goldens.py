@@ -1,0 +1,80 @@
+"""Record mission-ordering goldens from the compiled reference oracle.
+
+Cases mirror solvePathWithBranchAndBound's setup (plan_manager.hpp:
+252-345): a symmetric (1+2n) x (1+2n) path-cost matrix over
+[start, items 1..n, targets n+1..2n] with identity assignment.
+Unreachable legs use the 1e17 sentinel (see harness.cpp).  Continuous
+random costs make the optimum unique a.s., so visit ORDER parity (not
+just cost) is assertable.
+
+Output: ../ordering/cases.txt, one record per line:
+  B <n> <m*m dists> | <cost> <path...>
+  G <n> <m*m dists> | <cost> <path...>
+  H <n> <m> <n*m costs> | <cost> <assignment...>
+"""
+import os
+import subprocess
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ORACLE = os.path.join(HERE, "ordering_oracle")
+OUT = os.path.join(HERE, "..", "ordering")
+BIG = 1e17
+
+
+def gen_dists(rng, n, unreachable=0):
+    m = 1 + 2 * n
+    d = rng.uniform(0.5, 10.0, (m, m))
+    d = np.triu(d, 1)
+    d = d + d.T
+    if unreachable:
+        # knock out random OFF-path legs; keep every item->its-target leg
+        # and start->item legs finite so a solution always exists
+        for _ in range(unreachable):
+            i = rng.integers(1, m)
+            j = rng.integers(1, m)
+            if i == j or (i <= n and j == n + i) or (j <= n and i == n + j):
+                continue
+            d[i, j] = d[j, i] = BIG
+    return d
+
+
+def main():
+    rng = np.random.default_rng(20260818)
+    lines_in = []
+    case_headers = []
+    for n in [1, 2, 3, 4, 5, 6, 7, 8]:
+        for rep in range(3):
+            d = gen_dists(rng, n, unreachable=(2 * n if rep == 2 else 0))
+            flat = " ".join("%.17g" % x for x in d.reshape(-1))
+            for mode in ("B", "G"):
+                lines_in.append(f"{mode} {n} {flat}")
+                case_headers.append(f"{mode} {n} {flat}")
+    for n, m in [(2, 2), (3, 3), (4, 6), (6, 6), (8, 10)]:
+        for rep in range(2):
+            c = rng.uniform(0.0, 5.0, (n, m))
+            flat = " ".join("%.17g" % x for x in c.reshape(-1))
+            lines_in.append(f"H {n} {m} {flat}")
+            case_headers.append(f"H {n} {m} {flat}")
+
+    proc = subprocess.run([ORACLE], input="\n".join(lines_in).encode(),
+                          capture_output=True, check=True)
+    outs = proc.stdout.decode().strip().splitlines()
+    assert len(outs) == len(case_headers), (len(outs), len(case_headers))
+
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, "cases.txt"), "w") as f:
+        for hdr, out in zip(case_headers, outs):
+            tok = out.split()
+            if tok[0] == "R":
+                cost, k = tok[1], int(tok[2])
+                path = " ".join(tok[3:3 + k])
+                f.write(f"{hdr} | {cost} {path}\n")
+            else:
+                f.write(f"{hdr} | {' '.join(tok[1:])}\n")
+    print(f"recorded {len(case_headers)} cases -> {OUT}/cases.txt")
+
+
+if __name__ == "__main__":
+    main()

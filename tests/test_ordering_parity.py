@@ -1,0 +1,93 @@
+"""Golden parity: mission-ordering layer vs the compiled reference.
+
+The oracle (tests/golden/ordering_oracle/harness.cpp) compiles the
+ACTUAL reference solvers -- BranchAndBoundCombined::solve (best-first
+B&B with greedy warm start + admissible lower bound,
+plan_manager/include/plan_manager/branch_and_bound.hpp) and
+HungarianAlgorithm::solve (hungarian.hpp) -- and replays them on fixed
+distance matrices.  Continuous random costs make each optimum unique
+a.s., so the VISIT ORDER (not just its cost) must match, including the
+reference's unreachable-leg arithmetic (1e17 sentinels standing in for
+numeric_limits<double>::max, plan_manager.hpp:295-301).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.mission.ordering import (
+    _greedy_fixed, branch_and_bound_order, hungarian)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "ordering",
+                      "cases.txt")
+
+
+def _load_cases():
+    cases = []
+    with open(GOLDEN) as f:
+        for line in f:
+            inp, out = line.split("|")
+            tok = inp.split()
+            otok = out.split()
+            mode = tok[0]
+            if mode in ("B", "G"):
+                n = int(tok[1])
+                m = 1 + 2 * n
+                d = np.asarray([float(x) for x in tok[2:2 + m * m]])
+                d = d.reshape(m, m)
+                cost = float(otok[0])
+                path = [int(x) for x in otok[1:]]
+                cases.append((mode, n, d, cost, path))
+            else:
+                n, m = int(tok[1]), int(tok[2])
+                c = np.asarray([float(x) for x in tok[3:3 + n * m]])
+                c = c.reshape(n, m)
+                cost = float(otok[0])
+                assignment = [int(x) for x in otok[1:]]
+                cases.append((mode, (n, m), c, cost, assignment))
+    return cases
+
+
+CASES = _load_cases()
+
+
+def test_golden_file_present():
+    # 8 task sizes x 3 reps x 2 modes + 5 hungarian shapes x 2 reps
+    assert len(CASES) == 58
+
+
+@pytest.mark.parametrize("idx", [i for i, c in enumerate(CASES)
+                                 if c[0] == "B"])
+def test_bnb_order_parity(idx):
+    _, n, d, ref_cost, ref_path = CASES[idx]
+    order, cost = branch_and_bound_order(d, n)
+    assert cost == pytest.approx(ref_cost, rel=1e-12)
+    # ours strips the leading start index 0
+    assert [0] + order == ref_path
+
+
+@pytest.mark.parametrize("idx", [i for i, c in enumerate(CASES)
+                                 if c[0] == "G"])
+def test_greedy_warmstart_parity(idx):
+    _, n, d, ref_cost, ref_path = CASES[idx]
+    cost, path = _greedy_fixed(d, n, list(range(n)))
+    assert cost == pytest.approx(ref_cost, rel=1e-12)
+    assert path == ref_path
+
+
+@pytest.mark.parametrize("idx", [i for i, c in enumerate(CASES)
+                                 if c[0] == "H"])
+def test_hungarian_parity(idx):
+    _, (n, m), c, ref_cost, ref_assignment = CASES[idx]
+    assignment, cost = hungarian(c)
+    assert cost == pytest.approx(ref_cost, rel=1e-12)
+    assert assignment == ref_assignment
+
+
+def test_bnb_beats_or_matches_greedy():
+    """The reference returns min(greedy, B&B); on every golden case our
+    B&B cost must be <= the recorded greedy cost for the same matrix."""
+    bnb = {i: c for i, c in enumerate(CASES) if c[0] == "B"}
+    gre = [c for c in CASES if c[0] == "G"]
+    for (bi, b), g in zip(sorted(bnb.items()), gre):
+        assert b[3] <= g[3] + 1e-12
