@@ -1,0 +1,22 @@
+#!/bin/bash
+# Build the reference LTV-MPC golden oracle (see harness.cpp).
+# Reference sources compile read-only from /root/reference; Eigen comes
+# from the TensorFlow wheel's bundled headers (no system Eigen here).
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=/root/reference/planning_ddr_opt
+EIGEN=$(python - <<'PY'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+
+g++ -O2 -std=c++14 -w \
+    -I stub \
+    -I "$EIGEN" \
+    -I "$REF/mpc_controller/include" \
+    -I "$REF/mpc_controller/src" \
+    -I "$REF/back_end/include" \
+    harness.cpp -o ltv_oracle
+echo "built $(pwd)/ltv_oracle"

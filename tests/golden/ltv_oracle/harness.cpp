@@ -1,0 +1,150 @@
+// Golden-trace oracle for the reference LTV-MPC (mpc_controller).
+//
+// Compiles the REFERENCE mpc_controller/src/mpc.cpp (QP assembly
+// solveMPCV :304-540, rollout linearization predictMotion/stateTrans
+// :233-302, SQP-style getCmd iteration :569-613, delay buffer) against
+// stub ROS/PCL headers and an OsqpEigen stub that RUNS OSQP's own ADMM +
+// polish (stub/common_stub.h) -- so the exact QP the reference assembles
+// AND the control sequence its iteration produces can be recorded for
+// parity tests against control/ltv_mpc.py.
+//
+// stdin:
+//   T dt delay_num n_iters
+//   Q[4]  R[2]  Rd[2]
+//   max_speed min_speed max_omega max_acc max_domega
+//   now_state: x y theta v w
+//   xref  row-major 4 rows x T cols (rows x, y, v, yaw)
+//   dref  row-major 2 rows x T cols (rows v, omega)
+//   output_init row-major 2 rows x T cols
+//   output_buff delay_num x 2 (v omega per line)
+//
+// stdout:
+//   QP <n> <nc>            -- first solveMPCV assembly (iteration 0)
+//   P  (n x n dense, row-major, one row per line)
+//   q / l / u (one line each)
+//   A  (nc x n dense)
+//   SOL0 <n>               -- OSQP-accurate solution of that first QP
+//   OUT (2 x T row-major)  -- final output matrix after n_iters
+//   CMD v omega            -- output.col(delay_num), the published command
+//   BUFF delay_num x 2     -- delay buffer after the getCmd update
+#include <cmath>
+#include <cstdio>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include <Eigen/Dense>
+#include <Eigen/Sparse>
+
+#include "common_stub.h"
+
+// Access private members (xref, output, solveMPCV, ...) -- test-only trick,
+// std/Eigen fully pre-included above so the define can't corrupt them.
+#define private public
+#define protected public
+#include "mpc.cpp"  // reference mpc_controller/src/mpc.cpp
+#undef private
+#undef protected
+
+static void print_vec(const char* tag, const Eigen::VectorXd& v) {
+    std::printf("%s", tag);
+    for (int i = 0; i < v.size(); ++i) std::printf(" %.17g", v[i]);
+    std::printf("\n");
+}
+
+int main() {
+    int T, delay_num, n_iters;
+    double dt;
+    if (std::scanf("%d %lf %d %d", &T, &dt, &delay_num, &n_iters) != 4)
+        return 1;
+    std::vector<double> Q(4), R(2), Rd(2);
+    for (auto& v : Q) if (std::scanf("%lf", &v) != 1) return 1;
+    for (auto& v : R) if (std::scanf("%lf", &v) != 1) return 1;
+    for (auto& v : Rd) if (std::scanf("%lf", &v) != 1) return 1;
+    double max_speed, min_speed, max_omega, max_acc, max_domega;
+    if (std::scanf("%lf %lf %lf %lf %lf", &max_speed, &min_speed,
+                   &max_omega, &max_acc, &max_domega) != 5)
+        return 1;
+
+    oracle_params::set("/mpc/du_threshold", 0.01);
+    oracle_params::set("/mpc/dt", dt);
+    oracle_params::set("/mpc/max_iter", n_iters);
+    oracle_params::set("/mpc/predict_steps", T);
+    oracle_params::set("/mpc/max_omega", max_omega);
+    oracle_params::set("/mpc/max_domega", max_domega);
+    oracle_params::set("/mpc/max_vel", max_speed);
+    oracle_params::set("/mpc/min_vel", min_speed);
+    oracle_params::set("/mpc/max_acc", max_acc);
+    oracle_params::set("/mpc/delay_num", delay_num);
+    oracle_params::set("/mpc/matrix_q", Q);
+    oracle_params::set("/mpc/matrix_r", R);
+    oracle_params::set("/mpc/matrix_rd", Rd);
+
+    ros::NodeHandle nh;
+    MpcController mpc(nh);
+
+    if (std::scanf("%lf %lf %lf %lf %lf", &mpc.now_state.x,
+                   &mpc.now_state.y, &mpc.now_state.theta,
+                   &mpc.now_state.v, &mpc.now_state.w) != 5)
+        return 1;
+    for (int r = 0; r < 4; ++r)
+        for (int c = 0; c < T; ++c)
+            if (std::scanf("%lf", &mpc.xref(r, c)) != 1) return 1;
+    for (int r = 0; r < 2; ++r)
+        for (int c = 0; c < T; ++c)
+            if (std::scanf("%lf", &mpc.dref(r, c)) != 1) return 1;
+    for (int r = 0; r < 2; ++r)
+        for (int c = 0; c < T; ++c)
+            if (std::scanf("%lf", &mpc.output(r, c)) != 1) return 1;
+    for (int i = 0; i < delay_num; ++i) {
+        double v, w;
+        if (std::scanf("%lf %lf", &v, &w) != 2) return 1;
+        mpc.output_buff[i] << v, w;
+    }
+
+    // getCmd body (:571-593) with the wall-clock budget break removed so
+    // the iteration count is deterministic; then the delay-buffer update
+    // (:609-613).
+    for (int it = 0; it < n_iters; ++it) {
+        mpc.predictMotion();
+        mpc.solveMPCV();
+    }
+    if (delay_num > 0) {
+        mpc.output_buff.erase(mpc.output_buff.begin());
+        mpc.output_buff.push_back(Eigen::Vector2d(
+            mpc.output(0, delay_num), mpc.output(1, delay_num)));
+    }
+
+    const auto& rec = osqp_oracle::records().front();
+    const int n = static_cast<int>(rec.P.rows());
+    const int nc = static_cast<int>(rec.A.rows());
+    std::printf("QP %d %d\n", n, nc);
+    for (int i = 0; i < n; ++i) {
+        for (int j = 0; j < n; ++j)
+            std::printf("%.17g ", rec.P(i, j));
+        std::printf("\n");
+    }
+    print_vec("q", rec.q);
+    print_vec("l", rec.l);
+    print_vec("u", rec.u);
+    for (int i = 0; i < nc; ++i) {
+        for (int j = 0; j < n; ++j)
+            std::printf("%.17g ", rec.A(i, j));
+        std::printf("\n");
+    }
+    print_vec("SOL0", rec.solution);
+
+    std::printf("OUT");
+    for (int r = 0; r < 2; ++r)
+        for (int c = 0; c < T; ++c)
+            std::printf(" %.17g", mpc.output(r, c));
+    std::printf("\n");
+    std::printf("CMD %.17g %.17g\n", mpc.output(0, delay_num),
+                mpc.output(1, delay_num));
+    std::printf("BUFF");
+    for (int i = 0; i < delay_num; ++i)
+        std::printf(" %.17g %.17g", mpc.output_buff[i][0],
+                    mpc.output_buff[i][1]);
+    std::printf("\n");
+    return 0;
+}

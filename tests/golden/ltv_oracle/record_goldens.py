@@ -1,0 +1,99 @@
+"""Record LTV-MPC golden traces from the compiled reference mpc.cpp.
+
+Each scenario is one control tick: a curved reference window, an offset
+start state, a warm-started output sequence and a populated delay
+buffer.  The oracle (./ltv_oracle, see harness.cpp) runs the REFERENCE
+predictMotion/solveMPCV iteration with an OSQP-faithful solve and dumps
+(1) the first assembled QP (P, q, A, l, u) -- pinning the assembly that
+    mpc.cpp:304-493 performs,
+(2) its accurate solution, and
+(3) the final output matrix / published command / delay buffer after
+    n_iters SQP passes -- pinning the getCmd iteration + delay
+    semantics (:569-613).
+
+Scenarios cover delay_num 0/1/2, straight and curved references, and a
+saturating case that activates speed/omega and rate bounds.  Run from
+this directory after ./build.sh; goldens land in tests/golden/ltv/.
+"""
+import os
+import subprocess
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.normpath(os.path.join(HERE, "..", "ltv"))
+
+T = 30
+DT = 0.01
+# mpc3ms.yaml weights; limits from the car3ms profile
+Q = (15.0, 15.0, 0.0, 1.0)
+R = (0.0, 0.0)
+RD = (1.0, 0.05)
+LIMITS = (3.0, 0.0, 3.0, 2.0, 4.0)  # max_speed min_speed max_omega max_acc max_domega
+
+
+def curved_refs(curve, v, x0=0.0, y0=0.0, yaw0=0.0):
+    ts = np.arange(T) * DT
+    if abs(curve) > 1e-9:
+        yaw = yaw0 + curve * ts
+        xs = x0 + v / curve * (np.sin(yaw) - np.sin(yaw0))
+        ys = y0 - v / curve * (np.cos(yaw) - np.cos(yaw0))
+    else:
+        yaw = np.full(T, yaw0)
+        xs = x0 + v * ts * np.cos(yaw0)
+        ys = y0 + v * ts * np.sin(yaw0)
+    xref = np.stack([xs, ys, np.full(T, v), yaw])
+    dref = np.stack([np.full(T, v), np.full(T, curve)])
+    return xref, dref
+
+
+def scenario(name, delay, n_iters, curve, v, state, warm, buff, rng):
+    xref, dref = curved_refs(curve, v)
+    output = np.zeros((2, T))
+    if warm:
+        output[0] = v + 0.05 * rng.standard_normal(T)
+        output[1] = curve + 0.05 * rng.standard_normal(T)
+    lines = [f"{T} {DT:.17g} {delay} {n_iters}",
+             " ".join(f"{q:.17g}" for q in Q),
+             " ".join(f"{r:.17g}" for r in R),
+             " ".join(f"{r:.17g}" for r in RD),
+             " ".join(f"{v_:.17g}" for v_ in LIMITS),
+             " ".join(f"{s:.17g}" for s in state)]
+    for row in xref:
+        lines.append(" ".join(f"{v_:.17g}" for v_ in row))
+    for row in dref:
+        lines.append(" ".join(f"{v_:.17g}" for v_ in row))
+    for row in output:
+        lines.append(" ".join(f"{v_:.17g}" for v_ in row))
+    for i in range(delay):
+        lines.append(f"{buff[i][0]:.17g} {buff[i][1]:.17g}")
+    stdin = "\n".join(lines) + "\n"
+    res = subprocess.run([os.path.join(HERE, "ltv_oracle")], input=stdin,
+                         capture_output=True, text=True, check=True)
+    with open(os.path.join(OUT, f"{name}_in.txt"), "w") as f:
+        f.write(stdin)
+    with open(os.path.join(OUT, f"{name}_out.txt"), "w") as f:
+        f.write(res.stdout)
+    cmd = [ln for ln in res.stdout.splitlines() if ln.startswith("CMD")][0]
+    print(f"{name}: cmd = {cmd[4:]}")
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    rng = np.random.default_rng(7)
+    # (name, delay, n_iters, curve, v, now_state(x y th v w), warm, buff)
+    scenario("curve_d1", 1, 3, 0.8, 1.2,
+             (0.03, -0.05, 0.10, 0.0, 0.0), True,
+             [(1.15, 0.75)], rng)
+    scenario("straight_d0", 0, 2, 0.0, 1.5,
+             (-0.04, 0.06, -0.08, 0.0, 0.0), True, [], rng)
+    scenario("tightturn_d2", 2, 3, 2.2, 2.6,
+             (0.05, 0.04, 0.30, 0.0, 0.0), True,
+             [(2.5, 2.1), (2.55, 2.2)], rng)
+    scenario("coldstart_d1", 1, 1, -0.6, 0.9,
+             (0.0, 0.0, 0.0, 0.0, 0.0), False,
+             [(0.0, 0.0)], rng)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,430 @@
+// Shared stub surface so the reference mpc_controller/src/mpc.cpp compiles
+// standalone as a golden-trace oracle (no ROS/PCL/OSQP in this image).
+// Same approach as tests/golden/{backend,ekf,plant}_oracle: only the API
+// the node actually touches is provided; numerical code (traj_anal.hpp,
+// gcopter/minco.hpp) is the REAL reference source.
+//
+// The OsqpEigen stub below is a real solver: OSQP's ADMM (sigma-regularized
+// x-update, relaxed z-update, per-row rho with the equality boost) plus the
+// active-set polish step, dense Eigen.  It also records the assembled
+// (P, q, A, l, u) of every solveMPCV call so the harness can dump the raw QP
+// for assembly-level parity (mpc.cpp:304-493).
+#ifndef LTV_ORACLE_COMMON_STUB_H
+#define LTV_ORACLE_COMMON_STUB_H
+
+#include <chrono>
+#include <map>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include <Eigen/Dense>
+#include <Eigen/Sparse>
+
+typedef unsigned int u_int;
+
+namespace oracle_params {
+inline std::map<std::string, double>& doubles() {
+    static std::map<std::string, double> m; return m;
+}
+inline std::map<std::string, int>& ints() {
+    static std::map<std::string, int> m; return m;
+}
+inline std::map<std::string, bool>& bools() {
+    static std::map<std::string, bool> m; return m;
+}
+inline std::map<std::string, std::vector<double>>& dvecs() {
+    static std::map<std::string, std::vector<double>> m; return m;
+}
+inline void set(const std::string& k, double v) { doubles()[k] = v; }
+inline void set(const std::string& k, int v) { ints()[k] = v; }
+inline void set(const std::string& k, bool v) { bools()[k] = v; }
+inline void set(const std::string& k, const std::vector<double>& v) {
+    dvecs()[k] = v;
+}
+}  // namespace oracle_params
+
+namespace ros {
+
+namespace this_node {
+inline std::string getName() { return std::string(); }
+}
+
+inline bool ok() { return true; }
+
+class Duration {
+ public:
+    explicit Duration(double s = 0.0) : sec_(s) {}
+    double toSec() const { return sec_; }
+ private:
+    double sec_;
+};
+
+class Time {
+ public:
+    Time() : t_(0.0) {}
+    explicit Time(double t) : t_(t) {}
+    static Time now() {
+        using clock = std::chrono::steady_clock;
+        return Time(std::chrono::duration<double>(
+            clock::now().time_since_epoch()).count());
+    }
+    Duration operator-(const Time& o) const { return Duration(t_ - o.t_); }
+    double toSec() const { return t_; }
+ private:
+    double t_;
+};
+
+class Publisher {
+ public:
+    template <typename M>
+    void publish(const M&) const {}
+};
+
+class Subscriber {};
+class Timer {};
+struct TimerEvent {};
+
+class NodeHandle {
+ public:
+    template <typename M>
+    Publisher advertise(const std::string&, int) { return Publisher(); }
+
+    template <typename M, typename T>
+    Subscriber subscribe(const std::string&, int,
+                         void (T::*)(const typename M::ConstPtr&), T*) {
+        return Subscriber();
+    }
+
+    template <typename T>
+    Timer createTimer(Duration, void (T::*)(const TimerEvent&), T*) {
+        return Timer();
+    }
+
+    bool getParam(const std::string& k, double& v) const {
+        if (oracle_params::doubles().count(k)) {
+            v = oracle_params::doubles()[k]; return true;
+        }
+        return false;
+    }
+    bool getParam(const std::string& k, int& v) const {
+        if (oracle_params::ints().count(k)) {
+            v = oracle_params::ints()[k]; return true;
+        }
+        return false;
+    }
+    bool getParam(const std::string& k, bool& v) const {
+        if (oracle_params::bools().count(k)) {
+            v = oracle_params::bools()[k]; return true;
+        }
+        return false;
+    }
+    bool getParam(const std::string& k, std::vector<double>& v) const {
+        if (oracle_params::dvecs().count(k)) {
+            v = oracle_params::dvecs()[k]; return true;
+        }
+        return false;
+    }
+    template <typename T>
+    void param(const std::string& k, T& v, const T& dflt) const {
+        if (!getParam(k, v)) v = dflt;
+    }
+};
+
+}  // namespace ros
+
+#define ROS_INFO(...) do {} while (0)
+#define ROS_WARN(...) do {} while (0)
+#define ROS_ERROR(...) do {} while (0)
+
+namespace std_msgs {
+struct Header {
+    std::string frame_id;
+    ros::Time stamp;
+};
+struct Bool {
+    typedef std::shared_ptr<const Bool> ConstPtr;
+    bool data = false;
+};
+}  // namespace std_msgs
+
+namespace geometry_msgs {
+struct Point { double x = 0, y = 0, z = 0; };
+struct Vector3 { double x = 0, y = 0, z = 0; };
+struct Quaternion { double x = 0, y = 0, z = 0, w = 1; };
+struct Pose {
+    Point position;
+    Quaternion orientation;
+};
+struct PoseStamped {
+    typedef std::shared_ptr<const PoseStamped> ConstPtr;
+    std_msgs::Header header;
+    Pose pose;
+};
+}  // namespace geometry_msgs
+
+namespace nav_msgs {
+struct Odometry {
+    typedef std::shared_ptr<const Odometry> ConstPtr;
+    std_msgs::Header header;
+    struct { geometry_msgs::Pose pose; } pose;
+};
+struct Path {
+    typedef std::shared_ptr<const Path> ConstPtr;
+    std_msgs::Header header;
+    std::vector<geometry_msgs::PoseStamped> poses;
+};
+}  // namespace nav_msgs
+
+namespace sensor_msgs {
+struct PointCloud2 {
+    typedef std::shared_ptr<const PointCloud2> ConstPtr;
+    std_msgs::Header header;
+};
+}  // namespace sensor_msgs
+
+namespace visualization_msgs {
+struct Marker {
+    typedef std::shared_ptr<const Marker> ConstPtr;
+    static const int LINE_STRIP = 4;
+    static const int ADD = 0;
+    std_msgs::Header header;
+    std::string ns;
+    int id = 0, type = 0, action = 0;
+    geometry_msgs::Pose pose;
+    struct { double x = 0, y = 0, z = 0; } scale;
+    struct { float r = 0, g = 0, b = 0, a = 0; } color;
+    std::vector<geometry_msgs::Point> points;
+};
+}  // namespace visualization_msgs
+
+namespace carstatemsgs {
+struct CarState {
+    typedef std::shared_ptr<const CarState> ConstPtr;
+    std_msgs::Header Header;
+    double x = 0, y = 0, yaw = 0, s = 0, v = 0, omega = 0;
+    double a = 0, alpha = 0, js = 0, jyaw = 0;
+};
+struct Polynome {
+    typedef std::shared_ptr<const Polynome> ConstPtr;
+    std_msgs::Header header;
+    ros::Time traj_start_time;
+    std::vector<geometry_msgs::Vector3> innerpoints;
+    std::vector<double> t_pts;
+    geometry_msgs::Vector3 init_p, init_v, init_a;
+    geometry_msgs::Vector3 tail_p, tail_v, tail_a;
+    geometry_msgs::Vector3 start_position;
+    geometry_msgs::Vector3 ICR;
+};
+}  // namespace carstatemsgs
+
+namespace tf {
+inline double getYaw(const geometry_msgs::Quaternion& q) {
+    return std::atan2(2.0 * (q.w * q.z + q.x * q.y),
+                      1.0 - 2.0 * (q.y * q.y + q.z * q.z));
+}
+inline geometry_msgs::Quaternion createQuaternionMsgFromYaw(double yaw) {
+    geometry_msgs::Quaternion q;
+    q.z = std::sin(0.5 * yaw);
+    q.w = std::cos(0.5 * yaw);
+    return q;
+}
+}  // namespace tf
+
+namespace pcl {
+struct PointXYZ { float x = 0, y = 0, z = 0; };
+struct PointXYZRGB {
+    float x = 0, y = 0, z = 0;
+    unsigned char r = 0, g = 0, b = 0;
+};
+template <typename P>
+struct PointCloud {
+    typedef std::shared_ptr<PointCloud<P>> Ptr;
+    std::vector<P> points;
+    unsigned int width = 0, height = 0;
+    void push_back(const P& p) { points.push_back(p); }
+};
+template <typename C, typename M>
+inline void toROSMsg(const C&, M&) {}
+}  // namespace pcl
+
+// ---------------------------------------------------------------------------
+// OsqpEigen stub: records the assembled QP and SOLVES it with OSQP's own
+// algorithm (dense): ADMM x-update (P + sigma I + A' R A) z/y updates with
+// relaxation alpha, per-row rho with the 1e3 equality boost, then the
+// active-set polish (KKT solve on detected actives).  Accuracy ~1e-10 on
+// these small dense QPs -- good enough to serve as the reference solution.
+// ---------------------------------------------------------------------------
+namespace osqp_oracle {
+
+struct Record {
+    Eigen::MatrixXd P;         // dense hessian
+    Eigen::VectorXd q;
+    Eigen::MatrixXd A;         // dense constraint matrix
+    Eigen::VectorXd l, u;
+    Eigen::VectorXd solution;
+};
+
+inline std::vector<Record>& records() {
+    static std::vector<Record> r; return r;
+}
+
+inline Eigen::VectorXd solve_qp(const Eigen::MatrixXd& P,
+                                const Eigen::VectorXd& q,
+                                const Eigen::MatrixXd& A,
+                                const Eigen::VectorXd& l,
+                                const Eigen::VectorXd& u) {
+    const int n = static_cast<int>(P.rows());
+    const int m = static_cast<int>(A.rows());
+    const double sigma = 1e-6, alpha = 1.6, rho0 = 0.1;
+
+    Eigen::VectorXd rho(m), rho_inv(m);
+    for (int i = 0; i < m; ++i) {
+        const bool eq = (u[i] - l[i]) < 1e-12;
+        rho[i] = eq ? rho0 * 1e3 : rho0;
+        rho_inv[i] = 1.0 / rho[i];
+    }
+
+    Eigen::MatrixXd K = P;
+    K.diagonal().array() += sigma;
+    K.noalias() += A.transpose() * rho.asDiagonal() * A;
+    Eigen::LDLT<Eigen::MatrixXd> ldlt(K);
+
+    Eigen::VectorXd x = Eigen::VectorXd::Zero(n);
+    Eigen::VectorXd z = Eigen::VectorXd::Zero(m);
+    Eigen::VectorXd y = Eigen::VectorXd::Zero(m);
+
+    for (int it = 0; it < 20000; ++it) {
+        Eigen::VectorXd rhs = sigma * x - q +
+            A.transpose() * (rho.asDiagonal() * z - y);
+        Eigen::VectorXd xt = ldlt.solve(rhs);
+        Eigen::VectorXd zt = A * xt;
+        x = alpha * xt + (1.0 - alpha) * x;
+        Eigen::VectorXd z_prev = z;
+        Eigen::VectorXd zr = alpha * zt + (1.0 - alpha) * z_prev +
+                             rho_inv.cwiseProduct(y);
+        z = zr.cwiseMax(l).cwiseMin(u);
+        y += rho.cwiseProduct(alpha * zt + (1.0 - alpha) * z_prev - z);
+
+        if (it % 50 == 0) {
+            double pri = (A * x - z).lpNorm<Eigen::Infinity>();
+            double dua = (P * x + q + A.transpose() * y)
+                             .lpNorm<Eigen::Infinity>();
+            if (pri < 1e-10 && dua < 1e-10) break;
+        }
+    }
+
+    // polish: active rows = equalities + inequality rows at a bound
+    std::vector<int> act;
+    std::vector<double> actb;
+    const double tol = 1e-7;
+    for (int i = 0; i < m; ++i) {
+        const bool eq = (u[i] - l[i]) < 1e-12;
+        if (eq) { act.push_back(i); actb.push_back(l[i]); continue; }
+        if (y[i] > tol && z[i] > u[i] - 1e-6) {
+            act.push_back(i); actb.push_back(u[i]);
+        } else if (y[i] < -tol && z[i] < l[i] + 1e-6) {
+            act.push_back(i); actb.push_back(l[i]);
+        }
+    }
+    const int ma = static_cast<int>(act.size());
+    if (ma > 0) {
+        Eigen::MatrixXd Aact(ma, n);
+        Eigen::VectorXd bact(ma);
+        for (int i = 0; i < ma; ++i) {
+            Aact.row(i) = A.row(act[i]);
+            bact[i] = actb[i];
+        }
+        const double delta = 1e-9;
+        Eigen::MatrixXd KKT(n + ma, n + ma);
+        KKT.setZero();
+        KKT.topLeftCorner(n, n) = P;
+        KKT.topLeftCorner(n, n).diagonal().array() += delta;
+        KKT.topRightCorner(n, ma) = Aact.transpose();
+        KKT.bottomLeftCorner(ma, n) = Aact;
+        KKT.bottomRightCorner(ma, ma).diagonal().array() = -delta;
+        Eigen::VectorXd rhs(n + ma);
+        rhs.head(n) = -q;
+        rhs.tail(ma) = bact;
+        Eigen::PartialPivLU<Eigen::MatrixXd> lu(KKT);
+        Eigen::VectorXd sol = lu.solve(rhs);
+        // one step of iterative refinement against the UNregularized KKT
+        Eigen::MatrixXd KKT0 = KKT;
+        KKT0.topLeftCorner(n, n).diagonal().array() -= delta;
+        KKT0.bottomRightCorner(ma, ma).diagonal().array() += delta;
+        sol += lu.solve(rhs - KKT0 * sol);
+        Eigen::VectorXd xp = sol.head(n);
+        // accept polish only if it does not violate any inactive row
+        Eigen::VectorXd Axp = A * xp;
+        bool feas = true;
+        for (int i = 0; i < m; ++i)
+            if (Axp[i] > u[i] + 1e-7 || Axp[i] < l[i] - 1e-7) {
+                feas = false; break;
+            }
+        double res_admm = (P * x + q + A.transpose() * y)
+                              .lpNorm<Eigen::Infinity>();
+        Eigen::VectorXd yp = Eigen::VectorXd::Zero(m);
+        for (int i = 0; i < ma; ++i) yp[act[i]] = sol[n + i];
+        double res_pol = (P * xp + q + A.transpose() * yp)
+                             .lpNorm<Eigen::Infinity>();
+        if (feas && res_pol <= res_admm) x = xp;
+    }
+    return x;
+}
+
+}  // namespace osqp_oracle
+
+namespace OsqpEigen {
+
+class Settings {
+ public:
+    void setVerbosity(bool) {}
+    void setWarmStart(bool) {}
+    void setAbsoluteTolerance(double) {}
+    void setRelativeTolerance(double) {}
+    void setMaxIteration(int) {}
+};
+
+class Data {
+ public:
+    int n_ = 0, m_ = 0;
+    Eigen::MatrixXd P_, A_;
+    Eigen::VectorXd q_, l_, u_;
+    void setNumberOfVariables(int n) { n_ = n; }
+    void setNumberOfConstraints(int m) { m_ = m; }
+    bool setHessianMatrix(const Eigen::SparseMatrix<double>& H) {
+        P_ = Eigen::MatrixXd(H); return true;
+    }
+    bool setGradient(const Eigen::VectorXd& g) { q_ = g; return true; }
+    bool setLinearConstraintsMatrix(const Eigen::SparseMatrix<double>& A) {
+        A_ = Eigen::MatrixXd(A); return true;
+    }
+    bool setLowerBound(const Eigen::VectorXd& l) { l_ = l; return true; }
+    bool setUpperBound(const Eigen::VectorXd& u) { u_ = u; return true; }
+};
+
+class Solver {
+ public:
+    Settings* settings() { return &settings_; }
+    Data* data() { return &data_; }
+    bool initSolver() { return true; }
+    bool solve() {
+        solution_ = osqp_oracle::solve_qp(data_.P_, data_.q_, data_.A_,
+                                          data_.l_, data_.u_);
+        osqp_oracle::Record rec;
+        rec.P = data_.P_; rec.q = data_.q_; rec.A = data_.A_;
+        rec.l = data_.l_; rec.u = data_.u_; rec.solution = solution_;
+        osqp_oracle::records().push_back(rec);
+        return true;
+    }
+    Eigen::VectorXd getSolution() { return solution_; }
+
+ private:
+    Settings settings_;
+    Data data_;
+    Eigen::VectorXd solution_;
+};
+
+}  // namespace OsqpEigen
+
+#endif  // LTV_ORACLE_COMMON_STUB_H
