@@ -69,6 +69,14 @@ class MissionFleetConfig(NamedTuple):
     # ICR, runtime/closed_loop_physics.py) -- the whole mission program
     # stays one jittable function either way
     plant: str = "kinematic"
+    # correction leg: if > 0, after the main push leg the mission
+    # REPLANS from the realized object pose and tracks a second, short
+    # leg -- the fleet-program twin of the reference FSM's replan-until-
+    # within-tolerance behavior (plan_manager.hpp REPLAN state /
+    # b2z1_object_fsm OBJECT_TRACKING re-entry).  Off by default: it
+    # adds a second plan+track instance to the compiled program, so the
+    # single-shot configs stay cheap to compile.
+    correction_ticks: int = 0
     phys_loop: object = None          # PhysicsLoopConfig override for
                                       # plant="physics" (None = defaults)
     path_max_len: int = 160
@@ -228,6 +236,43 @@ def _wavefront_flat(esdf: ESDF, start_xy, start_yaw, goal_xy,
         if_cut=jnp.asarray(False))
 
 
+def _push_leg(start_xy, start_yaw, target, esdf: ESDF,
+              true_icr: ICRParams, cfg: MissionFleetConfig,
+              n_ticks: int, seed):
+    """One planned push leg: front-end init -> MINCO back-end plan ->
+    Polynome handoff -> NMPC+EKF closed-loop tracking on the configured
+    plant.  Returns (obj_final (3,), track_err_max, plan_err, collision)."""
+    dtype = start_xy.dtype
+    if cfg.frontend_mode == "wavefront":
+        flat = _wavefront_flat(esdf, start_xy, start_yaw, target, cfg)
+    else:
+        flat = _straight_flat(start_xy, start_yaw, target, cfg.n_pieces,
+                              cfg.backend.max_vel)
+    res = plan_backend(flat, esdf, cfg.backend)
+    msg = Polynome(
+        traj_start_time=jnp.zeros((), dtype),
+        inner_points=res.inner,
+        piece_times=res.times,
+        init_state=flat.start_state,
+        tail_state=res.tail_state,
+        start_position=flat.start_xytheta,
+        icr=jnp.asarray([true_icr.yr, true_icr.yl, true_icr.xv], dtype))
+    tt = build_tracked_traj(msg, n_grid=256)
+
+    if cfg.plant == "physics":
+        from .closed_loop_physics import (PhysicsLoopConfig,
+                                          simulate_tracking_physics)
+        tr = simulate_tracking_physics(
+            tt, n_ticks, cfg.phys_loop or PhysicsLoopConfig(), seed=seed)
+        obj_final = tr.obj_xytheta[-1]
+    else:
+        tr = simulate_tracking(tt, true_icr, n_ticks, cfg.loop,
+                               seed=seed, x0=tt.seq[0])
+        obj_final = tr.xytheta[-1]
+    return (obj_final, jnp.max(tr.pos_err),
+            jnp.linalg.norm(res.final_xy_err), res.collision)
+
+
 def run_mission(items, targets, robot_start, esdf: ESDF,
                 true_icr: ICRParams,
                 cfg: MissionFleetConfig = MissionFleetConfig(),
@@ -249,42 +294,29 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
         robot = _approach(robot, item, cfg.fsm, cfg.approach_ticks)
         # grasp ramp holds pose for grasp_ticks (arm ramp only)
 
-        # --- push planning: object from item to target ---
-        if cfg.frontend_mode == "wavefront":
-            flat = _wavefront_flat(esdf, item, robot[2], target, cfg)
-        else:
-            flat = _straight_flat(item, robot[2], target, cfg.n_pieces,
-                                  cfg.backend.max_vel)
-        res = plan_backend(flat, esdf, cfg.backend)
-        msg = Polynome(
-            traj_start_time=jnp.zeros((), dtype),
-            inner_points=res.inner,
-            piece_times=res.times,
-            init_state=flat.start_state,
-            tail_state=res.tail_state,
-            start_position=flat.start_xytheta,
-            icr=jnp.asarray([true_icr.yr, true_icr.yl, true_icr.xv],
-                            dtype))
-        tt = build_tracked_traj(msg, n_grid=256)
+        # --- OBJECT_TRACKING: plan + closed-loop NMPC push ---
+        obj_final, tmax, perr, coll = _push_leg(
+            item, robot[2], target, esdf, true_icr, cfg,
+            cfg.push_ticks, seed + k)
 
-        # --- OBJECT_TRACKING: closed-loop NMPC push from the item pose ---
-        if cfg.plant == "physics":
-            from .closed_loop_physics import (PhysicsLoopConfig,
-                                              simulate_tracking_physics)
-            tr = simulate_tracking_physics(
-                tt, cfg.push_ticks, cfg.phys_loop or PhysicsLoopConfig(),
-                seed=seed + k)
-            obj_final = tr.obj_xytheta[-1]
-        else:
-            tr = simulate_tracking(tt, true_icr, cfg.push_ticks, cfg.loop,
-                                   seed=seed + k, x0=tt.seq[0])
-            obj_final = tr.xytheta[-1]
+        if cfg.correction_ticks > 0:
+            # REPLAN from the realized object pose: the reference FSM
+            # re-enters planning until the object is within tolerance;
+            # one short correction leg recovers the legs whose planned
+            # duration exceeded the main push budget.
+            obj_final, tmax2, perr2, coll2 = _push_leg(
+                obj_final[:2], obj_final[2], target, esdf, true_icr,
+                cfg, cfg.correction_ticks, seed + K + k)
+            tmax = jnp.maximum(tmax, tmax2)
+            perr = jnp.maximum(perr, perr2)
+            coll = jnp.logical_or(coll, coll2)
+
         err = jnp.linalg.norm(obj_final[:2] - target)
         errs.append(err)
         dels.append(err < cfg.deliver_tol)
-        perrs.append(jnp.linalg.norm(res.final_xy_err))
-        colls.append(res.collision)
-        tmaxs.append(jnp.max(tr.pos_err))
+        perrs.append(perr)
+        colls.append(coll)
+        tmaxs.append(tmax)
         # release ramp; robot remains at the delivery pose
         robot = obj_final
 
@@ -298,5 +330,6 @@ def mission_seconds(cfg: MissionFleetConfig, n_objects: int) -> float:
     """Simulated real-time seconds one mission models (executive phases
     at fsm_dt, push tracking at the NMPC dt)."""
     per = ((cfg.approach_ticks + cfg.grasp_ticks + cfg.release_ticks)
-           * cfg.fsm.fsm_dt + cfg.push_ticks * cfg.loop.nmpc.dt)
+           * cfg.fsm.fsm_dt
+           + (cfg.push_ticks + cfg.correction_ticks) * cfg.loop.nmpc.dt)
     return per * n_objects

@@ -38,8 +38,9 @@ def main():
     occ[30:40, 44:50] = True
     esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
     icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+    corr = int(os.environ.get("CORRECTION", "0"))  # correction-leg ticks
     cfg = MissionFleetConfig(approach_ticks=700, push_ticks=550,
-                             plant=plant)
+                             plant=plant, correction_ticks=corr)
 
     rng = np.random.default_rng(0)
     # items on the left, targets on the right with bounded lateral
@@ -83,6 +84,7 @@ def main():
     print(json.dumps({
         "metric": "full_missions_per_s_per_chip",
         "plant": plant,
+        "correction_ticks": corr,
         "fleet": B,
         "objects_per_mission": K,
         "missions_per_s": round(missions_per_s, 1),

@@ -186,3 +186,27 @@ def test_endurance_on_contact_plant():
         f"{int((~delivered).sum())}/32 failed; errs "
         f"{np.asarray(res.object_err)[~delivered]}")
     assert not np.asarray(res.collision).any()
+
+
+@pytest.mark.slow
+def test_correction_leg_recovers_short_push_budget():
+    """correction_ticks > 0 replans from the realized object pose (the
+    reference FSM's replan-until-within-tolerance twin): a push budget
+    too short for the planned leg duration fails single-shot and is
+    recovered by one short correction leg."""
+    occ = np.zeros((80, 80), bool)
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    items = jnp.asarray([[1.0, 4.0]])
+    targets = jnp.asarray([[6.0, 4.0]])       # 5 m leg, ~3.3 s duration
+    robot0 = jnp.asarray([0.5, 4.0, 0.0])
+    cfg = MissionFleetConfig(approach_ticks=300, push_ticks=220)  # 2.2 s
+
+    short = jax.jit(lambda i, t, r: run_mission(i, t, r, esdf, ICR, cfg))(
+        items, targets, robot0)
+    assert not bool(short.delivered.all())    # budget deliberately short
+
+    cfg2 = cfg._replace(correction_ticks=220)
+    fixed = jax.jit(lambda i, t, r: run_mission(i, t, r, esdf, ICR, cfg2))(
+        items, targets, robot0)
+    assert bool(fixed.delivered.all())
+    assert float(fixed.object_err.max()) < 0.15
