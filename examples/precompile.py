@@ -1,0 +1,121 @@
+"""Warm the persistent compilation cache for the deployment programs.
+
+The known operational gap of the bucketed-piece-count design is
+first-compile latency: each (program, bucket) pair costs minutes the
+first time a process traces it (STATUS.md "Known gap").  The package
+already persists compiled executables across processes
+(`jax_compilation_cache_dir`, alore_legged_manipulator_tpu/__init__.py);
+this tool pays that cost ONCE, offline -- the deployment twin of the
+reference's ACADO code generation step, which also moves solver
+compilation out of the control loop (UAV_CAR_model.cpp:137-160).
+
+It compiles, for the current default backend/NMPC configs:
+  * `plan_backend` at every piece bucket the front end can emit
+    (planner/frontend.py piece_buckets), on a grid shaped like the
+    deployment map,
+  * the NMPC RTI tick at the reference horizon,
+  * the closed-loop tracking program used between replans.
+
+Run:  BUCKETS=3,4,6 TICKS=400 python examples/precompile.py
+(defaults: all frontend buckets, the mission push-tick count).
+AOT `.lower().compile()` is used so nothing executes on-chip; only
+executables are built and cached.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def synthetic_flat(n_pieces: int, dtype=jnp.float32):
+    """A FlatTraj with the bucket's static shapes (values irrelevant --
+    only shapes/dtypes reach the compile cache key)."""
+    from alore_legged_manipulator_tpu.planner.flat_traj import FlatTraj
+    z = jnp.zeros((), dtype)
+    fr = jnp.arange(1, n_pieces, dtype=dtype) / n_pieces
+    L = jnp.asarray(4.0, dtype)
+    return FlatTraj(
+        inner_yaw_s=jnp.stack([jnp.zeros((n_pieces - 1,), dtype), L * fr]),
+        init_piece_time=jnp.asarray(0.5, dtype),
+        inner_positions=jnp.concatenate(
+            [jnp.concatenate([jnp.stack([L * fr, jnp.zeros_like(fr)], 1),
+                              jnp.zeros((n_pieces - 1, 1), dtype)], 1),
+             jnp.asarray([[4.0, 0.0, 0.0]], dtype)], 0),
+        start_state=jnp.zeros((2, 3), dtype),
+        final_state=jnp.zeros((2, 3), dtype).at[1, 0].set(L),
+        start_xytheta=jnp.zeros((3,), dtype),
+        final_xytheta=jnp.asarray([4.0, 0.0, 0.0], dtype),
+        if_cut=jnp.asarray(False))
+
+
+def main():
+    from alore_legged_manipulator_tpu.control.nmpc import (
+        NmpcConfig, nmpc_init, nmpc_rti_step)
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.planner.backend import (
+        BackendConfig, plan_backend)
+    from alore_legged_manipulator_tpu.planner.frontend import FrontendConfig
+    from alore_legged_manipulator_tpu.runtime.closed_loop import (
+        LoopConfig, simulate_tracking)
+    from alore_legged_manipulator_tpu.control.tracked_traj import (
+        build_tracked_traj)
+    from alore_legged_manipulator_tpu.planner.flat_traj import Polynome
+
+    dtype = jnp.float32
+    buckets = tuple(
+        int(b) for b in os.environ["BUCKETS"].split(",")) \
+        if "BUCKETS" in os.environ else FrontendConfig().piece_buckets
+    ticks = int(os.environ.get("TICKS", "550"))
+
+    side = int(os.environ.get("MAP_CELLS", "80"))
+    occ = np.zeros((side, side), bool)
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    bcfg = BackendConfig()
+    lcfg = LoopConfig()
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+
+    total0 = time.perf_counter()
+    for n in buckets:
+        flat = synthetic_flat(n, dtype)
+        t0 = time.perf_counter()
+        jax.jit(lambda f, e: plan_backend(f, e, bcfg)).lower(
+            flat, esdf).compile()
+        print(f"plan_backend bucket {n:>2}: {time.perf_counter()-t0:7.1f} s")
+
+    ncfg = NmpcConfig()
+    carry = nmpc_init(ncfg, jnp.zeros((3,), dtype), dtype)
+    ref_x = jnp.zeros((3, ncfg.horizon + 1), dtype)
+    ref_u = jnp.ones((2, ncfg.horizon + 1), dtype)
+    t0 = time.perf_counter()
+    jax.jit(lambda c, x, rx, ru: nmpc_rti_step(c, x, rx, ru, icr, ncfg)
+            ).lower(carry, jnp.zeros((3,), dtype), ref_x, ref_u).compile()
+    print(f"nmpc_rti_step N={ncfg.horizon}: {time.perf_counter()-t0:7.1f} s")
+
+    # closed-loop tracking program between replans (one bucket suffices:
+    # the tracked-traj grid is shape-static across buckets)
+    flat = synthetic_flat(buckets[0], dtype)
+    res = plan_backend(flat, esdf, bcfg)
+    msg = Polynome(
+        traj_start_time=jnp.zeros((), dtype), inner_points=res.inner,
+        piece_times=res.times, init_state=flat.start_state,
+        tail_state=res.tail_state, start_position=flat.start_xytheta,
+        icr=jnp.asarray([icr.yr, icr.yl, icr.xv], dtype))
+    tt = build_tracked_traj(msg, n_grid=256)
+    t0 = time.perf_counter()
+    jax.jit(lambda t: simulate_tracking(t, icr, ticks, lcfg)).lower(
+        tt).compile()
+    print(f"simulate_tracking {ticks} ticks: {time.perf_counter()-t0:7.1f} s")
+    print(f"cache warm in {time.perf_counter()-total0:.1f} s "
+          f"({len(buckets)} buckets); subsequent processes hit "
+          f"{jax.config.jax_compilation_cache_dir}")
+
+
+if __name__ == "__main__":
+    main()
