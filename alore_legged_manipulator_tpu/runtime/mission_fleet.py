@@ -303,13 +303,20 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
             # REPLAN from the realized object pose: the reference FSM
             # re-enters planning until the object is within tolerance;
             # one short correction leg recovers the legs whose planned
-            # duration exceeded the main push budget.
-            obj_final, tmax2, perr2, coll2 = _push_leg(
+            # duration exceeded the main push budget.  Gated on the main
+            # leg's outcome: a delivered object is RELEASED (the FSM
+            # never replans it), so the correction result only applies
+            # to lanes that actually missed -- under vmap both branches
+            # compute, but a short fresh-EKF leg can only help, never
+            # disturb an already-delivered object.
+            ok1 = jnp.linalg.norm(obj_final[:2] - target) < cfg.deliver_tol
+            obj2, tmax2, perr2, coll2 = _push_leg(
                 obj_final[:2], obj_final[2], target, esdf, true_icr,
                 cfg, cfg.correction_ticks, seed + K + k)
-            tmax = jnp.maximum(tmax, tmax2)
-            perr = jnp.maximum(perr, perr2)
-            coll = jnp.logical_or(coll, coll2)
+            obj_final = jnp.where(ok1, obj_final, obj2)
+            tmax = jnp.where(ok1, tmax, jnp.maximum(tmax, tmax2))
+            perr = jnp.where(ok1, perr, jnp.maximum(perr, perr2))
+            coll = jnp.where(ok1, coll, jnp.logical_or(coll, coll2))
 
         err = jnp.linalg.norm(obj_final[:2] - target)
         errs.append(err)
