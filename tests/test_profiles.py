@@ -1,0 +1,103 @@
+"""Config-profile loader: reference yaml -> typed configs, default pinning.
+
+Pins every NamedTuple default that maps to a reference yaml key against
+the ACTUAL profile files under /root/reference (VERDICT r2 missing #5:
+"one transposition = silent behavior drift").  Also checks the
+readParam hard-fail contract (optimizer.h:278-297): a missing key must
+raise, never default silently.
+"""
+import os
+
+import pytest
+
+from alore_legged_manipulator_tpu.config import (
+    ProfileKeyError, backend_config_from_profiles,
+    frontend_config_from_profiles, load_profile, ltv_config_from_profiles,
+    nmpc_config_from_profile, occupancy_config_from_profile,
+    reference_profile_paths)
+from alore_legged_manipulator_tpu.control.ltv_mpc import LtvMpcConfig
+from alore_legged_manipulator_tpu.control.nmpc import NmpcConfig
+from alore_legged_manipulator_tpu.planner.backend import BackendConfig
+from alore_legged_manipulator_tpu.planner.frontend import FrontendConfig
+from alore_legged_manipulator_tpu.world.lidar import OccupancyConfig
+
+PATHS = reference_profile_paths()
+HAVE_REF = all(os.path.exists(p) for p in PATHS.values())
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_REF, reason="reference profiles not present")
+
+
+@pytest.fixture(scope="module")
+def profiles():
+    return {k: load_profile(v) for k, v in PATHS.items()}
+
+
+def _assert_pinned(built, defaults):
+    """Field-by-field comparison so a drift names the exact field."""
+    for f in built._fields:
+        assert getattr(built, f) == getattr(defaults, f), (
+            f"{type(built).__name__}.{f}: yaml gives {getattr(built, f)!r} "
+            f"but the default is {getattr(defaults, f)!r}")
+
+
+def test_backend_defaults_pinned(profiles):
+    _assert_pinned(
+        backend_config_from_profiles(profiles["car"],
+                                     profiles["global_planning"]),
+        BackendConfig())
+
+
+def test_frontend_defaults_pinned(profiles):
+    _assert_pinned(
+        frontend_config_from_profiles(profiles["jps"], profiles["car"],
+                                      profiles["global_planning"]),
+        FrontendConfig())
+
+
+def test_nmpc_defaults_pinned(profiles):
+    _assert_pinned(nmpc_config_from_profile(profiles["nmpc"]), NmpcConfig())
+
+
+def test_ltv_defaults_pinned(profiles):
+    _assert_pinned(ltv_config_from_profiles(profiles["ltv"],
+                                            profiles["car"]),
+                   LtvMpcConfig())
+
+
+def test_occupancy_defaults_pinned(profiles):
+    _assert_pinned(occupancy_config_from_profile(profiles["mapsim"]),
+                   OccupancyConfig())
+
+
+def test_missing_key_hard_fails(profiles):
+    broken = dict(profiles["car"])
+    del broken["max_vel"]
+    with pytest.raises(ProfileKeyError):
+        backend_config_from_profiles(broken, profiles["global_planning"])
+    broken_g = dict(profiles["global_planning"])
+    del broken_g["penaltyWeights"]
+    with pytest.raises(ProfileKeyError):
+        backend_config_from_profiles(profiles["car"], broken_g)
+    broken_n = dict(profiles["nmpc"])
+    del broken_n["matrix_q"]
+    with pytest.raises(ProfileKeyError):
+        nmpc_config_from_profile(broken_n)
+
+
+def test_overrides_apply(profiles):
+    cfg = nmpc_config_from_profile(profiles["nmpc"], horizon=30)
+    assert cfg.horizon == 30
+    assert cfg.q_diag == (10.0, 10.0, 0.5)
+
+
+def test_unknown_profile_variant_loads():
+    """The *_unknown.yaml variants (unknown-environment missions) load
+    and build too -- they share the schema."""
+    root = "/root/reference/planning_ddr_opt"
+    car = load_profile(os.path.join(
+        root, "plan_manager/config/car3ms_unknown.yaml"))
+    glob = load_profile(os.path.join(
+        root, "back_end/config/global_planning3ms_unknown.yaml"))
+    cfg = backend_config_from_profiles(car, glob)
+    assert cfg.max_vel > 0
