@@ -119,25 +119,6 @@ def test_box_qp_pncg_matches_direct():
     assert float(box_qp_kkt_residual(H, g, lb, ub, z_cg)) < 1e-5
 
 
-def test_box_qp_pallas_matches_reference_solver():
-    """Pallas fused QP kernel (interpret mode on CPU) vs the XLA solver."""
-    from alore_legged_manipulator_tpu.ops import box_qp_pncg
-    from alore_legged_manipulator_tpu.ops.pallas_qp import box_qp_pallas
-    keys = jax.random.split(jax.random.PRNGKey(7), 4)
-    Hs, gs, lbs, ubs = jax.vmap(lambda k: _rand_qp(k, 20))(keys)
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
-    z_ref = jax.vmap(lambda H, g, lb, ub: box_qp_pncg(
-        f32(H), f32(g), f32(lb), f32(ub), iters=6, cg_iters=25))(
-        Hs, gs, lbs, ubs)
-    z_pl = box_qp_pallas(Hs, gs, lbs, ubs, iters=6, cg_iters=25,
-                         interpret=True)
-    np.testing.assert_allclose(np.asarray(z_pl), np.asarray(z_ref),
-                               atol=2e-4)
-    res = jax.vmap(box_qp_kkt_residual)(f32(Hs), f32(gs), f32(lbs), f32(ubs),
-                                        jnp.asarray(z_pl, jnp.float32))
-    assert float(jnp.max(res)) < 5e-3
-
-
 def test_companion_roots_and_max_rates():
     from alore_legged_manipulator_tpu.ops.roots import (companion_roots,
                                                         poly_max_abs_on,
