@@ -335,7 +335,16 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
 
 def mission_seconds(cfg: MissionFleetConfig, n_objects: int) -> float:
     """Simulated real-time seconds one mission models (executive phases
-    at fsm_dt, push tracking at the NMPC dt)."""
+    at fsm_dt, push tracking at the NMPC dt).
+
+    UPPER BOUND when correction_ticks > 0: the correction leg is
+    counted for EVERY object (it is computed for every vmap lane), but
+    its *result* only applies to lanes that missed the main push budget
+    (run_mission gates on deliver_tol) -- delivered objects never spend
+    that time in the reference FSM.  Any "x real time" ratio derived
+    from this number is correspondingly optimistic by up to
+    correction_ticks/push_ticks; quote it as an upper bound, or set
+    correction_ticks=0 for the exact model."""
     per = ((cfg.approach_ticks + cfg.grasp_ticks + cfg.release_ticks)
            * cfg.fsm.fsm_dt
            + (cfg.push_ticks + cfg.correction_ticks) * cfg.loop.nmpc.dt)

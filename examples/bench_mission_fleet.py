@@ -89,6 +89,8 @@ def main():
         "objects_per_mission": K,
         "missions_per_s": round(missions_per_s, 1),
         "objects_per_s": round(missions_per_s * K, 1),
+        # mission_seconds counts the correction leg for every object, so
+        # with correction_ticks > 0 both are UPPER BOUNDS (see its doc)
         "sim_seconds_per_mission": round(sim_s, 1),
         "aggregate_realtime_x": round(missions_per_s * sim_s, 1),
         "delivered_frac": float(delivered.mean()),

@@ -112,6 +112,27 @@ def main():
     jax.jit(lambda t: simulate_tracking(t, icr, ticks, lcfg)).lower(
         tt).compile()
     print(f"simulate_tracking {ticks} ticks: {time.perf_counter()-t0:7.1f} s")
+
+    # Optional: the fused run_mission fleet executable itself.  Cache
+    # hits require the SAME map shape (MAP_CELLS), object count
+    # (MISSION_OBJECTS) and MissionFleetConfig as deployment -- without
+    # this warm, the fused program still compiles online even when all
+    # its component programs above are cached.
+    if os.environ.get("WARM_MISSION", "0") == "1":
+        from alore_legged_manipulator_tpu.runtime.mission_fleet import (
+            MissionFleetConfig, run_mission)
+        K = int(os.environ.get("MISSION_OBJECTS", "3"))
+        mcfg = MissionFleetConfig(
+            backend=bcfg, plant=os.environ.get("PLANT", "kinematic"))
+        items = jnp.tile(jnp.asarray([2.5, 2.5], dtype), (K, 1))
+        targets = jnp.tile(jnp.asarray([6.0, 6.0], dtype), (K, 1))
+        t0 = time.perf_counter()
+        jax.jit(lambda i, tg, r: run_mission(i, tg, r, esdf, icr, mcfg)
+                ).lower(items, targets,
+                        jnp.zeros((3,), dtype)).compile()
+        print(f"run_mission K={K} ({mcfg.plant}): "
+              f"{time.perf_counter()-t0:7.1f} s")
+
     print(f"cache warm in {time.perf_counter()-total0:.1f} s "
           f"({len(buckets)} buckets); subsequent processes hit "
           f"{jax.config.jax_compilation_cache_dir}")

@@ -102,6 +102,13 @@ int main() {
         mpc.output_buff[i] << v, w;
     }
 
+    // CmdCallback pre-step (:168): unwrap the yaw reference against the
+    // current state BEFORE the SQP iteration, exactly as the node does.
+    // No-op for references already within pi/2 per step (all pre-round-3
+    // scenarios, whose goldens are bit-identical with or without this);
+    // load-bearing for the yawwrap scenario whose refs cross +/-pi.
+    mpc.smooth_yaw();
+
     // getCmd body (:571-593) with the wall-clock budget break removed so
     // the iteration count is deterministic; then the delay-buffer update
     // (:609-613).

@@ -32,7 +32,7 @@ RD = (1.0, 0.05)
 LIMITS = (3.0, 0.0, 3.0, 2.0, 4.0)  # max_speed min_speed max_omega max_acc max_domega
 
 
-def curved_refs(curve, v, x0=0.0, y0=0.0, yaw0=0.0):
+def curved_refs(curve, v, x0=0.0, y0=0.0, yaw0=0.0, wrap=False):
     ts = np.arange(T) * DT
     if abs(curve) > 1e-9:
         yaw = yaw0 + curve * ts
@@ -42,13 +42,19 @@ def curved_refs(curve, v, x0=0.0, y0=0.0, yaw0=0.0):
         yaw = np.full(T, yaw0)
         xs = x0 + v * ts * np.cos(yaw0)
         ys = y0 + v * ts * np.sin(yaw0)
+    if wrap:
+        # publish the yaw reference WRAPPED to (-pi, pi] the way an
+        # upstream node would -- the oracle's smooth_yaw (CmdCallback
+        # :168) must unwrap it before the QP sees it
+        yaw = np.arctan2(np.sin(yaw), np.cos(yaw))
     xref = np.stack([xs, ys, np.full(T, v), yaw])
     dref = np.stack([np.full(T, v), np.full(T, curve)])
     return xref, dref
 
 
-def scenario(name, delay, n_iters, curve, v, state, warm, buff, rng):
-    xref, dref = curved_refs(curve, v)
+def scenario(name, delay, n_iters, curve, v, state, warm, buff, rng,
+             yaw0=0.0, wrap=False):
+    xref, dref = curved_refs(curve, v, yaw0=yaw0, wrap=wrap)
     output = np.zeros((2, T))
     if warm:
         output[0] = v + 0.05 * rng.standard_normal(T)
@@ -93,6 +99,14 @@ def main():
     scenario("coldstart_d1", 1, 1, -0.6, 0.9,
              (0.0, 0.0, 0.0, 0.0, 0.0), False,
              [(0.0, 0.0)], rng)
+    # yaw references crossing +/-pi, published WRAPPED (ADVICE r2 #3):
+    # the first ref sits across the wrap from the estimate (state yaw
+    # 3.10 vs ref 3.16 -> wrapped to -3.12, anchor-unwrap path) and the
+    # sequence re-crosses pi mid-horizon (consecutive-unwrap path), so
+    # the oracle's smooth_yaw interacts with the QP gradient end to end.
+    scenario("yawwrap_d1", 1, 3, 1.5, 1.2,
+             (0.02, -0.03, 3.10, 0.0, 0.0), True,
+             [(1.15, 1.4)], rng, yaw0=3.16, wrap=True)
 
 
 if __name__ == "__main__":

@@ -32,7 +32,8 @@ from alore_legged_manipulator_tpu.ops.qp import qp_admm_general
 
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "golden", "ltv")
-SCENARIOS = ["curve_d1", "straight_d0", "tightturn_d2", "coldstart_d1"]
+SCENARIOS = ["curve_d1", "straight_d0", "tightturn_d2", "coldstart_d1",
+             "yawwrap_d1"]
 
 
 def _floats(s):
@@ -74,6 +75,18 @@ def _load(name):
         if delay > 0 else np.zeros((0, 2))
     golden = dict(P=P, q=q, lb=lb, ub=ub, A=A, sol0=sol0,
                   out=out_mat, cmd=cmd, buff_after=buff_after)
+
+    # CmdCallback pre-step (mpc.cpp:168): the oracle runs smooth_yaw on
+    # the (possibly wrapped) yaw reference before getCmd; mirror it here
+    # with our smooth_yaw_sequence so the yaw-unwrap interaction with
+    # the QP gradient is pinned end-to-end (yawwrap_d1 crosses +/-pi;
+    # it is the identity for every other scenario).
+    from alore_legged_manipulator_tpu.utils.angles import (
+        smooth_yaw_sequence)
+    xref = np.array(xref)
+    xref[3] = np.asarray(smooth_yaw_sequence(
+        jnp.asarray(state[2], jnp.float64),
+        jnp.asarray(xref[3], jnp.float64)))
     return cfg, state, xref, dref, output, buff, golden
 
 
@@ -140,7 +153,8 @@ def test_full_tick_matches_reference_f64(name):
             g["buff_after"], atol=5e-5)
 
 
-@pytest.mark.parametrize("name", ["curve_d1", "tightturn_d2"])
+@pytest.mark.parametrize("name", ["curve_d1", "tightturn_d2",
+                                  "yawwrap_d1"])
 def test_full_tick_matches_reference_f32(name):
     """Shipped precision: command parity within float-accumulation noise."""
     cfg, state, xref, dref, output, buff, g = _load(name)

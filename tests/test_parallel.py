@@ -34,6 +34,31 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(u_sharded, u_single, atol=1e-5)
 
 
+def test_sharded_tick_hlo_is_collective_free():
+    """The compiled sharded closed-loop tick must contain NO inter-device
+    collectives: steady-state scenario parallelism is embarrassingly
+    parallel, so >= 80% multi-host efficiency (BASELINE.md north-star 4)
+    is structural, not aspirational.  A resharding regression (a stray
+    all-gather from an inconsistent output sharding, say) shows up here
+    as a failure instead of as a silent 10x ICI tax."""
+    tt, icr = _tiny_traj(jnp.float32)
+    cfg = NmpcConfig(horizon=8)
+    step = batched_tracking_step(tt, icr, nmpc_cfg=cfg)
+    state = make_fleet(16, cfg)
+    mesh = make_mesh(8)
+    sharded = shard_scenarios(mesh, state)
+    hlo = jax.jit(step).lower(*sharded, jnp.zeros(())).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter", "collective-broadcast"):
+        assert op not in hlo, f"sharded tick lowered an unexpected {op}"
+    # ... while a fleet-level metric reduction SHOULD lower to a
+    # collective over the mesh (the only cross-device communication)
+    u = sharded[3]
+    hlo_red = jax.jit(lambda u: jnp.mean(jnp.abs(u))).lower(
+        u).compile().as_text()
+    assert "all-reduce" in hlo_red
+
+
 def test_scaling_harness_runs():
     """measure_scaling produces monotone fleet sizes and finite rates on
     the virtual mesh (true efficiency is only meaningful on hardware)."""
