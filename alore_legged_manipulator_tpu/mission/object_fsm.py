@@ -57,6 +57,13 @@ class FsmConfig:
     grasp_ramp_steps: int = 25
     release_ramp_steps: int = 25
     target_reach_dist: float = 0.3
+    # liveness watchdog: the grasp distance servo only drives body-x
+    # (object_grasp :643-751), so if a perception outage left the
+    # approach badly placed (object beside/behind the robot) it can
+    # diverge forever.  After this many GRASPING ticks without closing,
+    # re-enter WAIT_ROBOT_PATH and re-approach from current estimates
+    # (the replan-rather-than-hang behavior; tests/test_faults.py).
+    grasp_timeout_ticks: int = 600
 
 
 @dataclass
@@ -74,6 +81,7 @@ class ObjectFsm:
     path_index: int = 0
     grasp_count: int = 0
     release_count: int = 0
+    _grasp_ticks: int = 0
     robot_vel_cmd: np.ndarray = field(
         default_factory=lambda: np.zeros(3))
     object_vel_cmd: np.ndarray = field(
@@ -161,9 +169,17 @@ class ObjectFsm:
             if self._track_robot_path(robot_pose, object_pos):
                 self.state = FsmState.GRASPING
                 self.grasp_count = 0
+                self._grasp_ticks = 0
         elif self.state == FsmState.GRASPING:
+            self._grasp_ticks += 1
             if self._grasp(robot_pose, object_pos):
                 self.state = FsmState.WAIT_OBJECT_PATH
+            elif (self.grasp_count == 0
+                  and self._grasp_ticks > c.grasp_timeout_ticks):
+                # watchdog: servo not closing -- re-approach
+                self.state = FsmState.WAIT_ROBOT_PATH
+                self.robot_path = None
+                self.robot_vel_cmd = np.zeros(3)
         elif self.state == FsmState.OBJECT_TRACKING:
             if object_path_follower is not None:
                 vel, reached = object_path_follower()

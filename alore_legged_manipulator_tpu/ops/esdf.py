@@ -143,6 +143,51 @@ def sample_dist_bilinear(esdf: ESDF, pos, out_value: float = 1e10):
     return d
 
 
+def pack_corner_grid(esdf: ESDF):
+    """(H*W, 4) table holding [v00, v10, v01, v11] per base cell.
+
+    One cheap elementwise shift pass over the grid turns every bilinear
+    query into a SINGLE 4-wide row gather instead of four scalar
+    gathers -- the gather count, not the interpolation math, is what
+    the backend's collision stage pays for (ROOFLINE.md round 3).
+    Rows at ix = H-1 / iy = W-1 never contribute (the sampler's
+    `interior` mask invalidates them, sdf_map.cpp:796-830 semantics).
+    """
+    g = esdf.dist
+    gx = jnp.concatenate([g[1:], g[-1:]], axis=0)        # shift +x
+    gy = jnp.concatenate([g[:, 1:], g[:, -1:]], axis=1)  # shift +y
+    gxy = jnp.concatenate([gy[1:], gy[-1:]], axis=0)
+    return jnp.stack([g, gx, gy, gxy], axis=-1).reshape(-1, 4)
+
+
+def sample_dist_bilinear_packed(esdf: ESDF, corners, pos,
+                                out_value: float = 1e10):
+    """sample_dist_bilinear with a precomputed pack_corner_grid table.
+
+    Numerically identical to the reference-semantics sampler (asserted
+    in tests/test_ops.py); use when one map serves many queries per
+    program, e.g. the backend's collision penalty."""
+    H, W = esdf.shape
+    res = esdf.res
+    inv = 1.0 / res
+    p = (pos - esdf.lower) * inv - 0.5
+    idx = jnp.floor(p).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, jnp.array([H - 1, W - 1]))
+    frac = p - idx.astype(p.dtype)
+
+    ix, iy = idx[..., 0], idx[..., 1]
+    v = corners[ix * W + iy]                    # (..., 4) one gather
+    fx, fy = frac[..., 0], frac[..., 1]
+    v0 = (1 - fx) * v[..., 0] + fx * v[..., 1]
+    v1 = (1 - fx) * v[..., 2] + fx * v[..., 3]
+    d = (1 - fy) * v0 + fy * v1
+
+    upper = esdf.lower + jnp.array([H, W], pos.dtype) * res
+    inside = jnp.all((pos >= esdf.lower) & (pos <= upper), axis=-1)
+    interior = (ix < H - 1) & (iy < W - 1)
+    return jnp.where(inside & interior, d, out_value)
+
+
 def dist_at_cell(esdf: ESDF, pos, out_value: float = 10000.0):
     """Nearest-cell distance lookup; sdf_map.cpp getDistanceReal."""
     idx = jnp.clip(

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ..core.flow import simpson_flow_positions
 from ..core.smoothing import positive_smoothed_l1
-from ..ops.esdf import ESDF, sample_dist_bilinear, dist_at_cell
+from ..ops.esdf import (ESDF, dist_at_cell, pack_corner_grid,
+                        sample_dist_bilinear, sample_dist_bilinear_packed)
 from ..solvers.bfgs import alm_minimize, flat_lbfgs_minimize
 from ..solvers.lbfgs import LbfgsParams, lbfgs_minimize
 from ..solvers.minco import minco_coeffs, minco_energy
@@ -237,7 +238,10 @@ def collision_penalty(node_xy, samples, times, esdf: ESDF, safe_dis,
     by = node_xy[..., 1:2] + s[..., None] * cps[None, None, :, 0] \
         + c[..., None] * cps[None, None, :, 1]
     pts = jnp.stack([bx, by], axis=-1)          # (N, n_sub+1, K, 2)
-    d = sample_dist_bilinear(esdf, pts)         # (N, n_sub+1, K)
+    # packed-corner sampling: ONE 4-wide gather per query point instead
+    # of four scalar gathers; the pack is loop-invariant (esdf is
+    # constant across solver trips -- XLA's while-loop LICM hoists it)
+    d = sample_dist_bilinear_packed(esdf, pack_corner_grid(esdf), pts)
     viola = safe_dis - d
     pena = positive_smoothed_l1(viola, cfg.smooth_eps)
     wq = _even_node_weights(times, n_sub, d.dtype)[:, :, None]

@@ -27,10 +27,19 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .obs_layout import (DEFAULT_JOINT_POS, RobotView, actor_observation,
+                         critic_observation_161)
+
 N_ACTIONS = 9          # obj (vx, vy, wz) + 6 arm joint deltas
-OBS_DIM = 70           # per-step actor observation (reference layout size)
+OBS_DIM = 70           # per-step actor observation (reference layout,
+                       # every dim real -- rl/obs_layout.py)
 HIST = 11
-CRITIC_EXTRA = 14      # privileged tail: vels, mass, friction, com, type
+CRITIC_DIM = 161       # privileged critic width (env_train.py:757-790)
+
+# object boxes per class (chair / table / box) and the EE grasp anchor
+# in the base frame -- shared with the contact env (rl/env_physics.py)
+OBJ_HALF_EXT = ((0.30, 0.30), (0.50, 0.35), (0.25, 0.20))
+GRASP_ANCHOR_ROBOT = (0.65, 0.0)
 
 
 class PushEnvConfig(NamedTuple):
@@ -71,42 +80,58 @@ class PushEnvState(NamedTuple):
     key: jnp.ndarray
 
 
-def _observe(st: PushEnvState, cfg: PushEnvConfig):
-    """Per-step 70-d actor observation (structure of env :687-711:
-    commands, body-frame velocities (policy-visible, noisy), arm state,
-    previous action, object-type one-hot, padding to the layout width)."""
-    key, sub = jax.random.split(st.key)
-    vel_noisy = st.obj_vel + 0.02 * jax.random.normal(sub, (3,),
-                                                      st.obj_vel.dtype)
-    onehot = jax.nn.one_hot(st.obj_type, 3, dtype=st.obj_vel.dtype)
-    parts = [
-        st.cmd,                    # 3
-        vel_noisy,                 # 3
-        jnp.sin(st.obj_pose[2:3]), jnp.cos(st.obj_pose[2:3]),  # 2
-        st.arm_q,                  # 6
-        st.prev_action,            # 9
-        onehot,                    # 3
-    ]
-    obs = jnp.concatenate(parts)
-    pad = OBS_DIM - obs.shape[0]
-    obs = jnp.concatenate([obs, jnp.zeros((pad,), obs.dtype)])
+def robot_view_docked(st: PushEnvState) -> RobotView:
+    """The surrogate world's robot: rigidly docked behind the object at
+    the grasp anchor (the reference grips during the reset window,
+    env_train.py:429, 438-443), legs holding the locomotion stance, arm
+    at the env's arm joint state.  Base velocity is the rigid-pair
+    transport of the object's body velocity.  The physics env
+    (env_physics.robot_view_phys) and the hierarchy mode
+    (rl/hierarchy.py) substitute progressively more real views through
+    the same RobotView contract.
+    """
+    dtype = st.obj_vel.dtype
+    he = jnp.asarray(OBJ_HALF_EXT, dtype)[st.obj_type]
+    anchor_o = jnp.stack([-he[0], jnp.zeros((), dtype)])
+    anchor_r = jnp.asarray(GRASP_ANCHOR_ROBOT, dtype)
+    yaw = st.obj_pose[2]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    R = jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+    pos = st.obj_pose[:2] + R @ (anchor_o - anchor_r)
+    # rigid transport: v_r = v_o + w x (p_r - p_o), all body-frame
+    d = anchor_o - anchor_r
+    w = st.obj_vel[2]
+    base_vel = jnp.stack([st.obj_vel[0] - w * d[1],
+                          st.obj_vel[1] + w * d[0], w])
+    q = DEFAULT_JOINT_POS.astype(dtype).at[12:].add(st.arm_q)
+    return RobotView(base_pose=jnp.concatenate([pos, yaw[None]]),
+                     base_vel=base_vel, q=q,
+                     dq=jnp.zeros((18,), dtype))
+
+
+def _observe(st: PushEnvState, cfg: PushEnvConfig, rv: RobotView = None):
+    """Per-step 70-d actor observation -- the reference's exact field
+    list (env_train.py:687-711) via rl/obs_layout.actor_observation.
+    NO zero padding: every dimension is computed from defined state."""
+    key, _ = jax.random.split(st.key)
+    if rv is None:
+        rv = robot_view_docked(st)
+    obs = actor_observation(st, rv, DEFAULT_JOINT_POS.astype(
+        st.obj_vel.dtype))
     return obs, key
 
 
-def critic_observation(st: PushEnvState, cfg: PushEnvConfig):
-    """Privileged critic observation: actor obs tail + true object
-    velocity, mass, friction, COM (env :757-790)."""
-    actor_flat = st.obs_hist.reshape(-1)
-    priv = jnp.concatenate([
-        st.obj_vel,                                    # true velocity 3
-        st.mass[None] / 40.0, st.friction[None],       # 2
-        st.com,                                        # 2
-        jax.nn.one_hot(st.obj_type, 3,
-                       dtype=st.obj_vel.dtype),        # 3
-        st.cmd - st.obj_vel,                           # tracking err 3
-        jnp.zeros((1,), st.obj_vel.dtype),             # pad
-    ])
-    return jnp.concatenate([actor_flat, priv])
+def critic_observation(st: PushEnvState, cfg: PushEnvConfig,
+                       rv: RobotView = None, gripper_ok=None):
+    """The 161-d privileged critic observation (env_train.py:757-790)
+    via rl/obs_layout.critic_observation_161."""
+    dtype = st.obj_vel.dtype
+    if rv is None:
+        rv = robot_view_docked(st)
+    if gripper_ok is None:
+        gripper_ok = jnp.asarray(True)
+    return critic_observation_161(st, rv, DEFAULT_JOINT_POS.astype(dtype),
+                                  gripper_ok)
 
 
 def graph_features(st: PushEnvState):
@@ -162,8 +187,13 @@ def env_reset(key, cfg: PushEnvConfig = PushEnvConfig(),
     return st._replace(obs_hist=hist, key=key)
 
 
-def env_step(st: PushEnvState, action, cfg: PushEnvConfig = PushEnvConfig()):
-    """One 50 Hz step.  Returns (new_state, obs_hist, reward, done)."""
+def env_step(st: PushEnvState, action, cfg: PushEnvConfig = PushEnvConfig(),
+             rv: RobotView = None):
+    """One 50 Hz step.  Returns (new_state, obs_hist, reward, done).
+
+    rv: optional RobotView supplying real robot state for the
+    observation (hierarchy mode passes the WBC's RobotState view);
+    default = the docked surrogate view."""
     dtype = st.obj_vel.dtype
     a = jnp.clip(action, -1.0, 1.0).astype(dtype)
     vel_cmd = a[:3] * jnp.asarray([cfg.action_scale_lin, cfg.action_scale_lin,
@@ -190,7 +220,7 @@ def env_step(st: PushEnvState, action, cfg: PushEnvConfig = PushEnvConfig()):
     prev_a = st.prev_action
     st = st._replace(obj_pose=pose_new, obj_vel=vel_new, arm_q=arm_new,
                      prev_action=a, t=st.t + 1)
-    obs, key = _observe(st, cfg)
+    obs, key = _observe(st, cfg, rv)
     hist = jnp.concatenate([st.obs_hist[1:], obs[None]], axis=0)
     st = st._replace(obs_hist=hist, key=key)
 

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from ..world import physics2d as ph
-from .env import (CRITIC_EXTRA, HIST, N_ACTIONS, OBS_DIM, PushEnvConfig)
+from .env import HIST, N_ACTIONS, OBS_DIM, PushEnvConfig
+from .obs_layout import DEFAULT_JOINT_POS, RobotView
 
 ROBOT, OBJ = 0, 1
 
@@ -89,19 +90,36 @@ def _body_frame_vel(pose, vel):
                       -s * vel[0] + c * vel[1], vel[2]])
 
 
+def robot_view_phys(st: PhysPushEnvState) -> RobotView:
+    """RobotView over the contact world's REAL robot body (pose and
+    body-frame velocity from the rigid-body state; legs at stance, arm
+    at the env's arm joint state)."""
+    dtype = st.bodies.vel.dtype
+    pose = st.bodies.pose[ROBOT]
+    q = DEFAULT_JOINT_POS.astype(dtype).at[12:].add(st.arm_q)
+    return RobotView(base_pose=pose,
+                     base_vel=_body_frame_vel(pose, st.bodies.vel[ROBOT]),
+                     q=q, dq=jnp.zeros((18,), dtype))
+
+
 def _observe(st: PhysPushEnvState, cfg: PhysicsEnvConfig):
     """Delegates to the surrogate env's observation builder through
     as_surrogate_view -- ONE implementation of the 70-d layout, so the
-    two env modes cannot drift apart."""
+    two env modes cannot drift apart -- but with the REAL robot body's
+    view substituted."""
     from .env import _observe as surrogate_observe
-    return surrogate_observe(as_surrogate_view(st), cfg.base)
+    return surrogate_observe(as_surrogate_view(st), cfg.base,
+                             rv=robot_view_phys(st))
 
 
 def critic_observation(st: PhysPushEnvState, cfg: PhysicsEnvConfig):
     """Delegates to env.critic_observation on the surrogate view (same
-    single-source rationale as _observe)."""
+    single-source rationale as _observe); the gripper-contact slot
+    carries the REAL weld state (env_train.py:757-790 gripper_fail)."""
     from .env import critic_observation as surrogate_critic
-    return surrogate_critic(as_surrogate_view(st), cfg.base)
+    return surrogate_critic(as_surrogate_view(st), cfg.base,
+                            rv=robot_view_phys(st),
+                            gripper_ok=st.grasp_active)
 
 
 def env_reset(key, cfg: PhysicsEnvConfig = PhysicsEnvConfig(),

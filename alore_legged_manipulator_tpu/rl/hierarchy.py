@@ -57,10 +57,7 @@ def low_level_policy_cfg() -> ActorCriticLow:
                           arm_head_hidden=(128, 128))
 
 
-DEFAULT_JOINT_POS = jnp.concatenate([
-    jnp.tile(jnp.asarray([0.1, 0.8, -1.5]), 4),   # legs (B2 stance)
-    jnp.asarray([0.0, 1.26, -2.8, 0.0, 0.0, 0.0]),  # Z1 arm home
-])
+from .obs_layout import DEFAULT_JOINT_POS  # single source of the stance
 
 
 class RobotState(NamedTuple):
@@ -174,5 +171,10 @@ def hierarchical_env_step(st, rs: RobotState, action, low_params,
         [cfg.action_scale_lin, cfg.action_scale_lin, cfg.action_scale_ang],
         a.dtype)
     a_eff = jnp.concatenate([realized, a[3:]])
-    st, hist, reward, done = env_step(st, a_eff, cfg)
+    # the observation sees the WBC's REAL robot state (q, dq, base) --
+    # in this mode all 18 joint dims of the 70-d actor obs are live
+    from .obs_layout import RobotView
+    rv = RobotView(base_pose=rs.base_pose, base_vel=rs.base_vel,
+                   q=rs.q, dq=rs.dq)
+    st, hist, reward, done = env_step(st, a_eff, cfg, rv=rv)
     return st, rs, hist, reward, done

@@ -1,0 +1,202 @@
+"""The reference's exact observation layouts (actor 70-d, critic 161-d).
+
+Field lists, order and scales of the reference env's `_get_observations`
+(Training/b2z1_multiobj_wbc_gnn_plan/b2z1_multiobj_wbc_gnn_plan_env_train.py
+:687-711 actor, :757-790 critic; scales :678-680, commands_scale :84).
+Every dimension is computed from defined state -- no padding.
+
+Planar training-world reduction (documented, not hidden):
+  * the TPU training world is planar, so gravity-aligned body
+    orientation (roll, pitch) and the x/y body angular rates are
+    identically zero, and the base z sits at the standing height
+    BASE_HEIGHT; these dims carry their true (constant) planar values;
+  * leg joints hold the locomotion stance unless a hierarchy
+    `RobotState` (rl/hierarchy.py, the frozen-WBC-in-the-loop mode)
+    supplies real q/dq -- then all 18 joint dims are live;
+  * the 49-d link-pose block is the Z1 arm chain {link00, link02..06,
+    ee} in the robot frame -- the SAME seven links the reference
+    selects (env_train.py:651-652) -- from the arm FK over the nominal
+    Z1 geometry (runtime/z1_arm.py _L);
+  * the surrogate world has a single object-floor friction
+    coefficient; it feeds both the static- and dynamic-friction critic
+    slots (the reference randomizes them separately).
+
+Quaternions are (w, x, y, z) throughout this module (the IsaacLab root
+convention the reference's critic object quat uses).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# env_train.py:678-680, :84
+LIN_VEL_SCALE = 2.0
+ANG_VEL_SCALE = 0.25
+DOF_VEL_SCALE = 0.05
+COMMANDS_SCALE = (2.0, 2.0, 0.25)
+
+# planar-world constants: B2 standing base height; nominal object
+# center heights per class (chair/table/box)
+BASE_HEIGHT = 0.55
+OBJ_CENTER_HEIGHT = (0.25, 0.30, 0.20)
+# Z1 arm mount in the base frame (forward of the base origin, on top)
+ARM_MOUNT = (0.25, 0.0, 0.0)
+
+# nominal Z1 link geometry, runtime/z1_arm.py:_L
+_D1, _A2, _A3, _D5, _D6 = 0.1035, 0.35, 0.225, 0.07, 0.0492
+
+
+DEFAULT_JOINT_POS = jnp.concatenate([
+    jnp.tile(jnp.asarray([0.1, 0.8, -1.5]), 4),     # legs (B2 stance)
+    jnp.asarray([0.0, 1.26, -2.8, 0.0, 0.0, 0.0]),  # Z1 arm home
+])
+
+
+class RobotView(NamedTuple):
+    """What the observation assembler needs to know about the robot."""
+
+    base_pose: jnp.ndarray   # (3,) world x, y, yaw
+    base_vel: jnp.ndarray    # (3,) body-frame vx, vy, wz
+    q: jnp.ndarray           # (18,) joint positions (12 leg + 6 arm)
+    dq: jnp.ndarray          # (18,) joint velocities
+
+
+def _rpy_quat_wxyz(roll, pitch, yaw):
+    """Intrinsic ZYX (yaw-pitch-roll) quaternion, (w, x, y, z).
+
+    Same rotation as runtime/z1_arm.forward_kinematics's quat (which
+    returns xyzw)."""
+    cr, sr = jnp.cos(roll / 2), jnp.sin(roll / 2)
+    cp, sp = jnp.cos(pitch / 2), jnp.sin(pitch / 2)
+    cy, sy = jnp.cos(yaw / 2), jnp.sin(yaw / 2)
+    return jnp.stack([
+        cr * cp * cy + sr * sp * sy,
+        sr * cp * cy - cr * sp * sy,
+        cr * sp * cy + sr * cp * sy,
+        cr * cp * sy - sr * sp * cy])
+
+
+def yaw_quat_wxyz(yaw):
+    z = jnp.zeros_like(yaw)
+    return _rpy_quat_wxyz(z, z, yaw)
+
+
+def arm_link_frames(q_arm):
+    """(7, 7) frames [pos3 | quat4 wxyz] of {link00, link02..link06, ee}
+    in the ROBOT BASE frame -- the reference's exact link selection
+    (env_train.py:651-652), via the planar-chain Z1 FK of
+    runtime/z1_arm.py:57-87 extended to the intermediate links.
+    """
+    dtype = q_arm.dtype
+    yaw = q_arm[0]
+    p1 = q_arm[1]
+    p2 = q_arm[1] + q_arm[2]
+    p3 = q_arm[1] + q_arm[2] + q_arm[3]
+    roll = q_arm[4]
+    pitch_ee = p3 + q_arm[5]
+    z0 = jnp.zeros((), dtype)
+
+    # radial/vertical chain in the arm's vertical plane
+    r1 = _A2 * jnp.sin(p1)
+    z1 = _D1 + _A2 * jnp.cos(p1)
+    r2 = r1 + _A3 * jnp.sin(p2)
+    z2 = z1 + _A3 * jnp.cos(p2)
+    r3 = r2 + _D5 * jnp.sin(p3)
+    z3 = z2 + _D5 * jnp.cos(p3)
+    r4 = r2 + (_D5 + _D6) * jnp.sin(p3)
+    z4 = z2 + (_D5 + _D6) * jnp.cos(p3)
+
+    def frame(r, z, rol, pit):
+        pos = jnp.stack([r * jnp.cos(yaw) + ARM_MOUNT[0],
+                         r * jnp.sin(yaw) + ARM_MOUNT[1],
+                         z + ARM_MOUNT[2]])
+        return jnp.concatenate([pos, _rpy_quat_wxyz(rol, pit, yaw)])
+
+    return jnp.stack([
+        frame(z0, jnp.asarray(_D1, dtype), z0, z0),      # link00 (yaw base)
+        frame(r1, z1, z0, p1),                           # link02 (upper arm)
+        frame(r2, z2, z0, p2),                           # link03 (forearm)
+        frame(r2, z2, z0, p3),                           # link04 (wrist pitch)
+        frame(r3, z3, roll, p3),                         # link05 (wrist roll)
+        frame(r3, z3, roll, pitch_ee),                   # link06
+        frame(r4, z4, roll, pitch_ee),                   # ee / gripper
+    ])
+
+
+def _object_in_robot_frame(rv: RobotView, obj_pose, obj_type, dtype):
+    """Object position (3) + quat (4, wxyz) in the robot frame."""
+    dyaw = obj_pose[2] - rv.base_pose[2]
+    rel = obj_pose[:2] - rv.base_pose[:2]
+    c, s = jnp.cos(rv.base_pose[2]), jnp.sin(rv.base_pose[2])
+    rel_b = jnp.stack([c * rel[0] + s * rel[1],
+                       -s * rel[0] + c * rel[1]])
+    z = jnp.asarray(OBJ_CENTER_HEIGHT, dtype)[obj_type] - BASE_HEIGHT
+    pos = jnp.concatenate([rel_b, z[None]])
+    return pos, yaw_quat_wxyz(dyaw)
+
+
+def actor_observation(st, rv: RobotView, default_q) -> jnp.ndarray:
+    """The 70-d actor observation (env_train.py:687-711, field order
+    preserved).  `st` duck-types PushEnvState (cmd, prev_action,
+    obj_pose, obj_type)."""
+    dtype = rv.q.dtype
+    z0 = jnp.zeros((), dtype)
+    frames = arm_link_frames(rv.q[12:])
+    ee = frames[-1]
+    obj_pos, obj_quat = _object_in_robot_frame(rv, st.obj_pose,
+                                               st.obj_type, dtype)
+    parts = [
+        rv.q - default_q,                              # dof_pos       18
+        rv.dq * DOF_VEL_SCALE,                         # dof_vel       18
+        jnp.stack([z0, z0]),                           # roll, pitch    2
+        jnp.stack([z0, z0, rv.base_vel[2]])
+        * ANG_VEL_SCALE,                               # body ang vel   3
+        st.prev_action,                                # last action    9
+        st.cmd * jnp.asarray(COMMANDS_SCALE, dtype),   # commands       3
+        ee[:3],                                        # ee pos         3
+        ee[3:],                                        # ee quat        4
+        obj_pos,                                       # obj pos        3
+        obj_quat,                                      # obj quat       4
+        jax.nn.one_hot(st.obj_type, 3, dtype=dtype),   # category       3
+    ]
+    return jnp.concatenate(parts)                      # = 70
+
+
+def critic_observation_161(st, rv: RobotView, default_q,
+                           gripper_ok) -> jnp.ndarray:
+    """The 161-d privileged critic observation (env_train.py:757-790,
+    field order preserved).  `st` additionally duck-types obj_vel
+    (body frame), mass, friction."""
+    dtype = rv.q.dtype
+    z0 = jnp.zeros((), dtype)
+    frames = arm_link_frames(rv.q[12:])
+    obj_pos, obj_quat = _object_in_robot_frame(rv, st.obj_pose,
+                                               st.obj_type, dtype)
+    ang = jnp.stack([z0, z0, rv.base_vel[2]]) * ANG_VEL_SCALE
+    obj_lin = jnp.concatenate([st.obj_vel[:2], z0[None]]) * LIN_VEL_SCALE
+    obj_ang = jnp.stack([z0, z0, st.obj_vel[2]]) * ANG_VEL_SCALE
+    parts = [
+        rv.q - default_q,                              # dof_pos       18
+        rv.dq * DOF_VEL_SCALE,                         # dof_vel       18
+        default_q,                                     # default pose  18
+        rv.q,                                          # abs joint pos 18
+        jnp.stack([z0, z0]),                           # roll, pitch    2
+        ang,                                           # body ang vel   3
+        st.prev_action,                                # last action    9
+        st.cmd * jnp.asarray(COMMANDS_SCALE, dtype),   # commands       3
+        frames.reshape(-1),                            # link poses    49
+        gripper_ok.astype(dtype)[None],                # ee contact     1
+        obj_pos,                                       # obj pos        3
+        obj_quat,                                      # obj quat       4
+        jnp.concatenate([rv.base_vel[:2], z0[None]])
+        * LIN_VEL_SCALE,                               # root lin vel   3
+        ang,                                           # root ang vel   3
+        obj_lin,                                       # obj lin vel    3
+        obj_ang,                                       # obj ang vel    3
+        st.friction[None],                             # static mu      1
+        st.mass[None] / 40.0,                          # mass (scaled)  1
+        st.friction[None],                             # dynamic mu     1
+    ]
+    return jnp.concatenate(parts)                      # = 161

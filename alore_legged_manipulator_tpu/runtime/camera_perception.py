@@ -6,13 +6,15 @@ close-range relative pose (AprilTag PnP, apriltag_pose.py) on top of
 lidar localization.  This node reproduces that architecture with the
 REAL image pipeline in the middle:
 
-  1. a forward-looking camera on the robot renders depth + semantic
-     frames from the true world (world/camera.py -- the Isaac bridge's
-     camera topics);
-  2. each visible object's position is ESTIMATED FROM THE IMAGE: bbox
-     from the semantic mask, range from the depth crop mean, bearing
-     from the bbox-center pixel offset (the YOLO node's arithmetic,
-     yolo_pose.py:167-181), plus a face-to-center range correction;
+  1. a forward-looking camera on the robot renders depth + COLOR (+
+     semantic ground truth) frames from the true world (world/camera.py
+     -- the Isaac bridge's camera topics);
+  2. each visible object's position is ESTIMATED FROM THE COLOR IMAGE:
+     per-object pixel masks recovered from chromaticity
+     (color_class_masks -- the YOLO detector stand-in), bbox from the
+     mask, range from the depth crop mean, bearing from the bbox-center
+     pixel offset (the YOLO node's arithmetic, yolo_pose.py:167-181),
+     plus a face-to-center range correction;
   3. within `close_range`, the estimate switches to a tag-style precise
      relative pose (AprilTag analogue: truth + mm noise) -- exactly the
      reference's near-field handoff;
@@ -84,18 +86,31 @@ class CameraPerceptionNode:
                 (robot_pose[0], robot_pose[1], CAM_HEIGHT),
                 (cmr.ROBOT_CAM_RPY[0], cmr.ROBOT_CAM_RPY[1],
                  cmr.ROBOT_CAM_RPY[2] + robot_pose[2]))
-            return cmr.render(cam, R, t, scene, max_range=self.max_range)
+            depth, sem = cmr.render(cam, R, t, scene,
+                                    max_range=self.max_range)
+            # the detector consumes the COLOR image: per-object masks
+            # recovered from chromaticity (world/camera.py
+            # color_class_masks), the YOLO path's real input; the
+            # semantic frame stays available as test ground truth
+            rgb = cmr.render_color(cam, R, t, scene,
+                                   max_range=self.max_range)
+            masks = cmr.color_class_masks(rgb, self.n_objects)
+            return depth, sem, rgb, masks
 
         self._render = render
 
-    def _estimate_from_image(self, depth, sem, robot_pose):
-        """Per-object range/bearing estimates from the rendered frame."""
+    def _estimate_from_image(self, depth, masks, robot_pose):
+        """Per-object range/bearing estimates from the rendered frame.
+
+        masks: (n_objects, H, W) bool per-object pixel masks recovered
+        from the COLOR image (world/camera.color_class_masks) -- the
+        bbox path runs on what the detector can actually see, not on
+        the semantic ground truth."""
         depth = np.asarray(depth)
-        sem = np.asarray(sem)
+        masks = np.asarray(masks)
         out = {}
         for i in range(self.n_objects):
-            sid = i + 1
-            mask = sem == sid
+            mask = masks[i]
             cnt = int(mask.sum())
             if cnt < self.min_pixels:
                 continue
@@ -137,9 +152,9 @@ class CameraPerceptionNode:
             # rendered from truth and unprojected through the ESTIMATE,
             # so localization error propagates into the object estimates
             # (it must not cancel)
-            depth, sem = self._render(
+            depth, sem, rgb, masks = self._render(
                 jnp.asarray(robot_true, jnp.float32), centers, yaws)
-            vision = self._estimate_from_image(depth, sem, robot_est)
+            vision = self._estimate_from_image(depth, masks, robot_est)
             for i, pos in vision.items():
                 self._est[i] = pos
         for i, o in enumerate(world.objects):

@@ -68,13 +68,16 @@ def make_actor_policy(actor, actor_params) -> Callable:
 def make_oracle_policy(cfg: PushEnvConfig = PushEnvConfig()) -> Callable:
     """Perfect-tracking stand-in policy for tests/demos without a trained
     checkpoint: reads the commanded velocity out of its OWN observation
-    (slots 0:3 of the newest obs row, rl/env._observe layout) and emits
-    the action that requests exactly that velocity."""
+    (the commands block at slots 50:53 of the newest obs row, scaled by
+    commands_scale -- rl/obs_layout actor layout) and emits the action
+    that requests exactly that velocity."""
+    from ..rl.obs_layout import COMMANDS_SCALE
     scales = np.array([cfg.action_scale_lin, cfg.action_scale_lin,
                        cfg.action_scale_ang], np.float32)
+    cmd_scale = np.asarray(COMMANDS_SCALE, np.float32)
 
     def policy_fn(obs_hist, graph: GraphBatch):
-        cmd = np.asarray(obs_hist[-1, :3])
+        cmd = np.asarray(obs_hist[-1, 50:53]) / cmd_scale
         a = np.zeros(9, np.float32)
         a[:3] = np.clip(cmd / scales, -1.0, 1.0)
         return a

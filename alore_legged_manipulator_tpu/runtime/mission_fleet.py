@@ -9,11 +9,18 @@ MINCO back-end push planning (optimizer.cpp:169-472) and the NMPC+EKF
 closed-loop push -- composed into one jittable program that `vmap` lifts
 to thousands of independent missions per chip.
 
+Object painting (plan_manager.hpp:470-496): before each push leg the
+OTHER objects -- pending ones at their item poses, already-delivered
+ones at their REALIZED final poses -- are rasterized into the occupancy
+grid and the ESDF is rebuilt on device (ops/esdf.py's separable EDT is
+a handful of fused reductions, trivial next to the leg itself), so
+later legs plan around earlier deliveries exactly like the reference's
+paintSquare/setObs + ESDF update.  `paint_objects=False` restores the
+static-map program.
+
 Deliberate deltas vs the host runtime, for static shapes:
   * visit order is the array order of `items` (precompute with
     `mission.ordering` on host if needed);
-  * the map is static during a mission (no paint/unpaint of items --
-    the host runtime keeps that behavior);
   * the push leg starts from a straight-line flat initialization rather
     than a JPS path (the back-end's collision penalties + anneal do the
     avoidance; the host pipeline keeps the JPS front end).
@@ -79,6 +86,11 @@ class MissionFleetConfig(NamedTuple):
     correction_ticks: int = 0
     phys_loop: object = None          # PhysicsLoopConfig override for
                                       # plant="physics" (None = defaults)
+    # paint the OTHER objects into the map before each push leg
+    # (plan_manager.hpp paintSquare; half extents are its 0.4 default --
+    # cells whose center falls within the box are marked occupied)
+    paint_objects: bool = True
+    paint_half_extents: tuple = (0.4, 0.4)
     path_max_len: int = 160
     wf_safe_dis: float = 0.2          # blocked threshold for the search
     distance_weight: float = 1.4      # jps3ms.yaml weighted-arc weights
@@ -92,6 +104,9 @@ class MissionFleetResult(NamedTuple):
     collision: jnp.ndarray       # (K,) backend post-anneal collision flag
     track_err_max: jnp.ndarray   # (K,) max tracking error during push
     robot_final: jnp.ndarray     # (3,) robot pose after the mission
+    push_traj: jnp.ndarray       # (K, push_ticks, 3) realized object pose
+                                 # trace of each MAIN push leg (correction
+                                 # legs are not traced)
 
 
 def _approach(robot, goal_xy, cfg: FleetFsmConfig, n_ticks: int):
@@ -236,6 +251,31 @@ def _wavefront_flat(esdf: ESDF, start_xy, start_yaw, goal_xy,
         if_cut=jnp.asarray(False))
 
 
+def _painted_esdf(esdf: ESDF, centers, half_extents) -> ESDF:
+    """Rebuild the ESDF with axis-aligned boxes painted at `centers`.
+
+    The reference paints objects by rastering setObs over a box around
+    the object and letting the incremental ESDF update propagate
+    (plan_manager.hpp:470-496 + sdf_map.cpp:618-680); here the base
+    occupancy is recovered from the signed field (occupied cells are
+    the only ones with dist <= 0, see esdf_from_occupancy's convention),
+    the boxes are OR-ed in as cell-center masks, and the exact EDT is
+    recomputed on device.  centers: (M, 2) world XY.
+    """
+    from ..ops.esdf import esdf_from_occupancy
+    H, W = esdf.shape
+    dtype = esdf.dist.dtype
+    base_occ = esdf.dist <= 0.5 * esdf.res
+    cx = esdf.lower[0] + (jnp.arange(H, dtype=dtype) + 0.5) * esdf.res
+    cy = esdf.lower[1] + (jnp.arange(W, dtype=dtype) + 0.5) * esdf.res
+    hx = jnp.asarray(half_extents[0], dtype)
+    hy = jnp.asarray(half_extents[1], dtype)
+    inx = jnp.abs(cx[None, :] - centers[:, 0:1]) <= hx    # (M, H)
+    iny = jnp.abs(cy[None, :] - centers[:, 1:2]) <= hy    # (M, W)
+    painted = jnp.any(inx[:, :, None] & iny[:, None, :], axis=0)
+    return esdf_from_occupancy(base_occ | painted, esdf.lower, esdf.res)
+
+
 def _push_leg(start_xy, start_yaw, target, esdf: ESDF,
               true_icr: ICRParams, cfg: MissionFleetConfig,
               n_ticks: int, seed):
@@ -264,13 +304,13 @@ def _push_leg(start_xy, start_yaw, target, esdf: ESDF,
                                           simulate_tracking_physics)
         tr = simulate_tracking_physics(
             tt, n_ticks, cfg.phys_loop or PhysicsLoopConfig(), seed=seed)
-        obj_final = tr.obj_xytheta[-1]
+        traj = tr.obj_xytheta
     else:
         tr = simulate_tracking(tt, true_icr, n_ticks, cfg.loop,
                                seed=seed, x0=tt.seq[0])
-        obj_final = tr.xytheta[-1]
-    return (obj_final, jnp.max(tr.pos_err),
-            jnp.linalg.norm(res.final_xy_err), res.collision)
+        traj = tr.xytheta
+    return (traj[-1], jnp.max(tr.pos_err),
+            jnp.linalg.norm(res.final_xy_err), res.collision, traj)
 
 
 def run_mission(items, targets, robot_start, esdf: ESDF,
@@ -285,18 +325,31 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
     dtype = robot_start.dtype
     K = items.shape[0]
     robot = robot_start
-    errs, dels, perrs, colls, tmaxs = [], [], [], [], []
+    errs, dels, perrs, colls, tmaxs, trajs = [], [], [], [], [], []
+    # current pose of every object: pending at item pose, pushed at its
+    # realized final pose -- the paint set for later legs
+    obj_pos = [items[j] for j in range(K)]
 
     for k in range(K):
-        item = items[k]
+        item = obj_pos[k]
         target = targets[k]
+        # --- PLANNING map edit: paint the other objects (pending at
+        # their item poses, delivered at their realized poses) so this
+        # leg plans around them; the pushed object itself stays
+        # unpainted (plan_manager.hpp:470-496 paint/unpaint pattern)
+        if cfg.paint_objects and K > 1:
+            others = jnp.stack([obj_pos[j] for j in range(K) if j != k])
+            leg_esdf = _painted_esdf(esdf, others, cfg.paint_half_extents)
+        else:
+            leg_esdf = esdf
+
         # --- APPROACH + GRASP (kinematic executive phases) ---
         robot = _approach(robot, item, cfg.fsm, cfg.approach_ticks)
         # grasp ramp holds pose for grasp_ticks (arm ramp only)
 
         # --- OBJECT_TRACKING: plan + closed-loop NMPC push ---
-        obj_final, tmax, perr, coll = _push_leg(
-            item, robot[2], target, esdf, true_icr, cfg,
+        obj_final, tmax, perr, coll, traj = _push_leg(
+            item, robot[2], target, leg_esdf, true_icr, cfg,
             cfg.push_ticks, seed + k)
 
         if cfg.correction_ticks > 0:
@@ -310,8 +363,8 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
             # compute, but a short fresh-EKF leg can only help, never
             # disturb an already-delivered object.
             ok1 = jnp.linalg.norm(obj_final[:2] - target) < cfg.deliver_tol
-            obj2, tmax2, perr2, coll2 = _push_leg(
-                obj_final[:2], obj_final[2], target, esdf, true_icr,
+            obj2, tmax2, perr2, coll2, _ = _push_leg(
+                obj_final[:2], obj_final[2], target, leg_esdf, true_icr,
                 cfg, cfg.correction_ticks, seed + K + k)
             obj_final = jnp.where(ok1, obj_final, obj2)
             tmax = jnp.where(ok1, tmax, jnp.maximum(tmax, tmax2))
@@ -324,13 +377,18 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
         perrs.append(perr)
         colls.append(coll)
         tmaxs.append(tmax)
+        trajs.append(traj)
+        # the released object now occupies its realized pose for every
+        # later leg's paint set
+        obj_pos[k] = obj_final[:2]
         # release ramp; robot remains at the delivery pose
         robot = obj_final
 
     return MissionFleetResult(
         object_err=jnp.stack(errs), delivered=jnp.stack(dels),
         plan_err=jnp.stack(perrs), collision=jnp.stack(colls),
-        track_err_max=jnp.stack(tmaxs), robot_final=robot)
+        track_err_max=jnp.stack(tmaxs), robot_final=robot,
+        push_traj=jnp.stack(trajs))
 
 
 def mission_seconds(cfg: MissionFleetConfig, n_objects: int) -> float:

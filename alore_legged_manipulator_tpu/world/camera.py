@@ -145,6 +145,125 @@ def depth_to_z(cam: CameraModel, depth):
     return depth * rays[..., 2]
 
 
+# ---------------------------------------------------------------------------
+# color rendering (the Isaac bridge's color camera topic,
+# Simulation/isaac_b2_controller/ros1/b2z1_ros1_bridge.py:31-600)
+# ---------------------------------------------------------------------------
+
+# distinct per-class albedo palette (index = sem_id; 0 = ground).
+# Chromaticities are deliberately far apart so a shading-invariant
+# color classifier can separate classes (see color_class_masks).
+CLASS_ALBEDO = (
+    (0.45, 0.42, 0.38),   # 0 ground (warm grey)
+    (0.85, 0.20, 0.15),   # 1 red
+    (0.15, 0.55, 0.85),   # 2 blue
+    (0.20, 0.75, 0.25),   # 3 green
+    (0.85, 0.70, 0.15),   # 4 yellow
+    (0.70, 0.20, 0.75),   # 5 magenta
+    (0.15, 0.75, 0.70),   # 6 teal
+    (0.90, 0.45, 0.10),   # 7 orange
+)
+SKY_COLOR = (0.60, 0.75, 0.95)
+LIGHT_DIR = (0.35, 0.25, -0.90)     # world-frame sun direction
+
+
+def _ray_box_with_normal(o, d, center, yaw, he, height):
+    """_ray_box + the world-frame normal of the entry face."""
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    ox = c * (o[0] - center[0]) + s * (o[1] - center[1])
+    oy = -s * (o[0] - center[0]) + c * (o[1] - center[1])
+    dx = c * d[0] + s * d[1]
+    dy = -s * d[0] + c * d[1]
+    lo = jnp.stack([-he[0], -he[1], jnp.zeros_like(height)])
+    hi = jnp.stack([he[0], he[1], height])
+    oo = jnp.stack([ox, oy, o[2]])
+    dd = jnp.stack([dx, dy, d[2]])
+    inv = 1.0 / jnp.where(jnp.abs(dd) < 1e-12,
+                          jnp.where(dd < 0, -1e-12, 1e-12), dd)
+    t1 = (lo - oo) * inv
+    t2 = (hi - oo) * inv
+    near = jnp.minimum(t1, t2)
+    tmin = jnp.max(near)
+    tmax = jnp.min(jnp.maximum(t1, t2))
+    hit = (tmax >= jnp.maximum(tmin, 0.0))
+    t = jnp.where(tmin > 0.0, tmin, tmax)
+    axis = jnp.argmax(near)                      # entry slab
+    n_box = -jnp.sign(dd) * jax.nn.one_hot(axis, 3, dtype=dd.dtype)
+    # box frame -> world (rotate xy by +yaw)
+    n_w = jnp.stack([c * n_box[0] - s * n_box[1],
+                     s * n_box[0] + c * n_box[1], n_box[2]])
+    return jnp.where(hit & (t > 0.0), t, jnp.inf), n_w
+
+
+def render_color(cam: CameraModel, R, t, scene: BoxScene,
+                 max_range=20.0, albedo=None):
+    """Render an (H, W, 3) RGB image in [0, 1]: per-class albedo +
+    Lambert face shading + sky fill -- the Isaac bridge's color topic
+    analogue for the box world.  Shading is a scalar multiple of the
+    albedo, so chromaticity identifies the class (color_class_masks)."""
+    dtype = R.dtype
+    alb = jnp.asarray(albedo if albedo is not None else CLASS_ALBEDO,
+                      dtype)
+    sky = jnp.asarray(SKY_COLOR, dtype)
+    light = jnp.asarray(LIGHT_DIR, dtype)
+    light = light / jnp.linalg.norm(light)
+    rays_c = camera_rays(cam, dtype)
+    rays_w = jnp.einsum("ij,hwj->hwi", R, rays_c)
+    o = t
+
+    def per_pixel(d):
+        ts, ns = jax.vmap(lambda c, y, he, h: _ray_box_with_normal(
+            o, d, c, y, he, h))(scene.center, scene.yaw, scene.half_ext,
+                                scene.height)
+        k = jnp.argmin(ts)
+        t_box = ts[k]
+        n_box = ns[k]
+        sem_box = scene.sem_id[k]
+        t_gnd = jnp.where(d[2] < -1e-9, -o[2] / d[2], jnp.inf)
+        box_first = t_box <= t_gnd
+        t_best = jnp.minimum(t_box, t_gnd)
+        n = jnp.where(box_first, n_box,
+                      jnp.asarray([0.0, 0.0, 1.0], dtype))
+        sem = jnp.where(box_first, sem_box, 0)
+        # sem ids beyond the palette wrap over the non-ground entries
+        n_obj_colors = alb.shape[0] - 1
+        idx = jnp.where(sem > 0, 1 + (sem - 1) % n_obj_colors, 0)
+        base = alb[idx]
+        shade = 0.35 + 0.65 * jnp.maximum(-jnp.dot(n, light), 0.0)
+        rgb = base * shade
+        missed = jnp.isinf(t_best) | (t_best > max_range)
+        return jnp.where(missed, sky, rgb)
+
+    flat = rays_w.reshape(-1, 3)
+    rgb = jax.vmap(per_pixel)(flat)
+    return rgb.reshape(cam.height, cam.width, 3)
+
+
+def color_class_masks(rgb, n_classes, albedo=None, tol=0.08):
+    """Shading-invariant per-class pixel masks from an RGB frame.
+
+    Lambert shading scales the albedo by a scalar, so the NORMALIZED
+    color (chromaticity) survives shading exactly; a pixel belongs to
+    class k when its chromaticity sits within `tol` of class k's and
+    closer than to any other palette entry (incl. ground and sky).
+    Returns (n_classes, H, W) bool for sem ids 1..n_classes -- the
+    detector input the YOLO node's bbox path consumes
+    (runtime/camera_perception.py).
+    """
+    alb = jnp.asarray(albedo if albedo is not None else CLASS_ALBEDO,
+                      rgb.dtype)
+    cand = jnp.concatenate([alb, jnp.asarray([SKY_COLOR], rgb.dtype)], 0)
+    cn = cand / jnp.linalg.norm(cand, axis=-1, keepdims=True)
+    pn = rgb / jnp.maximum(jnp.linalg.norm(rgb, axis=-1, keepdims=True),
+                           1e-9)
+    d = jnp.linalg.norm(pn[:, :, None, :] - cn[None, None, :, :], axis=-1)
+    nearest = jnp.argmin(d, axis=-1)                      # (H, W)
+    close = jnp.take_along_axis(d, nearest[..., None],
+                                axis=-1)[..., 0] < tol
+    return jnp.stack([(nearest == k) & close
+                      for k in range(1, n_classes + 1)])
+
+
 def depth_cloud(cam: CameraModel, R, t, depth, stride=1):
     """Unproject a depth image to a world-frame point cloud (P, 3) with a
     finite-mask (the bridge's depth-cloud topic)."""

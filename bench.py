@@ -1,11 +1,15 @@
 """Benchmark: NMPC solves/s/chip at the reference horizon (N=50, dt=0.01).
 
-Prints ONE JSON line:
+Prints the primary metric as the FIRST JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+followed by a second JSON line for the backend planner (full MINCO
+plans/s per chip + on-chip per-plan latency vs the 0.05 s replan budget,
+planner_sim.launch:65) -- VERDICT r2 weak #4 asked for a driver-captured
+backend number.
 
-Baseline: the reference C++ NMPC must finish one solve inside its 100 Hz
-real-time budget (max_mpc_time 0.0097 s, mpc3ms.yaml) on one CPU --
-i.e. ~103 solves/s.  vs_baseline = our solves/s/chip / 103.
+Baseline (line 1): the reference C++ NMPC must finish one solve inside
+its 100 Hz real-time budget (max_mpc_time 0.0097 s, mpc3ms.yaml) on one
+CPU -- i.e. ~103 solves/s.  vs_baseline = our solves/s/chip / 103.
 """
 import json
 import os
@@ -79,6 +83,101 @@ def main():
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline, 2),
+    }), flush=True)
+
+    bench_backend()
+
+
+def bench_backend():
+    """Second line: full backend plans/s/chip + on-chip p99 plan latency.
+
+    Baseline: the reference budgets max_replan_time = 0.05 s per plan on
+    one CPU (planner_sim.launch:65) => 20 plans/s equivalent.
+    """
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.planner.backend import (BackendConfig,
+                                                              plan_backend)
+    from alore_legged_manipulator_tpu.planner.flat_traj import FlatTraj
+
+    dtype = jnp.float32
+    n_pieces = 6
+    B = int(os.environ.get("BENCH_BACKEND_FLEET", "512"))
+    occ = np.zeros((80, 80), bool)
+    occ[30:40, 44:50] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    cfg = BackendConfig()
+
+    def mk(goal_xy):
+        start = jnp.asarray([1.0, 4.0], dtype)
+        d = goal_xy - start
+        L = jnp.linalg.norm(d)
+        yaw = jnp.arctan2(d[1], d[0])
+        fr = jnp.arange(1, n_pieces, dtype=dtype) / n_pieces
+        inner = jnp.stack([jnp.full((n_pieces - 1,), yaw, dtype), L * fr])
+        pos = jnp.concatenate(
+            [start[None] + fr[:, None] * d[None], goal_xy[None]], 0)
+        pos = jnp.concatenate([pos, jnp.full((n_pieces, 1), yaw, dtype)], 1)
+        total_t = jnp.maximum(L / 3.0 * 2.0, 1.0)
+        z3 = jnp.zeros((), dtype)
+        return FlatTraj(
+            inner_yaw_s=inner, init_piece_time=total_t / n_pieces,
+            inner_positions=pos,
+            start_state=jnp.stack([jnp.stack([yaw, z3, z3]),
+                                   jnp.stack([z3, z3, z3])]),
+            final_state=jnp.stack([jnp.stack([yaw, z3, z3]),
+                                   jnp.stack([L, z3, z3])]),
+            start_xytheta=jnp.concatenate([start, yaw[None]]),
+            final_xytheta=jnp.concatenate([goal_xy, yaw[None]]),
+            if_cut=jnp.asarray(False))
+
+    rng = np.random.default_rng(0)
+    goals = jnp.asarray(np.stack([rng.uniform(5.0, 7.0, B),
+                                  rng.uniform(3.0, 5.0, B)], 1), dtype)
+
+    @jax.jit
+    def fleet(goals):
+        res = jax.vmap(lambda g: plan_backend(mk(g), esdf, cfg))(goals)
+        return jnp.sum(res.times), jnp.sum(res.collision)
+
+    float(fleet(goals)[0])          # compile + warm
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(fleet(goals)[0])
+        times.append(time.perf_counter() - t0)
+    plans_per_s = B / float(np.median(times))
+
+    # on-chip single-plan latency: chain K dependent plans inside one
+    # jit (the tunneled dev TPU's ~25 ms dispatch floor would otherwise
+    # dominate a single-plan call; it does not exist on attached HW)
+    K = int(os.environ.get("BENCH_BACKEND_CHAIN", "6"))
+
+    @jax.jit
+    def chained(goal):
+        def body(g, _):
+            res = plan_backend(mk(g), esdf, cfg)
+            g2 = g + 1e-6 * jnp.tanh(res.final_xy_err)  # dependency chain
+            return g2, jnp.sum(res.times)
+        _, sums = jax.lax.scan(body, goal, None, length=K)
+        return jnp.sum(sums)
+
+    g0 = goals[0]
+    float(chained(g0))              # compile
+    lat = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        float(chained(g0))
+        lat.append((time.perf_counter() - t0) / K)
+    lat_ms = np.asarray(lat) * 1e3
+    budget = 20.0                   # plans/s the 0.05 s budget implies
+    print(json.dumps({
+        "metric": "backend_full_plans_per_s_per_chip",
+        "value": round(plans_per_s, 1),
+        "unit": "plans/s",
+        "vs_baseline": round(plans_per_s / budget, 2),
+        "plan_latency_onchip_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "plan_latency_onchip_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "budget_ms": 50.0,
     }))
 
 

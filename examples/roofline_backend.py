@@ -1,0 +1,187 @@
+"""Backend-planner roofline: where does one stage-2 eval's time go?
+
+Decomposes the vmapped stage-2 cost+grad evaluation (the unit the flat
+BFGS solver pays once per loop trip) into its pipeline stages, each
+timed cumulatively on-chip with a chained scan (the tunneled dev TPU
+has a ~25 ms dispatch floor; K chained evals amortize it away):
+
+  S0  MINCO spline solve               (Hermite-reduced, solvers/minco.py)
+  S1  + Simpson ICR flow integration   (core/flow.py)
+  S2  + kinodynamic penalties          (backend.kinodynamic_penalties)
+  S3  + collision penalty (ESDF gathers) = the full stage2_cost
+
+Also reports full-plan fleet throughput and the solver-trip statistics
+that determine how many evals a plan pays (max-over-lanes billing).
+
+Run: BACKEND_FLEET=512 python examples/roofline_backend.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_chained(f, x, K=20, iters=5):
+    """Median seconds per eval of f chained K times from carried state."""
+
+    @jax.jit
+    def chained(x):
+        def body(c, _):
+            out = f(c)
+            # feed a scalar back so the chain is sequential
+            return c * 0.999 + out * 1e-12, out
+        c, outs = jax.lax.scan(body, x, None, length=K)
+        return jnp.sum(outs)
+
+    float(chained(x))  # compile
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(chained(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / K
+
+
+def main():
+    from alore_legged_manipulator_tpu.core.flow import simpson_flow_positions
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.planner.backend import (
+        BackendConfig, collision_penalty, kinodynamic_penalties,
+        plan_backend, stage2_cost, unpack_vars, _spline, pack_vars,
+        real_to_virtual_time)
+    from alore_legged_manipulator_tpu.solvers.minco import minco_energy
+
+    B = int(os.environ.get("BACKEND_FLEET", "512"))
+    n_pieces = 6
+    dtype = jnp.float32
+
+    occ = np.zeros((80, 80), bool)
+    occ[30:40, 44:50] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    cfg = BackendConfig()
+
+    # fleet of synthetic flats (same generator as bench_backend)
+    rng = np.random.default_rng(0)
+    goals = jnp.asarray(np.stack([rng.uniform(5.0, 7.0, B),
+                                  rng.uniform(3.0, 5.0, B)], 1), dtype)
+
+    def mk(goal_xy):
+        start = jnp.asarray([1.0, 4.0], dtype)
+        d = goal_xy - start
+        L = jnp.linalg.norm(d)
+        yaw = jnp.arctan2(d[1], d[0])
+        fr = jnp.arange(1, n_pieces, dtype=dtype) / n_pieces
+        from alore_legged_manipulator_tpu.planner.flat_traj import FlatTraj
+        inner = jnp.stack([jnp.full((n_pieces - 1,), yaw, dtype), L * fr])
+        pos = jnp.concatenate(
+            [start[None] + fr[:, None] * d[None], goal_xy[None]], 0)
+        pos = jnp.concatenate([pos, jnp.full((n_pieces, 1), yaw, dtype)], 1)
+        total_t = jnp.maximum(L / 3.0 * 2.0, 1.0)
+        z3 = jnp.zeros((), dtype)
+        return FlatTraj(
+            inner_yaw_s=inner, init_piece_time=total_t / n_pieces,
+            inner_positions=pos,
+            start_state=jnp.stack([jnp.stack([yaw, z3, z3]),
+                                   jnp.stack([z3, z3, z3])]),
+            final_state=jnp.stack([jnp.stack([yaw, z3, z3]),
+                                   jnp.stack([L, z3, z3])]),
+            start_xytheta=jnp.concatenate([start, yaw[None]]),
+            final_xytheta=jnp.concatenate([goal_xy, yaw[None]]),
+            if_cut=jnp.asarray(False))
+
+    flats = jax.vmap(mk)(goals)
+    x0s = jax.vmap(lambda f: pack_vars(
+        f.inner_yaw_s, f.final_state[1, 0],
+        real_to_virtual_time(jnp.full((n_pieces,), f.init_piece_time,
+                                      dtype))))(flats)
+    lam = jnp.zeros(2, dtype)
+    rho = jnp.asarray([1e4, 1e4], dtype)
+    ew = jnp.asarray(cfg.energy_weights, dtype)
+
+    flat1 = jax.tree_util.tree_map(lambda a: a[0], flats)
+
+    def staged_cost(stage):
+        def cost(x, flat):
+            inner, tail_s, tau = unpack_vars(x, n_pieces)
+            coeffs, times = _spline(flat, inner, tail_s, tau)
+            c = minco_energy(coeffs, times, ew)
+            if stage == 0:
+                return c + jnp.sum(coeffs ** 2) * 0.0
+            node_xy, final_xy, samples = simpson_flow_positions(
+                coeffs, times, flat.start_xytheta[:2], cfg.icr_xv,
+                cfg.sparse_resolution)
+            c = c + jnp.sum(final_xy) * 1e-9
+            if stage == 1:
+                return c
+            w = cfg.weights
+            c = c + kinodynamic_penalties(samples, times, cfg, w.acc_weight,
+                                          w.domega_weight, w.moment_weight,
+                                          w.cen_acc_weight)
+            if stage == 2:
+                return c
+            return c + collision_penalty(node_xy, samples, times, esdf,
+                                         cfg.safe_dis, cfg)
+        return cost
+
+    report = {"metric": "backend_eval_breakdown", "fleet": B,
+              "n_pieces": n_pieces}
+    names = ["S0_spline", "S1_plus_flow", "S2_plus_kino", "S3_full"]
+    prev = 0.0
+    for stage, name in enumerate(names):
+        cost = staged_cost(stage)
+
+        def one_eval(xs):
+            v, g = jax.vmap(lambda x, f: jax.value_and_grad(
+                lambda q: cost(q, f))(x))(xs, flats)
+            return jnp.sum(v) + jnp.sum(g)
+
+        sec = time_chained(lambda xs: one_eval(xs) * jnp.ones_like(x0s),
+                           x0s)
+        # time per eval in ms
+        report[name + "_ms"] = round(sec * 1e3, 3)
+        report[name + "_delta_ms"] = round((sec - prev) * 1e3, 3)
+        prev = sec
+
+    # full stage2_cost (with ALM term) for reference
+    def full_eval(xs):
+        v, g = jax.vmap(lambda x, f: jax.value_and_grad(
+            lambda q: stage2_cost(q, f, esdf, cfg.safe_dis, lam, rho,
+                                  cfg))(x))(xs, flats)
+        return jnp.sum(v) + jnp.sum(g)
+
+    sec = time_chained(lambda xs: full_eval(xs) * jnp.ones_like(x0s), x0s)
+    report["stage2_full_ms"] = round(sec * 1e3, 3)
+
+    # full plan: throughput + trip statistics
+    @jax.jit
+    def fleet(flats):
+        res = jax.vmap(lambda f: plan_backend(f, esdf, cfg))(flats)
+        return res.stage2_iters, res.replans, res.collision
+
+    out = fleet(flats)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fleet(flats)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts))
+    iters = np.asarray(out[0])
+    report["plans_per_s"] = round(B / med, 1)
+    report["fleet_call_ms"] = round(med * 1e3, 1)
+    report["stage2_iters_mean"] = round(float(iters.mean()), 1)
+    report["stage2_iters_max"] = int(iters.max())
+    report["replans_mean"] = round(float(np.asarray(out[1]).mean()), 2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

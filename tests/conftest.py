@@ -20,3 +20,25 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+# Fast/slow tiers (VERDICT r2 weak #6): `-m "not slow"` is the ~2-3 min
+# core that gates every commit; the full suite runs per round.  Tests
+# measured >= 5 s in a full --durations run are listed in
+# tests/slow_tests.txt and auto-marked here (explicit @pytest.mark.slow
+# decorators still apply on top).
+_SLOW_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_SLOW_FILE) as f:
+            slow_ids = {ln.strip() for ln in f
+                        if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return
+    for item in items:
+        if item.nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)

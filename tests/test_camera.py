@@ -173,3 +173,68 @@ def test_depth_cloud_builds_voxel_map():
     # behind the box: unknown (prior log-odds)
     np.testing.assert_allclose(
         float(state.log_odds[vox(4.5, 0.0, 1.0)]), lo, atol=1e-6)
+
+
+def test_render_color_shading_and_chromaticity():
+    """render_color: sky fill, Lambert shading scales the albedo (so
+    chromaticity is shading-invariant), and color_class_masks recovers
+    the semantic mask from the RGB frame alone."""
+    from alore_legged_manipulator_tpu.world import camera as cmr
+    cam = cmr.CameraModel(fx=60.0, fy=60.0, cx=32.0, cy=24.0,
+                          width=64, height=48)
+    scene = cmr.BoxScene(
+        center=jnp.asarray([[3.0, -0.6], [3.0, 0.8]]),
+        yaw=jnp.asarray([0.2, -0.4]),
+        half_ext=jnp.asarray([[0.4, 0.4], [0.3, 0.3]]),
+        height=jnp.asarray([1.2, 1.2]),
+        sem_id=jnp.asarray([1, 2], jnp.int32))
+    R, t = cmr.pose_matrix((0.0, 0.0, 1.0), cmr.ROBOT_CAM_RPY)
+    depth, sem = cmr.render(cam, R, t, scene)
+    rgb = cmr.render_color(cam, R, t, scene)
+    assert rgb.shape == (48, 64, 3)
+    rgb_np = np.asarray(rgb)
+    sem_np = np.asarray(sem)
+    assert np.all((rgb_np >= 0) & (rgb_np <= 1))
+    # sky pixels carry the sky color exactly
+    sky = sem_np == cmr.SKY
+    assert sky.any()
+    np.testing.assert_allclose(rgb_np[sky],
+                               np.broadcast_to(cmr.SKY_COLOR,
+                                               (sky.sum(), 3)), atol=1e-6)
+    # object pixels: chromaticity matches the class albedo even though
+    # per-face shading differs (both front and top faces visible)
+    for sid in (1, 2):
+        m = sem_np == sid
+        assert m.sum() > 20
+        px = rgb_np[m]
+        alb = np.asarray(cmr.CLASS_ALBEDO[sid])
+        chroma = px / np.linalg.norm(px, axis=1, keepdims=True)
+        np.testing.assert_allclose(
+            chroma, np.broadcast_to(alb / np.linalg.norm(alb),
+                                    chroma.shape), atol=1e-5)
+        # shading varies across faces of the box
+        shade = np.linalg.norm(px, axis=1)
+        assert sid == 2 or np.ptp(shade) > 0.05
+    # the color-only classifier reproduces the semantic masks
+    masks = np.asarray(cmr.color_class_masks(rgb, 2))
+    for sid in (1, 2):
+        np.testing.assert_array_equal(masks[sid - 1], sem_np == sid)
+
+
+def test_camera_perception_runs_on_color_masks():
+    """The perception node's bbox path consumes the chromaticity masks;
+    its estimates still localize the objects."""
+    from alore_legged_manipulator_tpu.runtime.camera_perception import (
+        CameraPerceptionNode)
+    from alore_legged_manipulator_tpu.runtime.deploy import MessageBus
+    import types
+    node = CameraPerceptionNode(bus=MessageBus(), n_objects=2, period=1,
+                                prior_noise=0.0)
+    world = types.SimpleNamespace(
+        robot=np.array([0.0, 0.0, 0.0]),
+        objects=[np.array([3.0, -0.6, 0.2]), np.array([3.0, 0.8, -0.4])])
+    node.tick(world)
+    for i in range(2):
+        err = np.linalg.norm(node._est[i] - np.asarray(
+            world.objects[i][:2]))
+        assert err < 0.25, (i, err, node._est[i])

@@ -84,12 +84,12 @@ def test_localization_error_propagates_to_estimates():
     robot_true = np.array([0.0, 0.0, 0.0])
     centers = jnp.asarray([[4.0, 0.0]], jnp.float32)
     yaws = jnp.asarray([0.0], jnp.float32)
-    depth, sem = node._render(jnp.asarray(robot_true, jnp.float32),
+    depth, sem, rgb, masks = node._render(jnp.asarray(robot_true, jnp.float32),
                               centers, yaws)
     # unbiased estimate recovers the object
-    est0 = node._estimate_from_image(depth, sem, robot_true)[0]
+    est0 = node._estimate_from_image(depth, masks, robot_true)[0]
     assert np.linalg.norm(est0 - [4.0, 0.0]) < 0.15
     # a 20 cm lateral localization bias shifts the estimate by ~20 cm
     robot_biased = np.array([0.0, 0.2, 0.0])
-    est1 = node._estimate_from_image(depth, sem, robot_biased)[0]
+    est1 = node._estimate_from_image(depth, masks, robot_biased)[0]
     assert abs((est1 - est0)[1] - 0.2) < 0.02, (est0, est1)

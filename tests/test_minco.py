@@ -201,3 +201,25 @@ def test_cr_path_is_differentiable():
     eps = 1e-6
     fd = (obj(times.at[3].add(eps)) - obj(times.at[3].add(-eps))) / (2 * eps)
     np.testing.assert_allclose(float(g[3]), float(fd), rtol=1e-4)
+
+
+def test_block_thomas_matches_dense():
+    """solve_block_tridiag_thomas == the dense solve on the reduced
+    jerk/snap system (kept as a utility; see the measured round-3 note
+    in minco.minco_coeffs for why it is NOT the default)."""
+    import numpy as np
+    from alore_legged_manipulator_tpu.solvers.minco import (
+        _reduced_blocks, _reduced_system, solve_block_tridiag_thomas)
+    rng = np.random.default_rng(5)
+    for n in (3, 6, 12):
+        head = jnp.asarray(rng.standard_normal((2, 3)))
+        tail = jnp.asarray(rng.standard_normal((2, 3)))
+        inner = jnp.asarray(rng.standard_normal((2, n - 1)))
+        times = jnp.asarray(rng.uniform(0.3, 1.5, n))
+        D, L, U, rhs, _ = _reduced_blocks(head, tail, inner, times)
+        A, b, _ = _reduced_system(head, tail, inner, times)
+        x_t = solve_block_tridiag_thomas(D, L, U, rhs)
+        x_d = jnp.linalg.solve(A, b)
+        np.testing.assert_allclose(
+            np.asarray(x_t).reshape(2 * (n - 1), 2),
+            np.asarray(x_d), atol=1e-9)

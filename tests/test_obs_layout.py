@@ -1,0 +1,137 @@
+"""Reference observation layouts (rl/obs_layout.py).
+
+Pins the actor 70-d / critic 161-d field order against the reference's
+lists (env_train.py:687-711, :757-790): widths, slice content liveness
+(perturbing a state field moves exactly the dims that carry it), the
+arm-chain FK against the runtime Z1 FK, and the absence of padding.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alore_legged_manipulator_tpu.rl.env import (PushEnvConfig,
+                                                 critic_observation,
+                                                 env_reset,
+                                                 robot_view_docked)
+from alore_legged_manipulator_tpu.rl.obs_layout import (
+    ANG_VEL_SCALE, COMMANDS_SCALE, DEFAULT_JOINT_POS, DOF_VEL_SCALE,
+    ARM_MOUNT, RobotView, actor_observation, arm_link_frames,
+    critic_observation_161)
+
+# actor slice map (env_train.py:687-711 order)
+A = dict(dof_pos=(0, 18), dof_vel=(18, 36), ori=(36, 38), angvel=(38, 41),
+         last_action=(41, 50), commands=(50, 53), ee_pos=(53, 56),
+         ee_quat=(56, 60), obj_pos=(60, 63), obj_quat=(63, 67),
+         onehot=(67, 70))
+
+
+def _state(key=0):
+    st = env_reset(jax.random.PRNGKey(key), PushEnvConfig())
+    return st, robot_view_docked(st)
+
+
+def test_actor_obs_width_and_field_content():
+    st, rv = _state()
+    dq = DEFAULT_JOINT_POS.astype(jnp.float64)
+    obs = actor_observation(st, rv, dq)
+    assert obs.shape == (70,)
+    s = lambda name: obs[slice(*A[name])]  # noqa: E731
+    np.testing.assert_allclose(np.asarray(s("dof_pos")),
+                               np.asarray(rv.q - dq), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s("dof_vel")),
+                               np.asarray(rv.dq) * DOF_VEL_SCALE)
+    np.testing.assert_allclose(np.asarray(s("commands")),
+                               np.asarray(st.cmd) * np.asarray(
+                                   COMMANDS_SCALE))
+    np.testing.assert_allclose(np.asarray(s("last_action")),
+                               np.asarray(st.prev_action))
+    oh = np.asarray(s("onehot"))
+    assert oh.sum() == 1.0 and oh[int(st.obj_type)] == 1.0
+    # quaternions are unit
+    assert abs(float(jnp.linalg.norm(s("ee_quat"))) - 1.0) < 1e-6
+    assert abs(float(jnp.linalg.norm(s("obj_quat"))) - 1.0) < 1e-6
+
+
+def test_actor_obs_liveness():
+    """Perturbing a state field moves exactly the dims that carry it --
+    the anti-zero-padding check (VERDICT r2 weak #2)."""
+    st, rv = _state()
+    dq = DEFAULT_JOINT_POS.astype(jnp.float64)
+    base = actor_observation(st, rv, dq)
+
+    # arm joints: dof_pos[12:18] AND the FK-driven ee pose move
+    rv2 = rv._replace(q=rv.q.at[13].add(0.3))
+    d = np.asarray(actor_observation(st, rv2, dq) - base)
+    assert np.any(d[12:18] != 0)
+    assert np.any(d[slice(*A["ee_pos"])] != 0)
+    assert np.any(d[slice(*A["ee_quat"])] != 0)
+    # the untouched blocks stay put
+    assert np.all(d[slice(*A["commands"])] == 0)
+    assert np.all(d[slice(*A["obj_pos"])] == 0)
+
+    # object pose moves only the object-relative blocks
+    st2 = st._replace(obj_pose=st.obj_pose + jnp.asarray([0.2, -0.1, 0.3]))
+    d = np.asarray(actor_observation(st2, rv, dq) - base)
+    assert np.any(d[slice(*A["obj_pos"])] != 0)
+    assert np.any(d[slice(*A["obj_quat"])] != 0)
+    assert np.all(d[slice(*A["ee_pos"])] == 0)
+
+    # base yaw rate lives in the angvel block
+    rv3 = rv._replace(base_vel=rv.base_vel.at[2].add(0.5))
+    d = np.asarray(actor_observation(st, rv3, dq) - base)
+    np.testing.assert_allclose(d[slice(*A["angvel"])],
+                               [0, 0, 0.5 * ANG_VEL_SCALE], atol=1e-12)
+
+
+def test_critic_obs_width_and_privileged_tail():
+    st, rv = _state()
+    dq = DEFAULT_JOINT_POS.astype(jnp.float64)
+    cobs = critic_observation_161(st, rv, dq, jnp.asarray(True))
+    assert cobs.shape == (161,)
+    # tail: static mu, mass/40, dynamic mu (env_train.py:781-790)
+    np.testing.assert_allclose(float(cobs[158]), float(st.friction))
+    np.testing.assert_allclose(float(cobs[159]), float(st.mass) / 40.0)
+    np.testing.assert_allclose(float(cobs[160]), float(st.friction))
+    # link-pose block is 49 wide and holds 7 unit quaternions
+    links = np.asarray(cobs[89:138]).reshape(7, 7)
+    np.testing.assert_allclose(np.linalg.norm(links[:, 3:], axis=1),
+                               np.ones(7), atol=1e-6)
+    # gripper slot flips with the weld state
+    cobs_f = critic_observation_161(st, rv, dq, jnp.asarray(False))
+    assert float(cobs[138]) == 1.0 and float(cobs_f[138]) == 0.0
+
+
+def test_env_critic_wrapper_is_161():
+    st, _ = _state()
+    assert critic_observation(st, PushEnvConfig()).shape == (161,)
+
+
+def test_arm_fk_matches_runtime_z1_fk():
+    """obs_layout.arm_link_frames EE frame == runtime/z1_arm.py FK
+    (position offset by the arm mount; quat reordered xyzw -> wxyz)."""
+    from alore_legged_manipulator_tpu.runtime.z1_arm import (
+        forward_kinematics)
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        q = rng.uniform(-1.5, 1.5, 6)
+        frames = arm_link_frames(jnp.asarray(q))
+        ee = np.asarray(frames[-1])
+        ref = forward_kinematics(q)           # xyz + quat (x, y, z, w)
+        np.testing.assert_allclose(ee[:3] - np.asarray(ARM_MOUNT),
+                                   ref[:3], atol=1e-6)
+        quat_ref_wxyz = np.concatenate([ref[6:7], ref[3:6]])
+        # q and -q are the same rotation
+        if np.dot(ee[3:], quat_ref_wxyz) < 0:
+            quat_ref_wxyz = -quat_ref_wxyz
+        np.testing.assert_allclose(ee[3:], quat_ref_wxyz, atol=1e-6)
+
+
+def test_physics_env_uses_real_robot_body():
+    from alore_legged_manipulator_tpu.rl import env_physics as penv
+    st = penv.env_reset(jax.random.PRNGKey(3))
+    rv = penv.robot_view_phys(st)
+    np.testing.assert_allclose(np.asarray(rv.base_pose),
+                               np.asarray(st.bodies.pose[0]))
+    cobs = penv.critic_observation(st, penv.PhysicsEnvConfig())
+    assert cobs.shape == (161,)
+    assert float(cobs[138]) == float(st.grasp_active)

@@ -227,3 +227,22 @@ def test_seidel_lp():
     A = np.array([[1.0, 0.0], [-1.0, 0.0]])
     b = np.array([-1.0, -1.0])  # x <= -1 and x >= 1
     assert seidel_lp(np.array([1.0, 0.0]), A, b, bound=10.0) is None
+
+
+def test_packed_bilinear_matches_reference_sampler():
+    """sample_dist_bilinear_packed == sample_dist_bilinear everywhere,
+    including the out-of-map and last-row/col invalid regions."""
+    from alore_legged_manipulator_tpu.ops.esdf import (
+        esdf_from_occupancy, pack_corner_grid, sample_dist_bilinear,
+        sample_dist_bilinear_packed)
+    occ = np.zeros((24, 30), bool)
+    occ[8:12, 10:18] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.asarray([0.5, -1.0]),
+                               0.1)
+    key = jax.random.PRNGKey(3)
+    pts = jax.random.uniform(key, (500, 2), minval=-0.5, maxval=3.5)
+    pts = pts + jnp.asarray([0.5, -1.0])
+    d_ref = sample_dist_bilinear(esdf, pts)
+    d_pack = sample_dist_bilinear_packed(esdf, pack_corner_grid(esdf), pts)
+    np.testing.assert_allclose(np.asarray(d_pack), np.asarray(d_ref),
+                               rtol=0, atol=1e-12)

@@ -97,9 +97,9 @@ def test_env_step_mechanics():
         st, hist, r, d = env_step(st, action, cfg)
     v_err = float(jnp.linalg.norm(st.obj_vel[:2] - st.cmd[:2]))
     assert v_err < v_err0 * 0.5
-    # critic obs includes the true velocity tail
+    # critic obs is the reference's 161-d privileged vector
     cobs = critic_observation(st, cfg)
-    assert cobs.shape[0] == HIST * OBS_DIM + 14
+    assert cobs.shape[0] == 161
     # graph features build a valid graph
     g = build_interaction_graph(*graph_features(st))
     assert g.nodes.shape == (9, 15)

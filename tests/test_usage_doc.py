@@ -12,6 +12,11 @@ import pytest
 
 DOC = Path(__file__).resolve().parent.parent / "USAGE.md"
 
+# snippets share one namespace IN ORDER -- they run all-or-nothing, so
+# the whole module sits in the slow tier (a partial selection would
+# break later snippets on missing names)
+pytestmark = pytest.mark.slow
+
 _BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)
 
 
