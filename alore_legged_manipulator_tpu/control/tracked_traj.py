@@ -48,6 +48,31 @@ def build_tracked_traj(msg: Polynome, n_grid: int = 2048) -> TrackedTraj:
                        duration=traj.total_time)
 
 
+def pad_tracked_traj(tt: TrackedTraj, capacity: int) -> TrackedTraj:
+    """Pad the piece dimension to a fixed capacity so downstream jitted
+    consumers (controller reference samplers) compile ONCE instead of
+    once per piece count.
+
+    Pad pieces have zero duration and constant coefficients equal to the
+    trajectory's end flat state: `locate` maps t = duration into the
+    first pad piece at local time 0, which then evaluates to the exact
+    end pose with zero derivatives -- the same pose-hold the reference
+    controller samples past the trajectory end (getRefPoints clamps at
+    traj_duration).  All interior t are unaffected (zero-length pieces
+    are never selected by the cumulative-time search for t < duration).
+    """
+    n = tt.traj.coeffs.shape[0]
+    if n >= capacity:
+        return tt
+    end_state = poly.eval_traj(tt.traj, tt.duration, 0)        # (2,)
+    pad = jnp.zeros((capacity - n, poly.NCOEF, 2), tt.traj.coeffs.dtype)
+    pad = pad.at[:, 0, :].set(end_state)
+    coeffs = jnp.concatenate([tt.traj.coeffs, pad], axis=0)
+    times = jnp.concatenate(
+        [tt.traj.times, jnp.zeros((capacity - n,), tt.traj.times.dtype)])
+    return tt._replace(traj=PolyTraj(coeffs=coeffs, times=times))
+
+
 def pstate(tt: TrackedTraj, t):
     """World pose (x, y, yaw) at time t; traj_anal.hpp:105-130."""
     t = jnp.clip(t, 0.0, tt.duration)
@@ -99,3 +124,28 @@ def ref_points(tt: TrackedTraj, t_now, n_samples: int, dt, yaw_est):
     ref_x = jnp.stack([states[:, 0], states[:, 1], yaw], axis=0)  # (3, N+1)
     ref_u = jnp.stack([vr, vl], axis=0)                           # (2, N+1)
     return ref_x, ref_u
+
+
+def ltv_ref_points(tt: TrackedTraj, t_cur, horizon: int, dt, yaw_est):
+    """Reference rows for one LTV-MPC tick (mpc_controller getRefPoints,
+    mpc_controller/src/mpc.cpp:634-691): samples t_cur+dt ... t_cur+T*dt
+    clamped at the trajectory end (pose-hold with the END state's
+    velocities -- the reference samples curV at traj_duration, not
+    zero), per-sample yaw normalization then smooth_yaw unwrap against
+    the odom yaw (:538-567).
+
+    Returns xref (4, T) rows (x, y, v-slot, yaw) and dref (2, T) rows
+    (v, omega) matching ltv_mpc_tick's layout.
+    """
+    ts = t_cur + dt * jnp.arange(1, horizon + 1, dtype=tt.seq.dtype)
+    tq = jnp.minimum(ts, tt.duration)
+
+    states = jax.vmap(lambda t: pstate(tt, t))(tq)       # (T, 3)
+    vels = jax.vmap(lambda t: vstate(tt, t))(tq)         # (T, 2) (yawdot, sdot)
+
+    yaw = normalize_angle(states[:, 2])
+    yaw = smooth_yaw_sequence(yaw_est, yaw)
+    zeros = jnp.zeros_like(yaw)
+    xref = jnp.stack([states[:, 0], states[:, 1], zeros, yaw], axis=0)
+    dref = jnp.stack([vels[:, 1], vels[:, 0]], axis=0)
+    return xref, dref

@@ -64,13 +64,22 @@ class PlanManager:
 
     state: PlanState = PlanState.IDLE
     goal: Optional[np.ndarray] = None
+    start_state: Optional[np.ndarray] = None   # /planner_start_pose
     esdf: Optional[ESDF] = None
     polynome: Optional[Polynome] = None
     tracked = None
     plan_start_time: float = -1.0
     traj_total_time: float = 0.0
     last_loop_time: float = -1e30
+    # plan_start_state_XYTheta of the last attempted plan -- the goal
+    # gate's yaw term uses THIS pose's yaw, not the robot's
+    # (MainThread :578: fmod(fabs((plan_start_state_XYTheta - goal)[2])))
+    plan_start_xyt: Optional[np.ndarray] = None
+    # jit caches, keyed by piece count (shareable across managers to
+    # amortize trace time over a multi-run session)
     _backend_jit: dict = field(default_factory=dict)
+    _tt_jit: dict = field(default_factory=dict)
+    _predict_jit: dict = field(default_factory=dict)
 
     def __post_init__(self):
         self.update_esdf()
@@ -90,50 +99,75 @@ class PlanManager:
         self.update_esdf()
 
     # ---- mission ---------------------------------------------------------
-    def set_goal(self, goal_xyt):
+    def set_goal(self, goal_xyt, start_xyt=None):
+        """New mission: goal pose (+ optional explicit start pose, the
+        /planner_start_pose topic -- the reference's first plan starts
+        from the *subscribed* start, not the odom pose)."""
         self.goal = np.asarray(goal_xyt, float)
+        self.start_state = None if start_xyt is None \
+            else np.asarray(start_xyt, float)
         self.state = PlanState.IDLE if self.state != PlanState.EMERGENCY_STOP \
             else self.state
+
+    def _predict_fn(self, n):
+        """One jitted program per piece count: predicted pose/derivatives
+        at t_rel plus the pose `horizon` further along (the replan
+        search-start, findJPSRoad)."""
+        if n not in self._predict_jit:
+            @jax.jit
+            def fn(tt, t_rel, horizon):
+                t = jnp.clip(t_rel, 0.0, tt.duration)
+                pose = pstate(tt, t)
+                v = poly.eval_traj(tt.traj, t, 1)
+                a = poly.eval_traj(tt.traj, t, 2)
+                j = poly.eval_traj(tt.traj, t, 3)
+                t_end = jnp.minimum(t_rel + horizon, tt.duration)
+                pose_end = pstate(tt, t_end)
+                return pose, v, a, j, pose_end
+            self._predict_jit[n] = fn
+        return self._predict_jit[n]
 
     def predicted_state(self, t_rel):
         """Pose + flat (V, A, J) / (O, A, J) on the current trajectory at
         trajectory-relative time t_rel (get_the_predicted_state)."""
         tt = self.tracked
-        t = jnp.clip(jnp.asarray(t_rel, self.cfg.dtype), 0.0, tt.duration)
-        pose = pstate(tt, t)
-        v = poly.eval_traj(tt.traj, t, 1)
-        a = poly.eval_traj(tt.traj, t, 2)
-        j = poly.eval_traj(tt.traj, t, 3)
+        fn = self._predict_fn(tt.traj.coeffs.shape[0])
+        pose, v, a, j, pose_end = fn(tt, jnp.asarray(t_rel, self.cfg.dtype),
+                                     jnp.asarray(0.0, self.cfg.dtype))
         vaj = np.array([float(v[1]), float(a[1]), float(j[1])])
         oaj = np.array([float(v[0]), float(a[0]), float(j[0])])
         return np.asarray(pose, float), vaj, oaj
 
-    def _predicted_start_path(self, t_rel, horizon=0.5, n_pts=6):
-        """Collision-truncated path along the current trajectory over
-        [t_rel, t_rel + jps_truncation_time] (findJPSRoad :714-744)."""
-        if self.tracked is None:
+    def _predicted_start_path(self, pose_tpred, pose_end):
+        """Replan search-start offset (findJPSRoad :714-744).
+
+        The reference's predicted path holds ONLY the start state (both
+        interior push_backs are commented out, optimizer.cpp:1228/1266),
+        so the effective behavior is: if the predicted state at t_rel is
+        collision-free, the JPS search starts from the state integrated
+        `jps_truncation_time` further along the trajectory (clamped at
+        its end) while sampling still begins at the t_rel state;
+        otherwise the search starts at the t_rel state itself.
+
+        Returns the start_path for plan_frontend ([front, search_start])
+        or None (search from the plan start)."""
+        from ..ops.esdf import dist_at_cell
+        d = float(dist_at_cell(self.esdf,
+                               jnp.asarray(pose_tpred[:2], self.cfg.dtype)))
+        if d <= self.cfg.frontend.safe_dis:
             return None
-        ts = np.linspace(float(t_rel), float(t_rel) + horizon, n_pts)
-        pts = []
-        for t in ts:
-            pose = np.asarray(
-                pstate(self.tracked, jnp.asarray(t, self.cfg.dtype)), float)
-            # truncate at the first colliding point (JPS_check_if_collision)
-            from ..ops.esdf import dist_at_cell
-            d = float(dist_at_cell(self.esdf,
-                                   jnp.asarray(pose[:2], self.cfg.dtype)))
-            if d <= self.cfg.frontend.safe_dis:
-                break
-            pts.append(pose[:2])
-        return pts if len(pts) >= 2 else None
+        return [np.asarray(pose_tpred[:2], float),
+                np.asarray(pose_end[:2], float)]
 
     def _plan(self, start_xyt, start_vaj, start_oaj, t_now,
               start_path=None):
+        self.plan_start_xyt = np.asarray(start_xyt, float)
         flat = plan_frontend(np.asarray(self.esdf.dist),
                              self.lower, self.res, start_xyt, self.goal,
                              self.cfg.frontend, start_vaj, start_oaj,
                              self.cfg.dtype, start_path=start_path)
         if flat is None:
+            # front end failed: EMERGENCY_STOP (MainThread :662-666)
             self.state = PlanState.EMERGENCY_STOP
             return None
 
@@ -143,7 +177,9 @@ class PlanManager:
                 lambda f, e: plan_backend(f, e, self.cfg.backend))
         res: BackendResult = self._backend_jit[n](flat, self.esdf)
         if bool(res.collision):
-            self.state = PlanState.EMERGENCY_STOP
+            # back end failed (minco_plan false): the reference just
+            # returns -- the old trajectory keeps tracking and the next
+            # due gate retries (MainThread :676-679).  No state change.
             return None
 
         if self.plan_start_time < 0:
@@ -159,7 +195,15 @@ class PlanManager:
             start_position=flat.start_xytheta,
             icr=jnp.asarray(self.cfg.icr, self.cfg.dtype))
         self.polynome = msg
-        self.tracked = build_tracked_traj(msg, n_grid=1024)
+        # the manager's own flow integration (predicted-state replans)
+        # follows if_standard_diff: the xv lateral term is dropped
+        # (get_the_predicted_state, optimizer.cpp:1214-1218)
+        flow_msg = msg if not self.cfg.backend.standard_diff else \
+            msg._replace(icr=msg.icr.at[2].set(0.0))
+        if n not in self._tt_jit:
+            self._tt_jit[n] = jax.jit(
+                lambda m: build_tracked_traj(m, n_grid=1024))
+        self.tracked = self._tt_jit[n](flow_msg)
         self.traj_total_time = float(self.tracked.duration)
         return msg
 
@@ -178,12 +222,18 @@ class PlanManager:
             if self.state == PlanState.IDLE:
                 self.state = PlanState.PLANNING
                 self.plan_start_time = -1.0
-                new_msg = self._plan(robot_pose, np.zeros(3), np.zeros(3),
+                start = robot_pose if self.start_state is None \
+                    else self.start_state
+                new_msg = self._plan(start, np.zeros(3), np.zeros(3),
                                      t_now)
             else:
+                # goal gate (MainThread :578-582): xy from the odom pose,
+                # yaw term from the LAST PLAN's start pose
+                yaw_src = robot_pose if self.plan_start_xyt is None \
+                    else self.plan_start_xyt
                 near_goal = (np.sum((robot_pose[:2] - self.goal[:2]) ** 2)
-                             + abs((robot_pose[2] - self.goal[2])
-                                   % (2 * np.pi)) * 0.02
+                             + np.fmod(abs(yaw_src[2] - self.goal[2]),
+                                       2 * np.pi) * 0.02
                              < self.cfg.goal_reach_dist_sq)
                 short_left = self.traj_total_time < self.cfg.max_replan_time
                 if near_goal or short_left:
@@ -192,8 +242,17 @@ class PlanManager:
                 self.state = PlanState.REPLAN
                 t_pred = (t_now + self.cfg.max_replan_time
                           - self.plan_start_time)
-                pose, vaj, oaj = self.predicted_state(t_pred)
-                sp = self._predicted_start_path(t_pred)
+                tt = self.tracked
+                fn = self._predict_fn(tt.traj.coeffs.shape[0])
+                # horizon = jps_truncation_time (jps3ms.yaml: 0.5)
+                pose, v, a, j, pose_end = fn(
+                    tt, jnp.asarray(t_pred, self.cfg.dtype),
+                    jnp.asarray(0.5, self.cfg.dtype))
+                pose = np.asarray(pose, float)
+                vaj = np.array([float(v[1]), float(a[1]), float(j[1])])
+                oaj = np.array([float(v[0]), float(a[0]), float(j[0])])
+                sp = self._predicted_start_path(pose, np.asarray(pose_end,
+                                                                 float))
                 new_msg = self._plan(pose, vaj, oaj, t_now, start_path=sp)
 
         # trajectory finished?

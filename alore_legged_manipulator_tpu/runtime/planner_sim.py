@@ -1,0 +1,354 @@
+"""The composed planner_sim closed loop: JAX twin of the reference's
+full multi-node integration graph.
+
+This is the stepped single-scenario runtime matching, event for event,
+the composition planner_sim.launch actually runs (and that the composed
+golden oracle tests/golden/e2e_oracle/harness.cpp compiles from the
+reference sources):
+
+  * diff-drive plant at 500 Hz under the LTV-MPC's (v, omega) CarState
+    command path -- instant adoption at 100 Hz command receipt, decay
+    toward zero between receipts (simulator.h:203-270; see
+    world/plant.plant_step_mpc_tick)
+  * ICR-EKF: predict per 100 Hz wheel-feedback message (ControlPub,
+    simulator.h:345-346), update per 10 Hz odometry, publish at 100 Hz
+    (icrekf.cpp:5-97, 225-332) -- including the reference's cold-start
+    quirks (x starts at the origin until the first odometry; the first
+    stored wheel command predicts over the full gap once odometry
+    arrives)
+  * LTV-MPC at 100 Hz: trajectory swap once t passes traj_start_time,
+    reference sampling clamped at the trajectory end, smooth_yaw,
+    max_iter SQP passes, delay_num command offset
+    (mpc_controller/src/mpc.cpp:131-216, 634-691)
+  * plan_manager MainThread at 1 kHz: replan gate every replan_time,
+    predicted-state replans with trajectory swap at t + max_replan_time
+    (plan_manager.hpp:556-712) -- mission/plan_manager.PlanManager
+  * online mapping: 10 Hz perspective cloud (every occupied true-map
+    cell within detection_range) -> 20 Hz perspective occupancy fusion
+    (sdf_map.cpp:96-129) -> 100 Hz ESDF refresh (updateESDFCallback;
+    the launch ships this timer commented out at sdf_map.h:128 and
+    plans in a blank world -- the oracle and this twin re-enable the
+    intended wiring at its commented 100 Hz period)
+
+Event order inside one 1 ms step mirrors the launch-file node
+construction order (the oracle's deterministic timer order):
+occupancy fusion -> MainThread -> plant propagation -> wheel feedback
+(EKF predict) -> odometry (EKF update) -> MPC tick (command applied) ->
+EKF publish -> ESDF refresh.
+
+Verified against the compiled composed reference loop in
+tests/test_e2e_parity.py (replan cadence, swap timing, trajectory and
+estimate tolerances, f64 + f32).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..control.ltv_mpc import LtvMpcConfig, ltv_mpc_init, ltv_mpc_tick
+from ..control.tracked_traj import (build_tracked_traj, ltv_ref_points,
+                                    pad_tracked_traj)
+from ..estimator.icr_ekf import EkfConfig, ekf_init, ekf_predict, ekf_update
+from ..mission.plan_manager import PlanManager, PlanManagerConfig, PlanState
+from ..utils.angles import normalize_angle
+from ..world.lidar import (OccupancyConfig, occupancy_classes,
+                           occupancy_init, occupancy_update_perspective)
+
+# launch-wired EKF noise/init (planner_sim.launch:185-206; the node
+# squares the Q/R parameters, icrekf.h:142-157)
+E2E_EKF_CONFIG = EkfConfig(
+    q_diag=(0.5 ** 2, 0.5 ** 2, 1.14 ** 2, 0.1 ** 2, 0.1 ** 2, 0.1 ** 2),
+    r_diag=(0.1 ** 2, 0.1 ** 2, 0.1 ** 2),
+    p0_diag=(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+E2E_EKF_ICR_INIT = (-0.25, 0.25, 0.1)
+E2E_TRUE_ICR = (-0.3, 0.3, 0.2)
+
+
+@dataclasses.dataclass
+class E2EScenario:
+    """Geometry + timing of one composed run (tests/golden/e2e_oracle/
+    scenario.py emits the identical description to the C++ oracle)."""
+    grid: np.ndarray              # (nx, ny) bool truth occupancy
+    lower: tuple                  # (x_lower, y_lower)
+    res: float
+    start: tuple                  # (x, y, yaw)
+    goal: tuple
+    sim_T: float
+    detection_range: float = 5.0
+    laser_period_ms: int = 100    # 10 Hz
+    replan_time: float = 0.08
+    max_replan_time: float = 0.05
+    obs_t: float = -1.0           # popup obstacle time (< 0: none)
+    obs_cells: tuple = (0, 0, 0, 0)
+
+    @classmethod
+    def from_golden(cls, scn: dict) -> "E2EScenario":
+        grid = np.array([[c == "1" for c in row]
+                         for row in scn["grid_rows"]], dtype=bool)
+        return cls(grid=grid, lower=(scn["x_lower"], scn["y_lower"]),
+                   res=scn["res"], start=tuple(scn["start"]),
+                   goal=tuple(scn["goal"]), sim_T=scn["sim_T"],
+                   detection_range=scn["detection_range"],
+                   laser_period_ms=int(round(1000.0 / scn["laser_rate"])),
+                   replan_time=scn["replan_time"],
+                   max_replan_time=scn["max_replan_time"],
+                   obs_t=scn["obs_t"], obs_cells=tuple(scn["obs_cells"]))
+
+
+@dataclasses.dataclass
+class E2ETrace:
+    poses: np.ndarray    # (K, 6) t, x, y, theta, v, omega  (100 Hz truth)
+    cmds: np.ndarray     # (M, 3) t, v, omega
+    ekf: np.ndarray      # (M, 7) t, x, y, psi, yr, yl, xv (100 Hz publish)
+    plans: list          # dicts: t, traj_start, n_pieces, duration, ...
+    states: list         # (t, PlanState) FSM edges
+
+
+class _LtvNode:
+    """mpc_controller node twin (CmdCallback, mpc.cpp:131-216)."""
+
+    def __init__(self, cfg: LtvMpcConfig, dtype):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.carry = ltv_mpc_init(cfg, dtype)
+        self.tracked = None
+        self.duration = 0.0
+        self.start_time = -1.0
+        self.new_tracked = None
+        self.new_start = -1.0
+        self.receive_traj = False
+        self.at_goal = False
+        self._jit = {}
+
+    PIECE_CAPACITY = 32
+
+    def receive(self, msg):
+        # the LTV node integrates the flat flow WITHOUT the ICR lateral
+        # term (TrajAnal getSeq, mpc_controller/include/.../traj_anal.hpp:
+        # 50-81 -- no ICR anywhere in this node)
+        flow_msg = msg._replace(icr=msg.icr.at[2].set(0.0))
+        n = msg.piece_times.shape[0]
+        key = ("build", n)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(lambda m: pad_tracked_traj(
+                build_tracked_traj(m, n_grid=1024), self.PIECE_CAPACITY))
+        self.new_tracked = self._jit[key](flow_msg)
+        self.new_start = float(msg.traj_start_time)
+        self.receive_traj = True
+        self.at_goal = False
+
+    def _tick_fn(self, n_pieces):
+        # piece dim padded to PIECE_CAPACITY -> one compile for the run
+        if "tick" not in self._jit:
+            cfg = self.cfg
+
+            @jax.jit
+            def fn(carry, tt, t_cur, est_pose):
+                xref, dref = ltv_ref_points(tt, t_cur, cfg.horizon, cfg.dt,
+                                            est_pose[2])
+                return ltv_mpc_tick(carry, est_pose, xref, dref, cfg)
+
+            self._jit["tick"] = fn
+        return self._jit["tick"]
+
+    def tick(self, t: float, est_pose) -> Optional[tuple]:
+        if not self.receive_traj and self.tracked is None:
+            return None
+        if self.new_tracked is not None and t > self.new_start:
+            self.tracked = self.new_tracked
+            self.duration = float(self.tracked.duration)
+            self.start_time = self.new_start
+            self.new_tracked = None
+        if self.tracked is None:
+            return None
+        if self.at_goal:
+            # zero command, drop the trajectory (CmdCallback :142-157)
+            self.receive_traj = False
+            self.tracked = None
+            self.start_time = -1.0
+            self.carry = ltv_mpc_init(self.cfg, self.dtype)
+            return (0.0, 0.0)
+        t_cur = t - self.start_time
+        self.at_goal = t_cur > self.duration + 1.0   # getRefPoints :655
+        fn = self._tick_fn(self.tracked.traj.coeffs.shape[0])
+        est = jnp.asarray(est_pose, self.dtype)
+        self.carry, cmd = fn(self.carry, self.tracked,
+                             jnp.asarray(t_cur, self.dtype), est)
+        cmd = np.asarray(cmd, float)
+        return (float(cmd[0]), float(cmd[1]))
+
+
+def run_planner_sim(scn: E2EScenario, pm_cfg: PlanManagerConfig,
+                    ltv_cfg: LtvMpcConfig,
+                    occ_cfg: OccupancyConfig = OccupancyConfig(),
+                    dtype=jnp.float32) -> E2ETrace:
+    """Run the composed closed loop for scn.sim_T seconds."""
+    nx, ny = scn.grid.shape
+    true_grid = scn.grid.copy()
+    lower = np.asarray(scn.lower, float)
+    res = scn.res
+
+    # --- planner (starts in an all-unknown map: unknown plans as free)
+    pm = PlanManager(occ=np.zeros((nx, ny), bool), lower=tuple(lower),
+                     res=res, cfg=pm_cfg)
+    pm.set_goal(scn.goal, start_xyt=scn.start)
+
+    # --- online map state
+    map_state = occupancy_init((nx, ny), occ_cfg)
+    pending_cloud = None
+    fuse_jit = jax.jit(lambda st, pose, pts, mask: occupancy_update_perspective(
+        st, jnp.asarray(lower, jnp.float32), res, pose, pts, mask,
+        scn.detection_range, occ_cfg))
+
+    # --- plant (host f64; the true world)
+    px, py, pth = scn.start
+    pv = pw = 0.0
+    max_a_lim, max_w_lim = 2.0 * 0.01, 4.0 * 0.01   # quirk: publish interval
+
+    # --- EKF node state (cold start at the origin, icrekf.h:171-176)
+    ekf = ekf_init(np.zeros(3), np.asarray(E2E_EKF_ICR_INIT), E2E_EKF_CONFIG,
+                   dtype)
+    ekf_got_state = False
+    ekf_got_u = False
+    ekf_u = np.zeros(2)
+    ekf_u_time = 0.0
+    predict_jit = jax.jit(
+        lambda st, u, dt: ekf_predict(st, u, dt, E2E_EKF_CONFIG))
+    update_jit = jax.jit(lambda st, obs: ekf_update(st, obs, E2E_EKF_CONFIG))
+    est_pub = None        # last published (wrapped-yaw) estimate
+
+    # --- MPC node
+    mpc = _LtvNode(ltv_cfg, dtype)
+
+    map_dirty = False
+    poses, cmds, ekf_rows, plans, states = [], [], [], [], []
+    last_state = None
+    obs_added = scn.obs_t < 0
+    n_steps = int(round(scn.sim_T * 1000))
+
+    # the oracle's timers accumulate `next += period` (stub ros.h), so
+    # sim time inside callbacks is the RUNNING FLOAT SUM of 0.001 -- not
+    # k*0.001.  The replan gate compares these sums against replan_time
+    # at 1 ms granularity, so the twin must accumulate identically to
+    # reproduce the golden cadence bit-for-bit.
+    t = 0.0
+    for k in range(1, n_steps + 1):
+        t += 1e-3
+
+        # popup obstacle enters the TRUE world (harness stdin contract;
+        # the harness schedules it on k*dt, not the accumulated clock)
+        if not obs_added and k * 1e-3 >= scn.obs_t:
+            x0, y0, x1, y1 = scn.obs_cells
+            true_grid[max(0, x0):min(nx, x1), max(0, y0):min(ny, y1)] = True
+            obs_added = True
+
+        # laser capture BEFORE timers, at the plant pose entering this
+        # step (harness inject_scan)
+        if k % scn.laser_period_ms == 0:
+            ix, iy = np.nonzero(true_grid)
+            cx = lower[0] + (ix + 0.5) * res
+            cy = lower[1] + (iy + 0.5) * res
+            sel = (cx - px) ** 2 + (cy - py) ** 2 \
+                <= scn.detection_range ** 2
+            pending_cloud = (np.stack([cx[sel], cy[sel]], -1),
+                             np.array([px, py, pth]))
+
+        # --- 20 Hz occupancy fusion (SDFmap occ_timer, registered first)
+        if k % 50 == 0 and pending_cloud is not None:
+            pts, scan_pose = pending_cloud
+            pending_cloud = None
+            n = len(pts)
+            # fixed padded shape: one fusion compile for the whole run
+            pad = 512
+            while pad < n:
+                pad *= 2
+            pts_j = jnp.zeros((pad, 2), jnp.float32).at[:n].set(
+                jnp.asarray(pts, jnp.float32))
+            mask = jnp.arange(pad) < n
+            map_state = fuse_jit(map_state, jnp.asarray(scan_pose,
+                                                        jnp.float32),
+                                 pts_j, mask)
+            occ_est, _, _ = occupancy_classes(map_state, occ_cfg)
+            pm.occ = np.asarray(occ_est)
+            map_dirty = True
+
+        # --- 1 kHz MainThread.  have_geometry_ is set by the planner's
+        # odom callback (GeometryCallback, plan_manager.hpp:175-176), so
+        # the gate is "first EKF publish received"
+        if est_pub is not None:
+            msg = pm.tick(t, est_pub)
+            if msg is not None:
+                plans.append(dict(
+                    t=t, traj_start=float(msg.traj_start_time),
+                    n_pieces=int(msg.piece_times.shape[0]),
+                    duration=float(np.sum(np.asarray(msg.piece_times))),
+                    start_xyt=np.asarray(msg.start_position, float),
+                    inner=np.asarray(msg.inner_points, float)))
+                mpc.receive(msg)
+        if pm.state is not last_state:
+            last_state = pm.state
+            states.append((t, pm.state))
+
+        # --- 500 Hz plant propagation (decay toward desired = 0)
+        if k % 2 == 0:
+            pv = 0.0 if abs(pv) < max_a_lim else pv - max_a_lim * np.sign(pv)
+            pw = 0.0 if abs(pw) < max_w_lim else pw - max_w_lim * np.sign(pw)
+            px += pv * 2e-3 * np.cos(pth)
+            py += pv * 2e-3 * np.sin(pth)
+            pth += pw * 2e-3
+
+        # --- 100 Hz wheel feedback -> EKF predict (ControlSubCallback)
+        if k % 10 == 0:
+            u_now = np.array([pv - pw * E2E_TRUE_ICR[1],     # left
+                              pv - pw * E2E_TRUE_ICR[0]])    # right
+            if not ekf_got_u:
+                ekf_u, ekf_u_time, ekf_got_u = u_now, t, True
+            elif ekf_got_state:
+                dt_u = t - ekf_u_time
+                ekf = predict_jit(ekf, jnp.asarray(ekf_u, dtype),
+                                  jnp.asarray(dt_u, dtype))
+                ekf_u, ekf_u_time = u_now, t
+            # (!get_state_: the stored command and stamp stay frozen,
+            #  icrekf.cpp:81-91 -- the first post-odometry predict spans
+            #  the whole cold-start gap)
+
+        # --- 10 Hz odometry -> EKF update
+        if k % 100 == 0:
+            pose_obs = np.array([px, py, pth])
+            if not ekf_got_state:
+                x = ekf.x.at[:3].set(jnp.asarray(pose_obs, dtype))
+                ekf = ekf._replace(x=x)
+                ekf_got_state = True
+            else:
+                ekf = update_jit(ekf, jnp.asarray(pose_obs, dtype))
+
+        # --- 100 Hz MPC tick; command applied instantly (PoseSub path)
+        if k % 10 == 0 and est_pub is not None:
+            cmd = mpc.tick(t, est_pub)
+            if cmd is not None:
+                pv, pw = cmd
+                cmds.append([t, cmd[0], cmd[1]])
+
+        # --- 100 Hz EKF publish (timer registered last)
+        if k % 10 == 0:
+            x = np.asarray(ekf.x, float)
+            est_pub = np.array([x[0], x[1],
+                                float(normalize_angle(x[2]))])
+            ekf_rows.append([t, x[0], x[1], x[2], x[3], x[4], x[5]])
+
+        # --- 100 Hz ESDF refresh (after all timers; the re-enabled
+        #     updateESDFCallback wiring).  Skipped while the occupancy
+        #     is unchanged -- the ESDF is a pure function of it, so the
+        #     refreshed field is identical.
+        if k % 10 == 0:
+            if map_dirty:
+                pm.update_esdf()
+                map_dirty = False
+            poses.append([t, px, py, pth, pv, pw])
+
+    return E2ETrace(poses=np.asarray(poses), cmds=np.asarray(cmds),
+                    ekf=np.asarray(ekf_rows), plans=plans, states=states)

@@ -93,3 +93,47 @@ def plant_wheel_feedback(st: PlantState, icr: ICRParams):
     vl = st.v - st.omega * icr.yl
     vr = st.v - st.omega * icr.yr
     return jnp.stack([vl, vr])
+
+
+def plant_step_mpc_tick(st: PlantState, cmd_v, cmd_w, cfg: PlantConfig,
+                        substeps: int = 5, dt: float = 0.002) -> PlantState:
+    """One 100 Hz control period of the plant under the (v, omega)
+    CarState command path -- the composition planner_sim.launch actually
+    wires (LTV MPC cmd -> /simulation/PoseSub).
+
+    PoseSubCallback (simulator.h:203-231) adopts the commanded (v, omega)
+    INSTANTLY: its rate-limit branch is dead code, overwritten by the
+    unconditional assignment at :219-220.  desired_(v, omega) are only
+    ever written by ControlSubCallback (:233-242), which this launch
+    never feeds -- so every 500 Hz StatePropaCallback between command
+    receipts rate-limits the velocity toward ZERO by
+    max_acc * Pose_pub_rate_ (the publish-interval quirk, :246-262).
+    Net effect per 10 ms tick: v := cmd, then 5 x (decay by 0.02 / 0.04,
+    integrate 2 ms).  Verified f64-EXACT against the compiled composed
+    oracle (tests/golden/e2e_oracle).
+    """
+    dtype = st.xytheta.dtype
+    v = jnp.asarray(cmd_v, dtype)
+    w = jnp.asarray(cmd_w, dtype)
+    lim_dt = dt if cfg.rate_limit_dt is None else cfg.rate_limit_dt
+    dv = cfg.max_acc * lim_dt
+    dw = cfg.max_domega * lim_dt
+
+    def sub(carry, _):
+        x, y, th, v, w, s = carry
+        # StatePropa toward desired = 0 (:246-262)
+        v = jnp.where(jnp.abs(v) >= dv, v - dv * jnp.sign(v),
+                      jnp.zeros_like(v))
+        w = jnp.where(jnp.abs(w) >= dw, w - dw * jnp.sign(w),
+                      jnp.zeros_like(w))
+        x = x + v * dt * jnp.cos(th)
+        y = y + v * dt * jnp.sin(th)
+        th = th + w * dt
+        s = s + v * dt
+        return (x, y, th, v, w, s), None
+
+    x, y, th = st.xytheta
+    (x, y, th, v, w, s), _ = jax.lax.scan(
+        sub, (x, y, th, v, w, st.s), None, length=substeps)
+    return PlantState(xytheta=jnp.stack([x, y, th]), v=v, omega=w,
+                      vy=st.vy, s=s)

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Build the COMPOSED planner_sim golden oracle (see harness.cpp): the
+# reference plan_manager + front_end + back_end + mpc_controller +
+# icrekf + simulator + plan_env sources compiled read-only from
+# /root/reference into ONE deterministic stepped closed loop.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=/root/reference/planning_ddr_opt
+EIGEN=$(python - <<'PY'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+
+g++ -O2 -std=c++14 -w \
+    -I stub \
+    -I "$EIGEN" \
+    -I "$REF/utils/plan_env/include" \
+    -I "$REF/utils/plan_env/src" \
+    -I "$REF/utils/simulator/include" \
+    -I "$REF/icrekf/include" \
+    -I "$REF/icrekf/src" \
+    -I "$REF/mpc_controller/include" \
+    -I "$REF/mpc_controller/src" \
+    -I "$REF/front_end/include" \
+    -I "$REF/front_end/src" \
+    -I "$REF/back_end/include" \
+    -I "$REF/back_end/src" \
+    -I "$REF/plan_manager/include" \
+    harness.cpp -o e2e_oracle -lpthread
+echo "built $(pwd)/e2e_oracle"

@@ -1,0 +1,104 @@
+"""Record composed closed-loop goldens from the e2e oracle.
+
+Runs the compiled reference loop (harness.cpp) on each scenario in
+scenario.py and stores the full event log as gzipped JSON under
+goldens/<name>.json.gz:
+
+  plans:  [{t, traj_start, t_pts, inner (N-1, 2), init (3,2), tail (3,2),
+            start_xyt, icr}]
+  cmds:   [[t, v, omega]]            (100 Hz, delay-compensated output)
+  poses:  [[t, x, y, theta, v, omega]]  (100 Hz truth)
+  ekf:    [[t, x, y, psi, yr, yl, xv]]  (100 Hz estimate)
+  states: [[t, fsm_state]]           (plan_manager StateMachine edges)
+
+Usage:  python record_goldens.py [corridor popup ...]
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import pathlib
+import subprocess
+import sys
+
+import scenario as sc_mod
+
+HERE = pathlib.Path(__file__).parent
+
+
+def parse_log(text: str) -> dict:
+    plans, cmds, poses, ekf, states = [], [], [], [], []
+    seen_plan_keys = set()
+    for ln in text.splitlines():
+        p = ln.split()
+        if not p:
+            continue
+        if p[0] == "PLAN":
+            t, traj_start = float(p[1]), float(p[2])
+            # the oracle bus delivers the Polynome to two subscribers
+            # (mpc + recording tap order) -- dedup identical records
+            key = (p[1], p[2], p[3])
+            if key in seen_plan_keys:
+                continue
+            seen_plan_keys.add(key)
+            n = int(p[3])
+            i = 4
+            t_pts = [float(v) for v in p[i:i + n]]
+            i += n
+            assert p[i] == "|"
+            i += 1
+            inner = []
+            while p[i] != "|":
+                inner.append([float(p[i]), float(p[i + 1])])
+                i += 2
+            i += 1
+            init = [float(v) for v in p[i:i + 6]]
+            tail = [float(v) for v in p[i + 6:i + 12]]
+            start_xyt = [float(v) for v in p[i + 12:i + 15]]
+            icr = [float(v) for v in p[i + 15:i + 18]]
+            plans.append(dict(t=t, traj_start=traj_start, t_pts=t_pts,
+                              inner=inner, init=init, tail=tail,
+                              start_xyt=start_xyt, icr=icr))
+        elif p[0] == "CMD":
+            cmds.append([float(v) for v in p[1:]])
+        elif p[0] == "POSE":
+            poses.append([float(v) for v in p[1:]])
+        elif p[0] == "EKF":
+            ekf.append([float(v) for v in p[1:]])
+        elif p[0] == "STATE":
+            states.append([float(p[1]), int(p[2])])
+    return dict(plans=plans, cmds=cmds, poses=poses, ekf=ekf,
+                states=states)
+
+
+def record(name: str) -> None:
+    sc = sc_mod.make(name)
+    proc = subprocess.run(
+        [str(HERE / "e2e_oracle")], input=sc_mod.to_stdin(sc),
+        capture_output=True, text=True, timeout=600)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-2000:])
+        raise RuntimeError(f"oracle failed on {name}")
+    golden = parse_log(proc.stdout)
+    golden["scenario"] = dict(
+        name=sc.name, nx=sc.nx, ny=sc.ny, x_lower=sc.x_lower,
+        y_lower=sc.y_lower, res=sc.res,
+        grid_rows=["".join(str(int(v)) for v in sc.grid[ix])
+                   for ix in range(sc.nx)],
+        start=list(sc.start), goal=list(sc.goal), sim_T=sc.sim_T,
+        laser_rate=sc.laser_rate, detection_range=sc.detection_range,
+        replan_time=sc.replan_time, max_replan_time=sc.max_replan_time,
+        obs_t=sc.obs_t, obs_cells=list(sc.obs_cells))
+    out = HERE / "goldens" / f"{name}.json.gz"
+    out.parent.mkdir(exist_ok=True)
+    with gzip.open(out, "wt") as f:
+        json.dump(golden, f)
+    print(f"{name}: {len(golden['plans'])} plans, "
+          f"{len(golden['poses'])} poses -> {out} "
+          f"({out.stat().st_size // 1024} KiB)")
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["corridor", "popup"]
+    for name in names:
+        record(name)

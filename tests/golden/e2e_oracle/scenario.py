@@ -1,0 +1,89 @@
+"""Scenario generator for the composed planner_sim e2e oracle.
+
+Emits the harness.cpp stdin format for a named scenario and (as a
+module) exposes the same scenario description to the JAX twin so both
+sides consume identical geometry/timing.
+
+Scenarios (all use the launch-default "3ms" profiles, standard
+diff-drive, deterministic):
+  corridor      -- 14x6 m corridor with a wall gap; start left, goal
+                   right; >=3 replan cycles en route.
+  popup         -- same corridor; a block appears at t=4 s inside the
+                   currently-planned route, forcing a replan detour
+                   (plan_manager collision REPLAN path).
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class E2EScenario:
+    name: str
+    nx: int
+    ny: int
+    x_lower: float
+    y_lower: float
+    res: float
+    grid: np.ndarray            # (nx, ny) int8, 1 = occupied
+    start: tuple                # (x, y, yaw)
+    goal: tuple                 # (x, y, yaw)
+    sim_T: float
+    laser_rate: float
+    detection_range: float
+    replan_time: float
+    max_replan_time: float
+    obs_t: float                # < 0: no popup obstacle
+    obs_cells: tuple            # (x0, y0, x1, y1) cell box, [x0,x1)x[y0,y1)
+
+
+def _corridor_grid(nx: int, ny: int) -> np.ndarray:
+    g = np.zeros((nx, ny), dtype=np.int8)
+    g[0, :] = 1
+    g[-1, :] = 1
+    g[:, 0] = 1
+    g[:, -1] = 1
+    # wall across the corridor at x cell 70 with a gap near the top
+    g[68:71, 1:38] = 1
+    # wall at x cell 35 with a gap near the bottom
+    g[34:37, 22:59] = 1
+    return g
+
+
+def make(name: str) -> E2EScenario:
+    nx, ny, res = 140, 60, 0.1           # 14 x 6 m at 0.1 m
+    grid = _corridor_grid(nx, ny)
+    common = dict(
+        nx=nx, ny=ny, x_lower=0.0, y_lower=0.0, res=res, grid=grid,
+        start=(1.0, 3.0, 0.0), goal=(13.0, 3.0, 0.0),
+        laser_rate=10.0, detection_range=5.0,
+        replan_time=0.08, max_replan_time=0.05,
+    )
+    if name == "corridor":
+        return E2EScenario(name=name, sim_T=14.0, obs_t=-1.0,
+                           obs_cells=(0, 0, 0, 0), **common)
+    if name == "popup":
+        # block dropped in the right half's open lane while in transit
+        return E2EScenario(name=name, sim_T=16.0, obs_t=4.0,
+                           obs_cells=(88, 28, 96, 52), **common)
+    raise KeyError(name)
+
+
+def to_stdin(sc: E2EScenario) -> str:
+    lines = [f"{sc.nx} {sc.ny} {sc.x_lower} {sc.y_lower} {sc.res}"]
+    rows = "".join(
+        "".join(str(int(v)) for v in sc.grid[ix]) for ix in range(sc.nx))
+    lines.append(rows)
+    lines.append(" ".join(f"{v}" for v in (*sc.start, *sc.goal)))
+    lines.append(f"{sc.sim_T} {sc.laser_rate} {sc.detection_range} "
+                 f"{sc.replan_time} {sc.max_replan_time}")
+    lines.append(f"{sc.obs_t} " + " ".join(str(c) for c in sc.obs_cells))
+    return "\n".join(lines) + "\n"
+
+
+if __name__ == "__main__":
+    sys.stdout.write(to_stdin(make(sys.argv[1] if len(sys.argv) > 1
+                                   else "corridor")))

@@ -1,0 +1,193 @@
+// OsqpEigen stub for the composed planner_sim oracle: records the
+// assembled QP and SOLVES it with OSQP's own algorithm (dense ADMM +
+// active-set polish) -- extracted from the ltv_oracle common_stub so it
+// composes with the full e2e ros stub instead of bundling its own.
+#ifndef E2E_OSQP_EIGEN_STUB_H
+#define E2E_OSQP_EIGEN_STUB_H
+
+#include <cmath>
+#include <memory>
+#include <vector>
+#include <Eigen/Dense>
+#include <Eigen/Sparse>
+
+// ---------------------------------------------------------------------------
+// OsqpEigen stub: records the assembled QP and SOLVES it with OSQP's own
+// algorithm (dense): ADMM x-update (P + sigma I + A' R A) z/y updates with
+// relaxation alpha, per-row rho with the 1e3 equality boost, then the
+// active-set polish (KKT solve on detected actives).  Accuracy ~1e-10 on
+// these small dense QPs -- good enough to serve as the reference solution.
+// ---------------------------------------------------------------------------
+namespace osqp_oracle {
+
+struct Record {
+    Eigen::MatrixXd P;         // dense hessian
+    Eigen::VectorXd q;
+    Eigen::MatrixXd A;         // dense constraint matrix
+    Eigen::VectorXd l, u;
+    Eigen::VectorXd solution;
+};
+
+inline std::vector<Record>& records() {
+    static std::vector<Record> r; return r;
+}
+
+inline Eigen::VectorXd solve_qp(const Eigen::MatrixXd& P,
+                                const Eigen::VectorXd& q,
+                                const Eigen::MatrixXd& A,
+                                const Eigen::VectorXd& l,
+                                const Eigen::VectorXd& u) {
+    const int n = static_cast<int>(P.rows());
+    const int m = static_cast<int>(A.rows());
+    const double sigma = 1e-6, alpha = 1.6, rho0 = 0.1;
+
+    Eigen::VectorXd rho(m), rho_inv(m);
+    for (int i = 0; i < m; ++i) {
+        const bool eq = (u[i] - l[i]) < 1e-12;
+        rho[i] = eq ? rho0 * 1e3 : rho0;
+        rho_inv[i] = 1.0 / rho[i];
+    }
+
+    Eigen::MatrixXd K = P;
+    K.diagonal().array() += sigma;
+    K.noalias() += A.transpose() * rho.asDiagonal() * A;
+    Eigen::LDLT<Eigen::MatrixXd> ldlt(K);
+
+    Eigen::VectorXd x = Eigen::VectorXd::Zero(n);
+    Eigen::VectorXd z = Eigen::VectorXd::Zero(m);
+    Eigen::VectorXd y = Eigen::VectorXd::Zero(m);
+
+    for (int it = 0; it < 20000; ++it) {
+        Eigen::VectorXd rhs = sigma * x - q +
+            A.transpose() * (rho.asDiagonal() * z - y);
+        Eigen::VectorXd xt = ldlt.solve(rhs);
+        Eigen::VectorXd zt = A * xt;
+        x = alpha * xt + (1.0 - alpha) * x;
+        Eigen::VectorXd z_prev = z;
+        Eigen::VectorXd zr = alpha * zt + (1.0 - alpha) * z_prev +
+                             rho_inv.cwiseProduct(y);
+        z = zr.cwiseMax(l).cwiseMin(u);
+        y += rho.cwiseProduct(alpha * zt + (1.0 - alpha) * z_prev - z);
+
+        if (it % 50 == 0) {
+            double pri = (A * x - z).lpNorm<Eigen::Infinity>();
+            double dua = (P * x + q + A.transpose() * y)
+                             .lpNorm<Eigen::Infinity>();
+            if (pri < 1e-10 && dua < 1e-10) break;
+        }
+    }
+
+    // polish: active rows = equalities + inequality rows at a bound
+    std::vector<int> act;
+    std::vector<double> actb;
+    const double tol = 1e-7;
+    for (int i = 0; i < m; ++i) {
+        const bool eq = (u[i] - l[i]) < 1e-12;
+        if (eq) { act.push_back(i); actb.push_back(l[i]); continue; }
+        if (y[i] > tol && z[i] > u[i] - 1e-6) {
+            act.push_back(i); actb.push_back(u[i]);
+        } else if (y[i] < -tol && z[i] < l[i] + 1e-6) {
+            act.push_back(i); actb.push_back(l[i]);
+        }
+    }
+    const int ma = static_cast<int>(act.size());
+    if (ma > 0) {
+        Eigen::MatrixXd Aact(ma, n);
+        Eigen::VectorXd bact(ma);
+        for (int i = 0; i < ma; ++i) {
+            Aact.row(i) = A.row(act[i]);
+            bact[i] = actb[i];
+        }
+        const double delta = 1e-9;
+        Eigen::MatrixXd KKT(n + ma, n + ma);
+        KKT.setZero();
+        KKT.topLeftCorner(n, n) = P;
+        KKT.topLeftCorner(n, n).diagonal().array() += delta;
+        KKT.topRightCorner(n, ma) = Aact.transpose();
+        KKT.bottomLeftCorner(ma, n) = Aact;
+        KKT.bottomRightCorner(ma, ma).diagonal().array() = -delta;
+        Eigen::VectorXd rhs(n + ma);
+        rhs.head(n) = -q;
+        rhs.tail(ma) = bact;
+        Eigen::PartialPivLU<Eigen::MatrixXd> lu(KKT);
+        Eigen::VectorXd sol = lu.solve(rhs);
+        // one step of iterative refinement against the UNregularized KKT
+        Eigen::MatrixXd KKT0 = KKT;
+        KKT0.topLeftCorner(n, n).diagonal().array() -= delta;
+        KKT0.bottomRightCorner(ma, ma).diagonal().array() += delta;
+        sol += lu.solve(rhs - KKT0 * sol);
+        Eigen::VectorXd xp = sol.head(n);
+        // accept polish only if it does not violate any inactive row
+        Eigen::VectorXd Axp = A * xp;
+        bool feas = true;
+        for (int i = 0; i < m; ++i)
+            if (Axp[i] > u[i] + 1e-7 || Axp[i] < l[i] - 1e-7) {
+                feas = false; break;
+            }
+        double res_admm = (P * x + q + A.transpose() * y)
+                              .lpNorm<Eigen::Infinity>();
+        Eigen::VectorXd yp = Eigen::VectorXd::Zero(m);
+        for (int i = 0; i < ma; ++i) yp[act[i]] = sol[n + i];
+        double res_pol = (P * xp + q + A.transpose() * yp)
+                             .lpNorm<Eigen::Infinity>();
+        if (feas && res_pol <= res_admm) x = xp;
+    }
+    return x;
+}
+
+}  // namespace osqp_oracle
+
+namespace OsqpEigen {
+
+class Settings {
+ public:
+    void setVerbosity(bool) {}
+    void setWarmStart(bool) {}
+    void setAbsoluteTolerance(double) {}
+    void setRelativeTolerance(double) {}
+    void setMaxIteration(int) {}
+};
+
+class Data {
+ public:
+    int n_ = 0, m_ = 0;
+    Eigen::MatrixXd P_, A_;
+    Eigen::VectorXd q_, l_, u_;
+    void setNumberOfVariables(int n) { n_ = n; }
+    void setNumberOfConstraints(int m) { m_ = m; }
+    bool setHessianMatrix(const Eigen::SparseMatrix<double>& H) {
+        P_ = Eigen::MatrixXd(H); return true;
+    }
+    bool setGradient(const Eigen::VectorXd& g) { q_ = g; return true; }
+    bool setLinearConstraintsMatrix(const Eigen::SparseMatrix<double>& A) {
+        A_ = Eigen::MatrixXd(A); return true;
+    }
+    bool setLowerBound(const Eigen::VectorXd& l) { l_ = l; return true; }
+    bool setUpperBound(const Eigen::VectorXd& u) { u_ = u; return true; }
+};
+
+class Solver {
+ public:
+    Settings* settings() { return &settings_; }
+    Data* data() { return &data_; }
+    bool initSolver() { return true; }
+    bool solve() {
+        solution_ = osqp_oracle::solve_qp(data_.P_, data_.q_, data_.A_,
+                                          data_.l_, data_.u_);
+        osqp_oracle::Record rec;
+        rec.P = data_.P_; rec.q = data_.q_; rec.A = data_.A_;
+        rec.l = data_.l_; rec.u = data_.u_; rec.solution = solution_;
+        osqp_oracle::records().push_back(rec);
+        return true;
+    }
+    Eigen::VectorXd getSolution() { return solution_; }
+
+ private:
+    Settings settings_;
+    Data data_;
+    Eigen::VectorXd solution_;
+};
+
+}  // namespace OsqpEigen
+
+#endif  // E2E_OSQP_EIGEN_STUB_H

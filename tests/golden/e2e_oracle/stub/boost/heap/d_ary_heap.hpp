@@ -1,0 +1,92 @@
+// Minimal mutable d-ary heap stub (no boost in this image) so the
+// reference front_end/src/jps_planner/graph_search.cpp compiles
+// standalone.  Only the surface graph_search uses: push -> handle, top,
+// pop, increase(handle), clear, empty.  Semantics match boost::heap:
+// a MAX-heap under the supplied comparator (top = largest; the
+// reference comparator inverts f so top = smallest f).
+#pragma once
+#include <cstddef>
+#include <utility>
+#include <vector>
+
+namespace boost {
+namespace heap {
+
+template <bool B> struct mutable_ {};
+template <unsigned N> struct arity {};
+template <class C> struct compare {};
+
+template <class T, class Mut, class Ar, class Cmp>
+class d_ary_heap;
+
+template <class T, bool B, unsigned N, class C>
+class d_ary_heap<T, mutable_<B>, arity<N>, compare<C>> {
+  struct node { T v; std::size_t pos; };
+
+ public:
+  using handle_type = node*;
+
+  d_ary_heap() = default;
+  ~d_ary_heap() { clear(); }
+
+  void clear() {
+    for (node* n : h_) delete n;
+    h_.clear();
+  }
+  bool empty() const { return h_.empty(); }
+  std::size_t size() const { return h_.size(); }
+
+  handle_type push(const T& v) {
+    node* n = new node{v, h_.size()};
+    h_.push_back(n);
+    sift_up(n->pos);
+    return n;
+  }
+  const T& top() const { return h_[0]->v; }
+  void pop() {
+    node* root = h_[0];
+    swap_nodes(0, h_.size() - 1);
+    h_.pop_back();
+    delete root;
+    if (!h_.empty()) sift_down(0);
+  }
+  // element's priority moved toward the top (boost::heap::increase)
+  void increase(handle_type n) { sift_up(n->pos); }
+  void update(handle_type n) { sift_up(n->pos); sift_down(n->pos); }
+
+ private:
+  C cmp_;  // cmp_(a, b) true  =>  a is ordered below b
+  std::vector<node*> h_;
+
+  void swap_nodes(std::size_t i, std::size_t j) {
+    std::swap(h_[i], h_[j]);
+    h_[i]->pos = i;
+    h_[j]->pos = j;
+  }
+  void sift_up(std::size_t i) {
+    while (i > 0) {
+      std::size_t p = (i - 1) / N;
+      if (cmp_(h_[p]->v, h_[i]->v)) {
+        swap_nodes(i, p);
+        i = p;
+      } else {
+        break;
+      }
+    }
+  }
+  void sift_down(std::size_t i) {
+    for (;;) {
+      std::size_t best = i;
+      for (unsigned k = 1; k <= N; ++k) {
+        std::size_t c = N * i + k;
+        if (c < h_.size() && cmp_(h_[best]->v, h_[c]->v)) best = c;
+      }
+      if (best == i) break;
+      swap_nodes(i, best);
+      i = best;
+    }
+  }
+};
+
+}  // namespace heap
+}  // namespace boost

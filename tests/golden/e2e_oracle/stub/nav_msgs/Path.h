@@ -1,0 +1,2 @@
+#pragma once
+#include <oracle_msgs.h>

@@ -1,0 +1,230 @@
+// Consolidated message stubs for the composed planner_sim oracle.
+// Every <pkg>/<Msg>.h under this stub tree includes this one file, so
+// all components see identical types regardless of include order.
+// Field sets mirror the reference .msg definitions
+// (utils/carstatemsgs/msg/*.msg + the standard ROS messages the nodes
+// touch); ConstPtr aliases let the stub bus deliver shared_ptrs.
+#ifndef E2E_ORACLE_MSGS_H
+#define E2E_ORACLE_MSGS_H
+
+#include <cmath>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include "ros/ros.h"
+
+namespace std_msgs {
+struct Header {
+    std::string frame_id;
+    ros::Time stamp;
+    unsigned int seq = 0;
+};
+struct Bool {
+    typedef std::shared_ptr<const Bool> ConstPtr;
+    bool data = false;
+};
+struct Float32MultiArray {
+    typedef std::shared_ptr<const Float32MultiArray> ConstPtr;
+    std::vector<float> data;
+};
+struct Int32MultiArray {
+    typedef std::shared_ptr<const Int32MultiArray> ConstPtr;
+    std::vector<int> data;
+};
+struct Float64 {
+    typedef std::shared_ptr<const Float64> ConstPtr;
+    double data = 0.0;
+};
+struct ColorRGBA { float r = 0, g = 0, b = 0, a = 0; };
+}  // namespace std_msgs
+
+namespace geometry_msgs {
+struct Point {
+    typedef std::shared_ptr<const Point> ConstPtr;
+    double x = 0, y = 0, z = 0;
+};
+struct Vector3 {
+    typedef std::shared_ptr<const Vector3> ConstPtr;
+    double x = 0, y = 0, z = 0;
+};
+struct Quaternion { double x = 0, y = 0, z = 0, w = 1; };
+struct Pose {
+    Point position;
+    Quaternion orientation;
+};
+struct PoseStamped {
+    typedef std::shared_ptr<const PoseStamped> ConstPtr;
+    std_msgs::Header header;
+    Pose pose;
+};
+struct PoseArray {
+    typedef std::shared_ptr<const PoseArray> ConstPtr;
+    std_msgs::Header header;
+    std::vector<Pose> poses;
+};
+struct PointStamped {
+    typedef std::shared_ptr<const PointStamped> ConstPtr;
+    std_msgs::Header header;
+    Point point;
+};
+typedef PoseStamped::ConstPtr PoseStampedConstPtr;
+typedef PointStamped::ConstPtr PointStampedConstPtr;
+typedef PoseArray::ConstPtr PoseArrayConstPtr;
+struct Twist { Vector3 linear, angular; };
+struct TwistWithCovariance { Twist twist; double covariance[36] = {0}; };
+struct PoseWithCovariance { Pose pose; double covariance[36] = {0}; };
+struct PoseWithCovarianceStamped {
+    typedef std::shared_ptr<const PoseWithCovarianceStamped> ConstPtr;
+    std_msgs::Header header;
+    PoseWithCovariance pose;
+};
+}  // namespace geometry_msgs
+
+namespace nav_msgs {
+struct Odometry {
+    typedef std::shared_ptr<const Odometry> ConstPtr;
+    std_msgs::Header header;
+    std::string child_frame_id;
+    geometry_msgs::PoseWithCovariance pose;
+    geometry_msgs::TwistWithCovariance twist;
+};
+struct Path {
+    typedef std::shared_ptr<const Path> ConstPtr;
+    std_msgs::Header header;
+    std::vector<geometry_msgs::PoseStamped> poses;
+};
+}  // namespace nav_msgs
+
+namespace sensor_msgs {
+struct PointField {
+    std::string name;
+    unsigned int offset = 0;
+    unsigned char datatype = 7;
+    unsigned int count = 1;
+};
+struct PointCloud2 {
+    typedef std::shared_ptr<const PointCloud2> ConstPtr;
+    typedef std::shared_ptr<PointCloud2> Ptr;
+    std_msgs::Header header;
+    unsigned int width = 0, height = 0;
+    std::vector<PointField> fields;
+    bool is_bigendian = false;
+    unsigned int point_step = 0, row_step = 0;
+    std::vector<unsigned char> data;
+    bool is_dense = true;
+};
+}  // namespace sensor_msgs
+
+namespace carstatemsgs {
+struct CarState {
+    typedef std::shared_ptr<const CarState> ConstPtr;
+    std_msgs::Header Header;
+    double x = 0, y = 0, yaw = 0, s = 0, v = 0, omega = 0;
+    double a = 0, alpha = 0, js = 0, jyaw = 0;
+};
+struct CarControl {
+    typedef std::shared_ptr<const CarControl> ConstPtr;
+    std_msgs::Header Header;
+    double left_wheel_ome = 0, right_wheel_ome = 0;
+};
+struct SimulatedCarState {
+    typedef std::shared_ptr<const SimulatedCarState> ConstPtr;
+    std_msgs::Header Header;
+    double x = 0, y = 0, yaw = 0;
+    double vx = 0, vy = 0, v = 0;
+    double ICR_yr = 0, ICR_yl = 0, ICR_xv = 0;
+    double omega = 0;
+};
+struct KinematicState {
+    typedef std::shared_ptr<const KinematicState> ConstPtr;
+    std_msgs::Header Header;
+    double moment = 0, max_moment = 0, min_moment = 0;
+    double centripetal_acc = 0, max_centripetal_acc = 0,
+           min_centripetal_acc = 0;
+};
+struct Polynome {
+    typedef std::shared_ptr<const Polynome> ConstPtr;
+    std_msgs::Header header;
+    ros::Time traj_start_time;
+    std::vector<geometry_msgs::Vector3> innerpoints;
+    std::vector<double> t_pts;
+    geometry_msgs::Vector3 init_p, init_v, init_a;
+    geometry_msgs::Vector3 tail_p, tail_v, tail_a;
+    geometry_msgs::Vector3 start_position;
+    geometry_msgs::Vector3 ICR;
+};
+}  // namespace carstatemsgs
+
+namespace visualization_msgs {
+struct Marker {
+    typedef std::shared_ptr<const Marker> ConstPtr;
+    static const int ARROW = 0, CUBE = 1, SPHERE = 2, CYLINDER = 3,
+                     LINE_STRIP = 4, LINE_LIST = 5, CUBE_LIST = 6,
+                     SPHERE_LIST = 7, POINTS = 8, TEXT_VIEW_FACING = 9;
+    static const int ADD = 0, MODIFY = 0, DELETE = 2, DELETEALL = 3,
+                     MESH_RESOURCE = 10;
+    std::string mesh_resource;
+    bool mesh_use_embedded_materials = false;
+    std_msgs::Header header;
+    std::string ns;
+    int id = 0, type = 0, action = 0;
+    geometry_msgs::Pose pose;
+    geometry_msgs::Vector3 scale;
+    std_msgs::ColorRGBA color;
+    ros::Duration lifetime = ros::Duration(0.0);
+    bool frame_locked = false;
+    std::vector<geometry_msgs::Point> points;
+    std::vector<std_msgs::ColorRGBA> colors;
+    std::string text;
+};
+struct MarkerArray {
+    typedef std::shared_ptr<const MarkerArray> ConstPtr;
+    std::vector<Marker> markers;
+};
+}  // namespace visualization_msgs
+
+namespace tf {
+inline double getYaw(const geometry_msgs::Quaternion& q) {
+    return std::atan2(2.0 * (q.w * q.z + q.x * q.y),
+                      1.0 - 2.0 * (q.y * q.y + q.z * q.z));
+}
+inline geometry_msgs::Quaternion createQuaternionMsgFromYaw(double yaw) {
+    geometry_msgs::Quaternion q;
+    q.z = std::sin(0.5 * yaw);
+    q.w = std::cos(0.5 * yaw);
+    return q;
+}
+// minimal tf::Quaternion (simulator.h:283 builds one from RPY)
+class Quaternion {
+ public:
+    Quaternion() {}
+    void setRPY(double roll, double pitch, double yaw) {
+        double cr = std::cos(roll / 2), sr = std::sin(roll / 2);
+        double cp = std::cos(pitch / 2), sp = std::sin(pitch / 2);
+        double cy = std::cos(yaw / 2), sy = std::sin(yaw / 2);
+        w_ = cr * cp * cy + sr * sp * sy;
+        x_ = sr * cp * cy - cr * sp * sy;
+        y_ = cr * sp * cy + sr * cp * sy;
+        z_ = cr * cp * sy - sr * sp * cy;
+    }
+    double x() const { return x_; }
+    double y() const { return y_; }
+    double z() const { return z_; }
+    double w() const { return w_; }
+ private:
+    double x_ = 0, y_ = 0, z_ = 0, w_ = 1;
+};
+inline Quaternion createQuaternionFromRPY(double r, double p, double y) {
+    Quaternion q;
+    q.setRPY(r, p, y);
+    return q;
+}
+inline Quaternion createQuaternionFromYaw(double yaw) {
+    Quaternion q;
+    q.setRPY(0.0, 0.0, yaw);
+    return q;
+}
+}  // namespace tf
+
+#endif  // E2E_ORACLE_MSGS_H

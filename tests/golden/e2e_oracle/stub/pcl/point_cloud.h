@@ -1,0 +1,19 @@
+#pragma once
+#include <cstdint>
+#include <memory>
+#include <vector>
+#include "pcl/point_types.h"
+namespace pcl {
+template <typename T>
+struct PointCloud {
+    typedef std::shared_ptr<PointCloud<T>> Ptr;
+    std::vector<T> points;
+    uint32_t width = 0, height = 1;
+    bool is_dense = true;
+    void push_back(const T& p) { points.push_back(p); width = points.size(); }
+    void clear() { points.clear(); width = 0; }
+    std::size_t size() const { return points.size(); }
+    T& operator[](std::size_t i) { return points[i]; }
+    const T& operator[](std::size_t i) const { return points[i]; }
+};
+}

@@ -1,0 +1,12 @@
+#pragma once
+namespace pcl {
+struct PointXYZ { float x = 0, y = 0, z = 0; PointXYZ() {} PointXYZ(float a, float b, float c) : x(a), y(b), z(c) {} };
+struct PointXYZI { float x = 0, y = 0, z = 0, intensity = 0; };
+}
+namespace pcl {
+struct PointXYZRGB {
+    float x = 0, y = 0, z = 0;
+    unsigned char r = 0, g = 0, b = 0;
+    PointXYZRGB() {}
+};
+}

@@ -1,0 +1,10 @@
+#pragma once
+#include "pcl/point_cloud.h"
+#include "sensor_msgs/PointCloud2.h"
+namespace pcl {
+// no-op converters: the oracle never feeds clouds through ROS messages
+template <typename T>
+inline void fromROSMsg(const sensor_msgs::PointCloud2&, PointCloud<T>& out) { out.clear(); }
+template <typename T>
+inline void toROSMsg(const PointCloud<T>&, sensor_msgs::PointCloud2&) {}
+}

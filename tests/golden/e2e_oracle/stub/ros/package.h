@@ -1,0 +1,5 @@
+#pragma once
+#include <string>
+namespace ros { namespace package {
+inline std::string getPath(const std::string&) { return std::string(); }
+}}

@@ -1,0 +1,378 @@
+// Full-featured ROS1 stub for the COMPOSED planner_sim oracle: a
+// deterministic stepped twin of the reference launch graph
+// (plan_manager/launch/planner_sim.launch).  Unlike the per-component
+// oracle stubs, this one provides
+//   * a harness-controlled SIMULATED clock (ros::Time::now()),
+//   * an in-process typed pub/sub bus (publish() synchronously delivers
+//     to every subscriber of the resolved topic, like TCPROS with
+//     queue_size 1 and zero latency),
+//   * timers registered into a global list the harness fires in
+//     deterministic order (createTimer),
+//   * per-node namespaces + launch-style <remap> support.
+// Parameters are served from the same process-global typed store the
+// other oracles use (oracle_params), keyed by resolved full paths.
+#ifndef E2E_ORACLE_ROS_STUB_H
+#define E2E_ORACLE_ROS_STUB_H
+
+#include <algorithm>
+#include <chrono>
+#include <cstdarg>
+#include <cstdio>
+#include <functional>
+#include <map>
+#include <memory>
+#include <string>
+#include <vector>
+
+namespace oracle_params {
+inline std::map<std::string, double>& doubles() {
+    static std::map<std::string, double> m; return m;
+}
+inline std::map<std::string, int>& ints() {
+    static std::map<std::string, int> m; return m;
+}
+inline std::map<std::string, bool>& bools() {
+    static std::map<std::string, bool> m; return m;
+}
+inline std::map<std::string, std::string>& strings() {
+    static std::map<std::string, std::string> m; return m;
+}
+inline std::map<std::string, std::vector<double>>& dvecs() {
+    static std::map<std::string, std::vector<double>> m; return m;
+}
+inline void set(const std::string& k, double v) { doubles()[k] = v; }
+inline void set(const std::string& k, int v) { ints()[k] = v; }
+inline void set(const std::string& k, bool v) { bools()[k] = v; }
+inline void set(const std::string& k, const char* v) { strings()[k] = v; }
+inline void set(const std::string& k, const std::vector<double>& v) {
+    dvecs()[k] = v;
+}
+inline bool quiet = true;
+}  // namespace oracle_params
+
+namespace oracle_clock {
+inline double& now_ref() { static double t = 0.0; return t; }
+inline void set(double t) { now_ref() = t; }
+}  // namespace oracle_clock
+
+namespace oracle_node {
+// the harness sets this before constructing each node object so that
+// NodeHandle("~") resolves to the node's private namespace
+inline std::string& current_name() { static std::string s; return s; }
+}  // namespace oracle_node
+
+namespace oracle_bus {
+struct TopicBase {
+    virtual ~TopicBase() = default;
+};
+template <typename M>
+struct Topic : TopicBase {
+    std::vector<std::function<void(const std::shared_ptr<const M>&)>> subs;
+    // harness taps: observe every message on this topic
+    std::vector<std::function<void(const M&)>> taps;
+};
+inline std::map<std::string, std::shared_ptr<TopicBase>>& topics() {
+    static std::map<std::string, std::shared_ptr<TopicBase>> m; return m;
+}
+template <typename M>
+inline Topic<M>* topic(const std::string& name) {
+    auto& t = topics()[name];
+    if (!t) t = std::make_shared<Topic<M>>();
+    return static_cast<Topic<M>*>(t.get());
+}
+inline std::map<std::string, std::string>& remaps() {
+    static std::map<std::string, std::string> m; return m;
+}
+inline std::string resolve(const std::string& ns, const std::string& name) {
+    std::string full;
+    if (!name.empty() && name[0] == '/') full = name;
+    else if (!name.empty() && name[0] == '~')
+        full = ns + "/" + name.substr(1);
+    else full = ns + "/" + name;
+    auto it = remaps().find(full);
+    return it == remaps().end() ? full : it->second;
+}
+template <typename M>
+inline void publish_to(const std::string& full, const M& msg) {
+    auto* t = topic<M>(full);
+    for (auto& tap : t->taps) tap(msg);
+    if (t->subs.empty()) return;
+    auto p = std::make_shared<const M>(msg);
+    for (auto& s : t->subs) s(p);
+}
+// harness helper: inject a message as if a node published it
+template <typename M>
+inline void inject(const std::string& full, const M& msg) {
+    publish_to<M>(full, msg);
+}
+template <typename M>
+inline void tap(const std::string& full, std::function<void(const M&)> f) {
+    topic<M>(full)->taps.push_back(std::move(f));
+}
+}  // namespace oracle_bus
+
+namespace ros {
+
+namespace this_node {
+inline std::string getName() {
+    return "/" + oracle_node::current_name();
+}
+}  // namespace this_node
+
+inline bool ok() { return true; }
+inline void init(int, char**, const std::string& name) {
+    oracle_node::current_name() = name;
+}
+inline void shutdown() {}
+inline void spinOnce() {}
+inline void spin() {}
+
+class Duration {
+ public:
+    explicit Duration(double s = 0.0) : sec_(s) {}
+    double toSec() const { return sec_; }
+    void sleep() const {}
+ private:
+    double sec_;
+};
+
+class Time {
+ public:
+    Time() : t_(0.0) {}
+    explicit Time(double t) : t_(t) {}
+    static Time now() { return Time(oracle_clock::now_ref()); }
+    Duration operator-(const Time& o) const { return Duration(t_ - o.t_); }
+    Time operator+(const Duration& d) const { return Time(t_ + d.toSec()); }
+    bool operator<(const Time& o) const { return t_ < o.t_; }
+    bool operator>(const Time& o) const { return t_ > o.t_; }
+    double toSec() const { return t_; }
+    bool isZero() const { return t_ == 0.0; }
+    static Time fromSec(double t) { return Time(t); }
+ private:
+    double t_;
+};
+
+struct TimerEvent {
+    Time last_real;
+    Time current_real;
+};
+
+namespace oracle_timers_detail {
+struct TimerRec {
+    double period;
+    double next;
+    std::function<void(const TimerEvent&)> cb;
+    bool active = true;
+};
+}  // namespace oracle_timers_detail
+
+class Timer {
+ public:
+    Timer() = default;
+    explicit Timer(std::shared_ptr<oracle_timers_detail::TimerRec> r)
+        : rec_(std::move(r)) {}
+    void stop() { if (rec_) rec_->active = false; }
+    void start() { if (rec_) rec_->active = true; }
+ private:
+    std::shared_ptr<oracle_timers_detail::TimerRec> rec_;
+};
+
+class TransportHints {
+ public:
+    TransportHints& unreliable() { return *this; }
+    TransportHints& reliable() { return *this; }
+    TransportHints& tcpNoDelay() { return *this; }
+};
+
+class Subscriber {
+ public:
+    Subscriber() = default;
+    explicit Subscriber(std::string topic) : topic_(std::move(topic)) {}
+    std::string getTopic() const { return topic_; }
+    void shutdown() {}
+ private:
+    std::string topic_;
+};
+
+class Publisher {
+ public:
+    Publisher() = default;
+    Publisher(std::string topic) : topic_(std::move(topic)) {}
+    template <typename M>
+    void publish(const M& msg) const {
+        if (!topic_.empty()) oracle_bus::publish_to<M>(topic_, msg);
+    }
+    std::string getTopic() const { return topic_; }
+ private:
+    std::string topic_;
+};
+
+}  // namespace ros
+
+namespace oracle_timers {
+inline std::vector<std::shared_ptr<ros::oracle_timers_detail::TimerRec>>&
+all() {
+    static std::vector<
+        std::shared_ptr<ros::oracle_timers_detail::TimerRec>> v;
+    return v;
+}
+// fire every timer due at or before sim time `t` (in registration
+// order; each fires as many times as its period demands).  The harness
+// advances the clock in fixed steps and calls this once per step.
+inline void fire_due(double t) {
+    for (auto& r : all()) {
+        while (r->active && r->next <= t + 1e-12) {
+            oracle_clock::set(r->next);
+            ros::TimerEvent ev;
+            ev.current_real = ros::Time(r->next);
+            r->cb(ev);
+            r->next += r->period;
+        }
+    }
+    oracle_clock::set(t);
+}
+inline void reset() { all().clear(); }
+}  // namespace oracle_timers
+
+namespace ros {
+
+class NodeHandle {
+ public:
+    // default handle = the node's NAMESPACE (root here); only "~"
+    // resolves to the node's private /<name> namespace
+    NodeHandle() : ns_("") {}
+    explicit NodeHandle(const std::string& ns) {
+        if (ns == "~")
+            ns_ = "/" + oracle_node::current_name();
+        else if (ns.empty())
+            ns_ = "";
+        else if (ns[0] == '/')
+            ns_ = ns;
+        else
+            ns_ = "/" + ns;
+    }
+
+    template <typename M>
+    Publisher advertise(const std::string& name, int) {
+        return Publisher(oracle_bus::resolve(ns_, name));
+    }
+    template <typename M>
+    Publisher advertise(const std::string& name, int, bool) {
+        return Publisher(oracle_bus::resolve(ns_, name));
+    }
+
+    template <typename M, typename T>
+    Subscriber subscribe(const std::string& name, int,
+                         void (T::*fp)(const std::shared_ptr<const M>&),
+                         T* obj) {
+        std::string full = oracle_bus::resolve(ns_, name);
+        oracle_bus::topic<M>(full)->subs.push_back(
+            [obj, fp](const std::shared_ptr<const M>& m) {
+                (obj->*fp)(m);
+            });
+        return Subscriber(full);
+    }
+    template <typename M, typename T, typename H>
+    Subscriber subscribe(const std::string& name, int q,
+                         void (T::*fp)(const std::shared_ptr<const M>&),
+                         T* obj, const H&) {
+        return subscribe<M, T>(name, q, fp, obj);
+    }
+
+    template <typename T>
+    Timer createTimer(Duration period,
+                      void (T::*fp)(const TimerEvent&), T* obj) {
+        auto rec = std::make_shared<oracle_timers_detail::TimerRec>();
+        rec->period = period.toSec();
+        rec->next = oracle_clock::now_ref() + rec->period;
+        rec->cb = [obj, fp](const TimerEvent& e) { (obj->*fp)(e); };
+        oracle_timers::all().push_back(rec);
+        return Timer(rec);
+    }
+
+    const std::string& getNamespace() const { return ns_; }
+
+    std::string key(const std::string& k) const {
+        if (!k.empty() && k[0] == '/') return k;
+        if (!k.empty() && k[0] == '~') return ns_ + "/" + k.substr(1);
+        return ns_ + "/" + k;
+    }
+    bool hasParam(const std::string& k0) const {
+        std::string k = key(k0);
+        return oracle_params::doubles().count(k) ||
+               oracle_params::ints().count(k) ||
+               oracle_params::bools().count(k) ||
+               oracle_params::strings().count(k) ||
+               oracle_params::dvecs().count(k);
+    }
+    bool getParam(const std::string& k0, double& v) const {
+        std::string k = key(k0);
+        if (oracle_params::doubles().count(k)) {
+            v = oracle_params::doubles()[k]; return true;
+        }
+        if (oracle_params::ints().count(k)) {
+            v = oracle_params::ints()[k]; return true;
+        }
+        return false;
+    }
+    bool getParam(const std::string& k0, int& v) const {
+        std::string k = key(k0);
+        if (oracle_params::ints().count(k)) {
+            v = oracle_params::ints()[k]; return true;
+        }
+        return false;
+    }
+    bool getParam(const std::string& k0, bool& v) const {
+        std::string k = key(k0);
+        if (oracle_params::bools().count(k)) {
+            v = oracle_params::bools()[k]; return true;
+        }
+        return false;
+    }
+    bool getParam(const std::string& k0, std::string& v) const {
+        std::string k = key(k0);
+        if (oracle_params::strings().count(k)) {
+            v = oracle_params::strings()[k]; return true;
+        }
+        return false;
+    }
+    bool getParam(const std::string& k0, std::vector<double>& v) const {
+        std::string k = key(k0);
+        if (oracle_params::dvecs().count(k)) {
+            v = oracle_params::dvecs()[k]; return true;
+        }
+        return false;
+    }
+    template <typename T>
+    void param(const std::string& k, T& v, const T& dflt) const {
+        if (!getParam(k, v)) v = dflt;
+    }
+    void param(const std::string& k, std::vector<double>& v,
+               const std::vector<double>& dflt) const {
+        if (!getParam(k, v)) v = dflt;
+    }
+
+ private:
+    std::string ns_;
+};
+
+}  // namespace ros
+
+// log macros (printf-style and stream-style); silenced by default
+#include <sstream>
+#define ORACLE_LOG_PRINTF(...) \
+    do { if (!oracle_params::quiet) { std::printf(__VA_ARGS__); \
+         std::printf("\n"); } } while (0)
+#define ROS_INFO(...) ORACLE_LOG_PRINTF(__VA_ARGS__)
+#define ROS_WARN(...) ORACLE_LOG_PRINTF(__VA_ARGS__)
+#define ROS_ERROR(...) ORACLE_LOG_PRINTF(__VA_ARGS__)
+#define ROS_DEBUG(...) ORACLE_LOG_PRINTF(__VA_ARGS__)
+#define ORACLE_LOG_STREAM(expr) \
+    do { if (!oracle_params::quiet) { std::ostringstream oss_; \
+         oss_ << expr; std::printf("%s\n", oss_.str().c_str()); } \
+    } while (0)
+#define ROS_INFO_STREAM(expr) ORACLE_LOG_STREAM(expr)
+#define ROS_WARN_STREAM(expr) ORACLE_LOG_STREAM(expr)
+#define ROS_ERROR_STREAM(expr) ORACLE_LOG_STREAM(expr)
+
+#endif  // E2E_ORACLE_ROS_STUB_H

@@ -1,0 +1,31 @@
+#pragma once
+#include <stdexcept>
+#include <string>
+#include "ros/ros.h"
+#include "geometry_msgs/PointStamped.h"
+namespace geometry_msgs {
+struct Vector3t { double x = 0, y = 0, z = 0; };
+struct Transform { Vector3t translation; Quaternion rotation; };
+struct TransformStamped { std_msgs::Header header; std::string child_frame_id; Transform transform; };
+}
+namespace tf2 {
+struct TransformException : std::runtime_error {
+    explicit TransformException(const std::string& w) : std::runtime_error(w) {}
+};
+}
+namespace tf2_ros {
+class Buffer {
+ public:
+    explicit Buffer(ros::Duration = ros::Duration(0)) {}
+    geometry_msgs::TransformStamped lookupTransform(const std::string&,
+                                                    const std::string&,
+                                                    ros::Time,
+                                                    ros::Duration = ros::Duration(0)) {
+        return geometry_msgs::TransformStamped();
+    }
+};
+class TransformListener {
+ public:
+    explicit TransformListener(Buffer&) {}
+};
+}

@@ -1,0 +1,8 @@
+#pragma once
+#include "sensor_msgs/PointCloud2.h"
+#include "tf2_ros/transform_listener.h"
+namespace tf2 {
+inline void doTransform(const sensor_msgs::PointCloud2& in,
+                        sensor_msgs::PointCloud2& out,
+                        const geometry_msgs::TransformStamped&) { out = in; }
+}

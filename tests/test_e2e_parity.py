@@ -1,0 +1,214 @@
+"""End-to-end composed closed-loop parity vs the compiled reference.
+
+The oracle (tests/golden/e2e_oracle/harness.cpp) compiles the ACTUAL
+reference sources of every node planner_sim.launch runs -- plan_manager
+MainThread FSM + MSPlanner back end + JPS front end + SDFmap fusion/ESDF
++ LTV mpc_controller + icrekf + the diff-drive simulator -- into ONE
+deterministic stepped program, and records full closed-loop traces
+(goldens/*.json.gz, see record_goldens.py).
+
+This test runs the JAX twin (runtime/planner_sim.run_planner_sim +
+mission/plan_manager.PlanManager) on the same scenarios and pins:
+
+  * replan cadence: the twin replans at the SAME sim times as the
+    reference loop, bit-for-bit (the 1 kHz MainThread gate compares
+    accumulated f64 clocks; both sides reproduce the same 80/81 ms
+    mixed periods)
+  * swap timing: first plan starts immediately, every replan's
+    trajectory starts exactly max_replan_time after the plan tick
+  * trajectory: the truth-pose trace stays within tolerance of the
+    reference's, reaches the same goal, and never enters an occupied
+    cell (including the popup obstacle after it appears)
+  * FSM: the same PLANNING -> REPLAN -> GOINGTOGOAL -> IDLE edges at
+    matching times
+
+Run at f64 and f32.  The twin uses the production piece-count buckets
+(4, 8, 16, 24) -- the deployment configuration -- while the oracle uses
+the reference's exact ceil(T/0.4) counts; trajectory parity within
+tolerance across that delta is part of what this pins (the per-layer
+exact-N parity lives in test_backend_parity.py / test_kino_parity.py).
+
+Scenario notes: 14 x 6 m corridor with two offset wall gaps; `popup`
+drops a 0.8 x 2.4 m block into the planned lane at t = 4 s, forcing a
+detour (plan_manager collision REPLAN path).
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.config.profiles import (
+    backend_config_from_profiles, frontend_config_from_profiles,
+    load_profile, ltv_config_from_profiles, occupancy_config_from_profile,
+    reference_profile_paths)
+from alore_legged_manipulator_tpu.mission.plan_manager import (
+    PlanManagerConfig, PlanState)
+from alore_legged_manipulator_tpu.runtime.planner_sim import (
+    E2EScenario, run_planner_sim)
+
+pytestmark = pytest.mark.slow
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden" / "e2e_oracle" / \
+    "goldens"
+
+# oracle StateMachine (plan_manager.hpp:26) -> PlanState
+_STATE_MAP = {1: PlanState.IDLE, 2: PlanState.PLANNING, 3: PlanState.REPLAN,
+              4: PlanState.GOING_TO_GOAL, 5: PlanState.EMERGENCY_STOP}
+
+_RUNS = {}
+
+
+def _load_golden(name):
+    with gzip.open(GOLDEN_DIR / f"{name}.json.gz", "rt") as f:
+        return json.load(f)
+
+
+def _run(name, dtype):
+    key = (name, dtype)
+    if key not in _RUNS:
+        golden = _load_golden(name)
+        scn = E2EScenario.from_golden(golden["scenario"])
+        paths = reference_profile_paths()
+        car = load_profile(paths["car"])
+        glob = load_profile(paths["global_planning"])
+        jps = load_profile(paths["jps"])
+        ltv_yaml = load_profile(paths["ltv"])
+        mapsim = load_profile(paths["mapsim"])
+        be = backend_config_from_profiles(car, glob, standard_diff=True)
+        fe = frontend_config_from_profiles(jps, car, glob,
+                                           piece_buckets=(4, 8, 16, 24))
+        ltv = ltv_config_from_profiles(ltv_yaml, car)
+        occ = occupancy_config_from_profile(mapsim)
+        pm_cfg = PlanManagerConfig(replan_period=scn.replan_time,
+                                   max_replan_time=scn.max_replan_time,
+                                   backend=be, frontend=fe, dtype=dtype)
+        trace = run_planner_sim(scn, pm_cfg, ltv, occ, dtype=dtype)
+        _RUNS[key] = (golden, scn, trace)
+    return _RUNS[key]
+
+
+def _pose_deviation(trace, golden):
+    gp = np.array(golden["poses"])          # t, x, y, theta, v, omega
+    tp = trace.poses
+    n = min(len(gp), len(tp))
+    assert np.allclose(gp[:n, 0], tp[:n, 0], atol=1e-9)
+    return np.hypot(tp[:n, 1] - gp[:n, 1], tp[:n, 2] - gp[:n, 2])
+
+
+SCENARIOS = ["corridor", "popup"]
+
+
+@pytest.mark.parametrize("name", SCENARIOS)
+def test_replan_cadence_matches_reference(name):
+    golden, scn, trace = _run(name, jnp.float64)
+    g_t = [p["t"] for p in golden["plans"]]
+    t_t = [p["t"] for p in trace.plans]
+
+    # identical tick times while both sides are still replanning; the
+    # near-goal cutoff may differ by a cycle or two (trajectory-length
+    # dependent)
+    n = min(len(g_t), len(t_t))
+    assert n >= 10, "scenario must produce many replan cycles"
+    np.testing.assert_allclose(t_t[:n], g_t[:n], atol=1e-9)
+    assert abs(len(g_t) - len(t_t)) <= 2
+
+    # swap timing: first plan starts NOW, replans at t + max_replan_time
+    # (MainThread :684-691) -- exact on both sides
+    for side in (golden["plans"], trace.plans):
+        offs = np.array([p["traj_start"] - p["t"] for p in side])
+        assert abs(offs[0]) < 1e-9
+        np.testing.assert_allclose(offs[1:], scn.max_replan_time,
+                                   atol=1e-9)
+
+
+@pytest.mark.parametrize("name", SCENARIOS)
+def test_trajectory_parity_f64(name):
+    golden, scn, trace = _run(name, jnp.float64)
+    dev = _pose_deviation(trace, golden)
+    assert dev.mean() < 0.15, f"mean deviation {dev.mean():.3f}"
+    assert dev.max() < 0.45, f"max deviation {dev.max():.3f}"
+
+    # both reach the goal
+    goal = np.asarray(scn.goal[:2])
+    final = trace.poses[-1, 1:3]
+    g_final = np.asarray(golden["poses"][-1][1:3])
+    assert np.hypot(*(final - goal)) < 0.15
+    assert np.hypot(*(final - g_final)) < 0.2
+
+    # never inside an occupied cell (popup block included after obs_t)
+    grid = scn.grid.copy()
+    if scn.obs_t >= 0:
+        x0, y0, x1, y1 = scn.obs_cells
+        grid[x0:x1, y0:y1] = True
+    P = trace.poses
+    ix = ((P[:, 1] - scn.lower[0]) / scn.res).astype(int).clip(
+        0, grid.shape[0] - 1)
+    iy = ((P[:, 2] - scn.lower[1]) / scn.res).astype(int).clip(
+        0, grid.shape[1] - 1)
+    after = P[:, 0] >= (scn.obs_t if scn.obs_t >= 0 else -1.0)
+    base = scn.grid[ix, iy]
+    popup_hit = grid[ix, iy] & ~base & after
+    assert base.sum() == 0
+    assert popup_hit.sum() == 0
+
+
+@pytest.mark.parametrize("name", SCENARIOS)
+def test_fsm_edges_match_reference(name):
+    golden, scn, trace = _run(name, jnp.float64)
+    g_edges = [(t, s) for t, s in golden["states"] if s in _STATE_MAP]
+    t_edges = trace.states
+
+    g_seq = [_STATE_MAP[s] for _, s in g_edges]
+    t_seq = [s for _, s in t_edges]
+    assert t_seq == g_seq, (t_edges, g_edges)
+    # PLANNING / REPLAN edges land on the same ticks; GOINGTOGOAL and
+    # the final IDLE within a few replan cycles
+    for (gt, gs), (tt_, _) in zip(g_edges, t_edges):
+        tol = 1e-6 if _STATE_MAP[gs] in (PlanState.IDLE,
+                                         PlanState.PLANNING,
+                                         PlanState.REPLAN) \
+            and gt < 1.0 else 0.6
+        assert abs(gt - tt_) <= tol, (gt, tt_, gs)
+
+
+@pytest.mark.parametrize("name", SCENARIOS)
+def test_estimator_trace_parity(name):
+    """The EKF publishes the same estimate stream: cold start at the
+    origin, snap to the first odometry, then track truth."""
+    golden, scn, trace = _run(name, jnp.float64)
+    ge = np.array(golden["ekf"])
+    te = trace.ekf
+    n = min(len(ge), len(te))
+    # cold-start rows identical
+    np.testing.assert_allclose(te[:9], ge[:9], atol=1e-9)
+    # post-convergence estimate deviation bounded by the pose deviation
+    dev = np.hypot(te[:n, 1] - ge[:n, 1], te[:n, 2] - ge[:n, 2])
+    assert dev[200:].max() < 0.45
+    # the estimate tracks OUR truth closely (estimator health)
+    P = trace.poses
+    m = min(len(P), len(te))
+    err = np.hypot(te[:m, 1] - P[:m, 1], te[:m, 2] - P[:m, 2])
+    assert err[200:].max() < 0.12
+
+
+def test_trajectory_parity_f32():
+    """The shipped-precision run holds the same tolerances (slightly
+    looser trajectory band: the backend optimizer iterates in f32)."""
+    golden, scn, trace = _run("corridor", jnp.float32)
+    dev = _pose_deviation(trace, golden)
+    assert dev.mean() < 0.2, f"mean deviation {dev.mean():.3f}"
+    assert dev.max() < 0.6, f"max deviation {dev.max():.3f}"
+    goal = np.asarray(scn.goal[:2])
+    assert np.hypot(*(trace.poses[-1, 1:3] - goal)) < 0.2
+
+    # cadence stays exact in f32 (the gate clock is host f64)
+    g_t = [p["t"] for p in golden["plans"]]
+    t_t = [p["t"] for p in trace.plans]
+    n = min(len(g_t), len(t_t))
+    np.testing.assert_allclose(t_t[:n], g_t[:n], atol=1e-9)
+    assert abs(len(g_t) - len(t_t)) <= 3
