@@ -1,0 +1,9 @@
+#!/bin/bash
+# Build the octomap interop oracle against the vendored library
+# (read-only headers + prebuilt static libs from /root/reference).
+set -euo pipefail
+cd "$(dirname "$0")"
+OM=/root/reference/planning_ddr_opt/octomap
+g++ -O2 -std=c++14 -w -I "$OM/include" oracle.cpp \
+    "$OM/lib/liboctomap.a" "$OM/lib/liboctomath.a" -o octomap_oracle
+echo "built $(pwd)/octomap_oracle"

@@ -1,0 +1,73 @@
+// Octomap interop oracle: drives the REAL vendored octomap library
+// (read-only headers + prebuilt liboctomap.a from /root/reference) to
+// cross-validate world/octomap_io.py.
+//
+//   oracle read <file.bt>      -- OcTree::readBinary, dump leaves
+//   oracle readot <file.ot>    -- AbstractOcTree::read, dump leaves
+//   oracle make <out.bt> <out.ot>
+//       stdin: res n, then n lines "x y z occ" (voxel centers);
+//       builds an OcTree via updateNode(point, bool), writes both
+//       formats exactly as octomap tools would (writeBinary does
+//       toMaxLikelihood + prune).
+//
+// Leaf dump format, one per line:
+//   x y z half_size occupied(0/1) log_odds
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+
+#include <octomap/octomap.h>
+
+static void dump(octomap::OcTree& tree) {
+    std::printf("res %.17g\n", tree.getResolution());
+    for (auto it = tree.begin_leafs(), end = tree.end_leafs(); it != end;
+         ++it) {
+        std::printf("%.9f %.9f %.9f %.9f %d %.9g\n", it.getX(), it.getY(),
+                    it.getZ(), it.getSize() / 2.0,
+                    tree.isNodeOccupied(*it) ? 1 : 0, it->getLogOdds());
+    }
+}
+
+int main(int argc, char** argv) {
+    if (argc < 3) return 2;
+    std::string mode = argv[1];
+    if (mode == "read") {
+        octomap::OcTree tree(0.1);
+        if (!tree.readBinary(argv[2])) return 1;
+        dump(tree);
+        return 0;
+    }
+    if (mode == "readot") {
+        octomap::AbstractOcTree* t = octomap::AbstractOcTree::read(argv[2]);
+        if (!t) return 1;
+        auto* tree = dynamic_cast<octomap::OcTree*>(t);
+        if (!tree) return 1;
+        dump(*tree);
+        return 0;
+    }
+    if (mode == "make") {
+        double res;
+        int n;
+        if (std::scanf("%lf %d", &res, &n) != 2) return 1;
+        octomap::OcTree tree(res);
+        for (int i = 0; i < n; i++) {
+            double x, y, z;
+            int occ;
+            if (std::scanf("%lf %lf %lf %d", &x, &y, &z, &occ) != 4)
+                return 1;
+            // drive log-odds to the clamping bound so max-likelihood
+            // values match the binary-format convention
+            for (int k = 0; k < 20; k++)
+                tree.updateNode(octomap::point3d(x, y, z), occ != 0);
+        }
+        if (!tree.writeBinary(argv[2])) return 1;
+        if (argc > 3) {
+            tree.toMaxLikelihood();
+            tree.prune();
+            if (!tree.write(argv[3])) return 1;
+        }
+        return 0;
+    }
+    return 2;
+}
