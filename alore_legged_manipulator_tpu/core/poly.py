@@ -37,17 +37,18 @@ class PolyTraj(NamedTuple):
         return jnp.sum(self.times)
 
 
-def _basis(s, order: int):
-    """beta_order(s): derivative-of-monomial basis, shape (..., 6).
+def _basis(s, order: int, ncoef: int = NCOEF):
+    """beta_order(s): derivative-of-monomial basis, shape (..., ncoef).
 
-    order 0: [1, s, s^2, s^3, s^4, s^5]
-    order 1: [0, 1, 2 s, 3 s^2, 4 s^3, 5 s^4], etc.
-    (matches optimizer.cpp:768-771 beta0..beta3)
+    order 0: [1, s, s^2, ..., s^(ncoef-1)]
+    order 1: [0, 1, 2 s, 3 s^2, ...], etc.
+    (matches optimizer.cpp:768-771 beta0..beta3; ncoef 6 = the quintic
+    build target, 8 = the septic MINCO_S4NU family)
     """
     s = jnp.asarray(s)
-    k = jnp.arange(NCOEF)
+    k = jnp.arange(ncoef)
     # falling factorial k! / (k-order)!
-    ff = jnp.ones((NCOEF,), dtype=s.dtype)
+    ff = jnp.ones((ncoef,), dtype=s.dtype)
     for d in range(order):
         ff = ff * jnp.maximum(k - d, 0)
     expo = jnp.maximum(k - order, 0)
@@ -57,8 +58,9 @@ def _basis(s, order: int):
 
 
 def eval_piece(coeffs, s, order: int = 0):
-    """Evaluate one piece (6,2) at local time(s) s; returns (..., 2)."""
-    return jnp.einsum("...k,kd->...d", _basis(s, order), coeffs,
+    """Evaluate one piece (ncoef, 2) at local time(s) s; returns (..., 2)."""
+    return jnp.einsum("...k,kd->...d",
+                      _basis(s, order, coeffs.shape[-2]), coeffs,
                       precision=jax.lax.Precision.HIGHEST)
 
 

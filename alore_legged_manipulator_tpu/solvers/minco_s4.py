@@ -1,0 +1,140 @@
+"""MINCO_S4NU: the septic (degree-7) member of the MINCO family.
+
+Rebuild of gcopter/minco.hpp MINCO_S4NU (back_end/include/gcopter/
+minco.hpp:202-556): minimum-snap spline through N-1 interior waypoints
+with full (p, v, a, j) boundary states, 8 coefficients per piece.  The
+planning build target only ever instantiates the quintic S3NU
+(solvers/minco.py), but the reference ships the septic variant as part
+of the gcopter family -- rebuilt here for capability completeness.
+
+TPU design: the reference solves its 8N x 8N banded system with a
+sequential LU (BandedSystem::factorizeLU); here the same system is
+assembled densely and solved with the batched `jnp.linalg.solve`
+(vmap-able over scenario fleets; at the family's piece counts a dense
+batched LU beats any sequential band elimination on the MXU, the same
+measured verdict as the quintic path -- solvers/minco.py).  Gradients
+come from AD through the solve (linalg.solve's built-in VJP IS the
+adjoint system the reference hand-codes in propogateGrad,
+minco.hpp:312-410).
+
+Parity: coefficients, energy and the (gradByPoints, gradByTimes)
+adjoints are pinned against the compiled reference class in
+tests/test_minco_s4.py (oracle: tests/golden/minco_s4_oracle).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NCOEF = 8   # degree-7
+
+
+def minco_s4_coeffs(head, tail, inner, times):
+    """Solve for piece coefficients (N, 8, 2), ascending powers.
+
+    head/tail: (2, 4) boundary [dim, (p, v, a, j)]; inner: (2, N-1)
+    interior waypoints; times: (N,).  Mirrors MINCO_S4NU::setParameters
+    (minco.hpp:275-434 row layout; same solution, dense batched solve).
+    """
+    head = jnp.asarray(head)
+    n = times.shape[0]
+    m = 8 * n
+    dtype = head.dtype
+    T = times
+    # derivative-basis rows at local time T: order o, coefficient k
+    #   d^o/ds^o s^k |_{s=T} = k!/(k-o)! T^(k-o)
+    def dbasis(o, t):
+        k = jnp.arange(NCOEF)
+        ff = jnp.ones((NCOEF,), dtype)
+        for d in range(o):
+            ff = ff * jnp.maximum(k - d, 0)
+        pw = t[..., None] ** jnp.maximum(k - o, 0)
+        return ff * jnp.where(k >= o, pw, jnp.zeros_like(pw))
+
+    A = jnp.zeros((m, m), dtype)
+    b = jnp.zeros((m, 2), dtype)
+
+    # head boundary (rows 0-3): p, v, a, j at s=0
+    A = A.at[0, 0].set(1.0).at[1, 1].set(1.0).at[2, 2].set(2.0) \
+         .at[3, 3].set(6.0)
+    b = b.at[0:4].set(head.T)
+
+    if n > 1:
+        i = jnp.arange(n - 1)
+        r0 = 8 * i
+        Ti = T[:-1]
+        # snap / crackle / pop continuity (rows 8i+4..6)
+        A = A.at[r0 + 4, r0 + 4].set(24.0)
+        A = A.at[r0 + 4, r0 + 5].set(120.0 * Ti)
+        A = A.at[r0 + 4, r0 + 6].set(360.0 * Ti ** 2)
+        A = A.at[r0 + 4, r0 + 7].set(840.0 * Ti ** 3)
+        A = A.at[r0 + 4, r0 + 12].set(-24.0)
+        A = A.at[r0 + 5, r0 + 5].set(120.0)
+        A = A.at[r0 + 5, r0 + 6].set(720.0 * Ti)
+        A = A.at[r0 + 5, r0 + 7].set(2520.0 * Ti ** 2)
+        A = A.at[r0 + 5, r0 + 13].set(-120.0)
+        A = A.at[r0 + 6, r0 + 6].set(720.0)
+        A = A.at[r0 + 6, r0 + 7].set(5040.0 * Ti)
+        A = A.at[r0 + 6, r0 + 14].set(-720.0)
+        # waypoint (row 8i+7) + C0..C3 continuity (rows 8i+8..11)
+        beta = jax.vmap(lambda t: dbasis(0, t))(Ti)      # (n-1, 8)
+        for k in range(NCOEF):
+            A = A.at[r0 + 7, r0 + k].set(beta[:, k])
+            A = A.at[r0 + 8, r0 + k].set(beta[:, k])
+        A = A.at[r0 + 8, r0 + 8].set(-1.0)
+        for o, scale in ((1, 1.0), (2, 2.0), (3, 6.0)):
+            db = jax.vmap(lambda t: dbasis(o, t))(Ti)
+            for k in range(NCOEF):
+                A = A.at[r0 + 8 + o, r0 + k].set(db[:, k])
+            A = A.at[r0 + 8 + o, r0 + 8 + o].set(-scale)
+        b = b.at[r0 + 7].set(inner.T)
+
+    # tail boundary (rows 8N-4..8N-1): p, v, a, j at T_{N-1}
+    c0 = 8 * (n - 1)
+    for o in range(4):
+        row = dbasis(o, T[-1])
+        A = A.at[m - 4 + o, c0:c0 + NCOEF].set(row)
+    b = b.at[m - 4:].set(jnp.asarray(tail).T)
+
+    c = jnp.linalg.solve(A, b)
+    return c.reshape(n, NCOEF, 2)
+
+
+def minco_s4_energy(coeffs, times, weights=(1.0, 1.0)):
+    """Integral of the weighted squared snap (getEnergy,
+    minco.hpp:205-237): closed form in the ascending coefficients
+    c4..c7 of each piece."""
+    w = jnp.asarray(weights, coeffs.dtype)
+    c4, c5, c6, c7 = (coeffs[:, 4, :], coeffs[:, 5, :],
+                      coeffs[:, 6, :], coeffs[:, 7, :])
+    T1 = times
+    T2, T3 = T1 ** 2, T1 ** 3
+    T4, T5 = T2 ** 2, T2 ** 2 * T1
+    T6, T7 = T3 ** 2, T3 ** 2 * T1
+
+    def wdot(a, bb):
+        return jnp.sum(a * w[None, :] * bb, axis=1)
+
+    e = (576.0 * wdot(c4, c4) * T1
+         + 2880.0 * wdot(c4, c5) * T2
+         + 4800.0 * wdot(c5, c5) * T3
+         + 5760.0 * wdot(c4, c6) * T3
+         + 21600.0 * wdot(c5, c6) * T4
+         + 10080.0 * wdot(c4, c7) * T4
+         + 25920.0 * wdot(c6, c6) * T5
+         + 40320.0 * wdot(c5, c7) * T5
+         + 100800.0 * wdot(c6, c7) * T6
+         + 100800.0 * wdot(c7, c7) * T7)
+    return jnp.sum(e)
+
+
+def minco_s4_energy_grads(head, tail, inner, times, weights=(1.0, 1.0)):
+    """(gradByPoints (2, N-1), gradByTimes (N,)) of the snap energy --
+    AD through the solve; the reference's hand-coded adjoint chain
+    (getEnergyPartialGradByCoeffs/Times + propogateGrad,
+    minco.hpp:239-410)."""
+    def f(inner_, times_):
+        c = minco_s4_coeffs(head, tail, inner_, times_)
+        return minco_s4_energy(c, times_, weights)
+
+    return jax.grad(f, argnums=(0, 1))(inner, times)

@@ -1,0 +1,14 @@
+#!/bin/bash
+# Build the MINCO_S4NU oracle (reference minco.hpp read-only, Eigen from
+# the TensorFlow wheel).
+set -euo pipefail
+cd "$(dirname "$0")"
+REF=/root/reference/planning_ddr_opt
+EIGEN=$(python - <<'PY'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+g++ -O2 -std=c++14 -w -I "$EIGEN" -I "$REF/back_end/include" \
+    oracle.cpp -o minco_s4_oracle
+echo "built $(pwd)/minco_s4_oracle"

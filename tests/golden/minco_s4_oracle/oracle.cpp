@@ -1,0 +1,78 @@
+// MINCO_S4NU golden oracle: drives the reference septic MINCO class
+// (back_end/include/gcopter/minco.hpp, read-only) on deterministic
+// pseudo-random cases and prints coefficients, energy, and the
+// hand-coded adjoint gradients (gradByPoints, gradByTimes).
+//
+// stdout per case:
+//   CASE n
+//   C <8n x 2 coefficients, row-major>
+//   E <energy>
+//   GP <2 x (n-1) gradByPoints, col-major like Eigen default print>
+//   GT <n gradByTimes>
+#include <cstdio>
+#include <Eigen/Eigen>
+
+#include "gcopter/minco.hpp"
+
+static double lcg_state = 12345.0;
+static double rnd() {  // deterministic in [-1, 1)
+    lcg_state = std::fmod(lcg_state * 1103515245.0 + 12345.0, 2147483648.0);
+    return lcg_state / 1073741824.0 - 1.0;
+}
+
+static void run_case(int n) {
+    Eigen::Matrix<double, 2, 4> head, tail;
+    for (int d = 0; d < 2; d++)
+        for (int o = 0; o < 4; o++) {
+            head(d, o) = rnd();
+            tail(d, o) = rnd();
+        }
+    Eigen::MatrixXd inner(2, n - 1);
+    for (int i = 0; i < n - 1; i++) {
+        inner(0, i) = rnd();
+        inner(1, i) = rnd();
+    }
+    Eigen::VectorXd ts(n);
+    for (int i = 0; i < n; i++) ts(i) = 0.5 + 0.5 * (rnd() + 1.0);
+
+    minco::MINCO_S4NU m;
+    m.setConditions(head, tail, n, Eigen::Vector2d(0.7, 1.3));
+    m.setParameters(inner, ts);
+
+    std::printf("CASE %d\n", n);
+    Trajectory<7, 2> traj;
+    m.getTrajectory(traj);
+    std::printf("C");
+    for (int i = 0; i < n; i++) {
+        // normalizedCoeffMat is descending powers; print ascending
+        auto cm = traj[i].getCoeffMat();  // (2, 8) descending
+        for (int k = 7; k >= 0; k--)
+            std::printf(" %.17g %.17g", cm(0, k), cm(1, k));
+    }
+    std::printf("\n");
+
+    double e;
+    m.getEnergy(e);
+    std::printf("E %.17g\n", e);
+
+    Eigen::MatrixX2d gdC(8 * n, 2);
+    Eigen::VectorXd gdT(n);
+    m.getEnergyPartialGradByCoeffs(gdC);
+    m.getEnergyPartialGradByTimes(gdT);
+    Eigen::Matrix2Xd gp(2, n - 1);
+    Eigen::VectorXd gt(n);
+    m.propogateGrad(gdC, gdT, gp, gt);
+    std::printf("GP");
+    for (int i = 0; i < n - 1; i++)
+        std::printf(" %.17g %.17g", gp(0, i), gp(1, i));
+    std::printf("\nGT");
+    for (int i = 0; i < n; i++) std::printf(" %.17g", gt(i));
+    std::printf("\n");
+}
+
+int main() {
+    run_case(2);
+    run_case(4);
+    run_case(7);
+    return 0;
+}

@@ -1,0 +1,140 @@
+"""MINCO_S4NU (septic) parity vs the compiled reference class.
+
+Oracle: tests/golden/minco_s4_oracle compiles minco.hpp read-only and
+prints coefficients, weighted snap energy, and the hand-coded adjoint
+gradients (propogateGrad) for three deterministic cases; this test
+regenerates the identical inputs (same LCG) and pins our dense-solve +
+AD rebuild (solvers/minco_s4.py) against them."""
+from __future__ import annotations
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.core import poly
+from alore_legged_manipulator_tpu.solvers.minco_s4 import (
+    minco_s4_coeffs, minco_s4_energy, minco_s4_energy_grads)
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "minco_s4_oracle" / \
+    "goldens.txt"
+WEIGHTS = (0.7, 1.3)
+
+
+class _Lcg:
+    def __init__(self):
+        self.state = 12345.0
+
+    def __call__(self):
+        self.state = np.fmod(self.state * 1103515245.0 + 12345.0,
+                             2147483648.0)
+        return self.state / 1073741824.0 - 1.0
+
+
+def _inputs(rnd, n):
+    head = np.zeros((2, 4))
+    tail = np.zeros((2, 4))
+    for d in range(2):
+        for o in range(4):
+            head[d, o] = rnd()
+            tail[d, o] = rnd()
+    inner = np.zeros((2, n - 1))
+    for i in range(n - 1):
+        inner[0, i] = rnd()
+        inner[1, i] = rnd()
+    ts = np.array([0.5 + 0.5 * (rnd() + 1.0) for _ in range(n)])
+    return head, tail, inner, ts
+
+
+def _load_goldens():
+    cases = []
+    cur = None
+    for ln in GOLDEN.read_text().splitlines():
+        parts = ln.split()
+        if parts[0] == "CASE":
+            cur = {"n": int(parts[1])}
+            cases.append(cur)
+        elif parts[0] == "C":
+            n = cur["n"]
+            vals = np.array([float(v) for v in parts[1:]])
+            cur["coeffs"] = vals.reshape(n, 8, 2)
+        elif parts[0] == "E":
+            cur["energy"] = float(parts[1])
+        elif parts[0] == "GP":
+            vals = np.array([float(v) for v in parts[1:]])
+            cur["gp"] = vals.reshape(-1, 2).T        # (2, n-1)
+        elif parts[0] == "GT":
+            cur["gt"] = np.array([float(v) for v in parts[1:]])
+    return cases
+
+
+CASES = _load_goldens()
+rnd = _Lcg()
+INPUTS = [_inputs(rnd, c["n"]) for c in CASES]
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_coeffs_match_reference(i):
+    case, (head, tail, inner, ts) = CASES[i], INPUTS[i]
+    c = minco_s4_coeffs(jnp.asarray(head, jnp.float64),
+                        jnp.asarray(tail, jnp.float64),
+                        jnp.asarray(inner, jnp.float64),
+                        jnp.asarray(ts, jnp.float64))
+    np.testing.assert_allclose(np.asarray(c), case["coeffs"],
+                               rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_energy_and_adjoints_match_reference(i):
+    case, (head, tail, inner, ts) = CASES[i], INPUTS[i]
+    h = jnp.asarray(head, jnp.float64)
+    t = jnp.asarray(tail, jnp.float64)
+    inn = jnp.asarray(inner, jnp.float64)
+    tsj = jnp.asarray(ts, jnp.float64)
+    c = minco_s4_coeffs(h, t, inn, tsj)
+    e = minco_s4_energy(c, tsj, WEIGHTS)
+    assert abs(float(e) - case["energy"]) < 1e-7 * max(1.0, case["energy"])
+
+    gp, gt = minco_s4_energy_grads(h, t, inn, tsj, WEIGHTS)
+    np.testing.assert_allclose(np.asarray(gp), case["gp"], rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(gt), case["gt"], rtol=1e-7)
+
+
+def test_boundary_and_waypoint_interpolation():
+    head, tail, inner, ts = INPUTS[1]
+    c = minco_s4_coeffs(jnp.asarray(head, jnp.float64),
+                        jnp.asarray(tail, jnp.float64),
+                        jnp.asarray(inner, jnp.float64),
+                        jnp.asarray(ts, jnp.float64))
+    traj = poly.PolyTraj(coeffs=c, times=jnp.asarray(ts, jnp.float64))
+    # boundary (p, v, a, j) at both ends
+    for o in range(4):
+        np.testing.assert_allclose(
+            np.asarray(poly.eval_traj(traj, jnp.asarray(0.0), o)),
+            head[:, o], atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(poly.eval_traj(traj, traj.total_time, o)),
+            tail[:, o], atol=1e-8)
+    # waypoints
+    cum = np.cumsum(ts)[:-1]
+    for k, t in enumerate(cum):
+        np.testing.assert_allclose(
+            np.asarray(poly.eval_traj(traj, jnp.asarray(t), 0)),
+            inner[:, k], atol=1e-9)
+
+
+def test_batched_vmap():
+    head, tail, inner, ts = INPUTS[1]
+    B = 16
+    inns = jnp.asarray(np.stack([inner + 0.01 * b for b in range(B)]),
+                       jnp.float64)
+    f = jax.vmap(lambda x: minco_s4_energy(
+        minco_s4_coeffs(jnp.asarray(head, jnp.float64),
+                        jnp.asarray(tail, jnp.float64), x,
+                        jnp.asarray(ts, jnp.float64)),
+        jnp.asarray(ts, jnp.float64), WEIGHTS))
+    es = f(inns)
+    assert es.shape == (B,)
+    assert bool(jnp.all(jnp.isfinite(es)))
