@@ -39,6 +39,10 @@ from ..planner.flat_traj import FlatTraj, Polynome
 from ..control.tracked_traj import build_tracked_traj
 from .closed_loop import LoopConfig, simulate_tracking
 
+# compiled correction programs (correct_missed_legs), keyed by the
+# static pieces of the program; see its docstring
+_CORRECTION_JIT: dict = {}
+
 
 class FleetFsmConfig(NamedTuple):
     """Kinematic-phase constants (mission/object_fsm.py FsmConfig twin)."""
@@ -389,6 +393,127 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
         plan_err=jnp.stack(perrs), collision=jnp.stack(colls),
         track_err_max=jnp.stack(tmaxs), robot_final=robot,
         push_traj=jnp.stack(trajs))
+
+
+def correct_missed_legs(result: MissionFleetResult, items, targets,
+                        esdf: ESDF, true_icr: ICRParams,
+                        cfg: MissionFleetConfig, correction_ticks: int,
+                        seed: int = 0):
+    """Host-side re-dispatch of correction legs for ONLY the missed
+    lanes (the cheap alternative to `correction_ticks > 0`, which under
+    vmap computes the second plan+track instance for EVERY lane).
+
+    After the fleet program returns, the lanes whose objects missed
+    `deliver_tol` are gathered into one compacted batch (padded to a
+    power of two so only a handful of shapes ever compile), a single
+    vmapped plan+track correction program runs on just those, and the
+    outcomes scatter back.  Steady-state correction cost is then
+    proportional to the MISS RATE (~4% at the default budgets) instead
+    of 100%, and the mission time model is exact per lane (see
+    mission_seconds_exact).
+
+    Semantics vs the in-program `correction_ticks`: the correction runs
+    post-mission, so every other object paints at its FINAL realized
+    pose (physically what the world looks like when the recovery
+    happens); the in-program variant corrects mid-mission with later
+    objects still at their item poses.  Both match the reference FSM's
+    replan-until-within-tolerance intent (b2z1_object_fsm
+    OBJECT_TRACKING re-entry); robot_final and push_traj are left as
+    the main program reported them (corrections are untraced, as
+    before).
+
+    result/items/targets may carry a leading fleet axis or be a single
+    mission.  Returns (new_result, n_corrected).
+    """
+    import numpy as np
+
+    batched = result.object_err.ndim == 2
+    r = result if batched else jax.tree.map(lambda a: a[None], result)
+    items_b = jnp.asarray(items) if batched else jnp.asarray(items)[None]
+    targets_b = (jnp.asarray(targets) if batched
+                 else jnp.asarray(targets)[None])
+    B, K = r.object_err.shape
+    dtype = r.object_err.dtype
+
+    finals = r.push_traj[:, :, -1, :]                  # (B, K, 3)
+    missed = np.asarray(~r.delivered)                  # (B, K)
+    lanes = np.argwhere(missed)
+    if lanes.size == 0:
+        return result, 0
+    M = lanes.shape[0]
+    pad = 1
+    while pad < M:
+        pad *= 2
+
+    b_idx = np.concatenate([lanes[:, 0], np.zeros(pad - M, int)])
+    k_idx = np.concatenate([lanes[:, 1], np.zeros(pad - M, int)])
+    starts = jnp.asarray(np.asarray(finals)[b_idx, k_idx])       # (pad, 3)
+    tgts = jnp.asarray(np.asarray(targets_b)[b_idx, k_idx])      # (pad, 2)
+    # other objects at their FINAL poses, excluding the corrected one
+    fin_np = np.asarray(finals)[..., :2]               # (B, K, 2)
+    oth = np.stack([np.delete(fin_np[b], k, axis=0)
+                    for b, k in zip(b_idx, k_idx)])    # (pad, K-1, 2)
+
+    # cache the compiled correction program across calls (pad buckets
+    # keep the shape set tiny); a fresh jax.jit closure per call would
+    # retrace every dispatch.  esdf/ICR are traced arguments so the
+    # cache is safe across maps.
+    key = (K, correction_ticks, repr(cfg))
+    if key not in _CORRECTION_JIT:
+        def one(esdf_, icr_vec, start, target, others_xy, s):
+            icr_ = ICRParams(yr=icr_vec[0], yl=icr_vec[1], xv=icr_vec[2])
+            leg_esdf = (_painted_esdf(esdf_, others_xy,
+                                      cfg.paint_half_extents)
+                        if K > 1 else esdf_)
+            obj2, tmax2, perr2, coll2, _ = _push_leg(
+                start[:2], start[2], target, leg_esdf, icr_, cfg,
+                correction_ticks, s)
+            return obj2, tmax2, coll2
+
+        _CORRECTION_JIT[key] = jax.jit(
+            jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0)))
+    fn = _CORRECTION_JIT[key]
+    seeds = jnp.arange(pad) + seed + 10_000
+    icr_vec = jnp.stack([jnp.asarray(true_icr.yr, dtype),
+                         jnp.asarray(true_icr.yl, dtype),
+                         jnp.asarray(true_icr.xv, dtype)])
+    obj2, tmax2, coll2 = fn(esdf, icr_vec, starts, tgts,
+                            jnp.asarray(oth, dtype), seeds)
+
+    err2 = jnp.linalg.norm(obj2[:, :2] - tgts, axis=1)
+    # scatter back into the (B, K) fields (first M entries are real)
+    oe = np.array(r.object_err)
+    de = np.array(r.delivered)
+    te = np.array(r.track_err_max)
+    co = np.array(r.collision)
+    err2_np = np.asarray(err2)[:M]
+    oe[lanes[:, 0], lanes[:, 1]] = np.minimum(
+        oe[lanes[:, 0], lanes[:, 1]], err2_np)
+    de[lanes[:, 0], lanes[:, 1]] |= err2_np < cfg.deliver_tol
+    te[lanes[:, 0], lanes[:, 1]] = np.maximum(
+        te[lanes[:, 0], lanes[:, 1]], np.asarray(tmax2)[:M])
+    co[lanes[:, 0], lanes[:, 1]] |= np.asarray(coll2)[:M]
+
+    out = r._replace(object_err=jnp.asarray(oe), delivered=jnp.asarray(de),
+                     track_err_max=jnp.asarray(te),
+                     collision=jnp.asarray(co))
+    if not batched:
+        out = jax.tree.map(lambda a: a[0], out)
+    return out, M
+
+
+def mission_seconds_exact(result: MissionFleetResult,
+                          cfg: MissionFleetConfig,
+                          correction_ticks: int) -> float:
+    """Simulated seconds for a fleet that used correct_missed_legs:
+    base phases for every leg + correction ticks only where a leg
+    actually missed the main budget."""
+    de = result.delivered
+    n_legs = int(de.size)
+    n_missed = int((~de).sum())
+    base = ((cfg.approach_ticks + cfg.grasp_ticks + cfg.release_ticks)
+            * cfg.fsm.fsm_dt + cfg.push_ticks * cfg.loop.nmpc.dt)
+    return base * n_legs + correction_ticks * cfg.loop.nmpc.dt * n_missed
 
 
 def mission_seconds(cfg: MissionFleetConfig, n_objects: int) -> float:
