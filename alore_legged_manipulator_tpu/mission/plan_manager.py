@@ -106,6 +106,13 @@ class PlanManager:
         self.goal = np.asarray(goal_xyt, float)
         self.start_state = None if start_xyt is None \
             else np.asarray(start_xyt, float)
+        # a new mission has no trajectory yet: clear the previous
+        # mission's state so a failed initial plan aborts instead of
+        # replanning off a stale trajectory
+        self.tracked = None
+        self.polynome = None
+        self.plan_start_time = -1.0
+        self.traj_total_time = 0.0
         self.state = PlanState.IDLE if self.state != PlanState.EMERGENCY_STOP \
             else self.state
 
@@ -150,7 +157,15 @@ class PlanManager:
         otherwise the search starts at the t_rel state itself.
 
         Returns the start_path for plan_frontend ([front, search_start])
-        or None (search from the plan start)."""
+        or None (search from the plan start).
+
+        Faithful hazard note: like the reference, the integrated END
+        state is NOT collision-checked (only the single stored front
+        point is) -- if an obstacle appears on the trajectory inside the
+        truncation window, the search may start inside it and the front
+        end fails to EMERGENCY_STOP.  The reference has the identical
+        behavior (its interior path samples are commented out, so the
+        truncation loop can never trip)."""
         from ..ops.esdf import dist_at_cell
         d = float(dist_at_cell(self.esdf,
                                jnp.asarray(pose_tpred[:2], self.cfg.dtype)))
@@ -254,6 +269,17 @@ class PlanManager:
                 sp = self._predicted_start_path(pose, np.asarray(pose_end,
                                                                  float))
                 new_msg = self._plan(pose, vaj, oaj, t_now, start_path=sp)
+
+        # back-end failure on the INITIAL plan: there is no trajectory to
+        # keep tracking.  The reference aborts the mission on its next
+        # 1 kHz tick -- its finished-check compares against the
+        # zero/stale Traj_start_time_/Traj_total_time_ and resets to
+        # IDLE + have_goal_=false (MainThread :707-711 with the
+        # constructor defaults).  Mirror that as an explicit abort.
+        if self.state == PlanState.PLANNING and self.tracked is None:
+            self.state = PlanState.IDLE
+            self.goal = None
+            return None
 
         # trajectory finished?
         if (self.plan_start_time >= 0

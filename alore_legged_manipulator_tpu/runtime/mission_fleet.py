@@ -395,7 +395,35 @@ def run_mission(items, targets, robot_start, esdf: ESDF,
         push_traj=jnp.stack(trajs))
 
 
-def correct_missed_legs(result: MissionFleetResult, items, targets,
+def spaced_scenarios(B, K, rng, item_x=(1.0, 2.5), target_x=(5.5, 7.0),
+                     y_range=(1.2, 6.8), min_sep=1.6):
+    """Random mission scenarios with physically-sane same-side spacing.
+
+    With object painting on (the reference behavior), a target inside
+    another object's painted footprint + safe margin is UNREACHABLE by
+    construction (painted half extent 0.4 + checkpoint radius 0.3 +
+    clearance) -- the reference's own demos space their goals.
+    Rejection-samples until all same-side pairwise separations are
+    >= min_sep.  Returns (items (B, K, 2), targets (B, K, 2)) numpy.
+    """
+    import numpy as np
+
+    def sample_side(x_lo, x_hi):
+        out = np.zeros((B, K, 2))
+        for b in range(B):
+            while True:
+                pts = np.stack([rng.uniform(x_lo, x_hi, K),
+                                rng.uniform(*y_range, K)], -1)
+                d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+                if (d + np.eye(K) * 1e9).min() >= min_sep:
+                    out[b] = pts
+                    break
+        return out
+
+    return sample_side(*item_x), sample_side(*target_x)
+
+
+def correct_missed_legs(result: MissionFleetResult, targets,
                         esdf: ESDF, true_icr: ICRParams,
                         cfg: MissionFleetConfig, correction_ticks: int,
                         seed: int = 0):
@@ -422,14 +450,13 @@ def correct_missed_legs(result: MissionFleetResult, items, targets,
     the main program reported them (corrections are untraced, as
     before).
 
-    result/items/targets may carry a leading fleet axis or be a single
+    result/targets may carry a leading fleet axis or be a single
     mission.  Returns (new_result, n_corrected).
     """
     import numpy as np
 
     batched = result.object_err.ndim == 2
     r = result if batched else jax.tree.map(lambda a: a[None], result)
-    items_b = jnp.asarray(items) if batched else jnp.asarray(items)[None]
     targets_b = (jnp.asarray(targets) if batched
                  else jnp.asarray(targets)[None])
     B, K = r.object_err.shape
@@ -487,9 +514,11 @@ def correct_missed_legs(result: MissionFleetResult, items, targets,
     te = np.array(r.track_err_max)
     co = np.array(r.collision)
     err2_np = np.asarray(err2)[:M]
-    oe[lanes[:, 0], lanes[:, 1]] = np.minimum(
-        oe[lanes[:, 0], lanes[:, 1]], err2_np)
-    de[lanes[:, 0], lanes[:, 1]] |= err2_np < cfg.deliver_tol
+    # the object physically ends at the CORRECTED pose: report the
+    # corrected error unconditionally for missed lanes, matching the
+    # inline correction_ticks path (run_mission gates on ok1)
+    oe[lanes[:, 0], lanes[:, 1]] = err2_np
+    de[lanes[:, 0], lanes[:, 1]] = err2_np < cfg.deliver_tol
     te[lanes[:, 0], lanes[:, 1]] = np.maximum(
         te[lanes[:, 0], lanes[:, 1]], np.asarray(tmax2)[:M])
     co[lanes[:, 0], lanes[:, 1]] |= np.asarray(coll2)[:M]

@@ -141,8 +141,9 @@ class _LtvNode:
         self.receive_traj = True
         self.at_goal = False
 
-    def _tick_fn(self, n_pieces):
+    def _tick_fn(self):
         # piece dim padded to PIECE_CAPACITY -> one compile for the run
+        # (jit's shape cache covers the over-capacity case)
         if "tick" not in self._jit:
             cfg = self.cfg
 
@@ -174,7 +175,7 @@ class _LtvNode:
             return (0.0, 0.0)
         t_cur = t - self.start_time
         self.at_goal = t_cur > self.duration + 1.0   # getRefPoints :655
-        fn = self._tick_fn(self.tracked.traj.coeffs.shape[0])
+        fn = self._tick_fn()
         est = jnp.asarray(est_pose, self.dtype)
         self.carry, cmd = fn(self.carry, self.tracked,
                              jnp.asarray(t_cur, self.dtype), est)

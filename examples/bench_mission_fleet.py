@@ -43,28 +43,12 @@ def main():
                              plant=plant, correction_ticks=corr)
 
     rng = np.random.default_rng(0)
-
     # items on the left, targets on the right: legs are 3-6.3 m, within
     # the push-tick time budget (duration = 2L/3 s at the backend's
-    # relaxed profile).  With object painting on (the reference
-    # behavior, default since r3), same-side points must be spaced: a
-    # target inside another object's painted footprint + safe margin is
-    # unreachable BY CONSTRUCTION (painted half extent 0.4 + checkpoint
-    # radius 0.3 + clearance) -- the reference's own demos space goals.
-    def sample_side(x_lo, x_hi, min_sep=1.6):
-        out = np.zeros((B, K, 2))
-        for b in range(B):
-            while True:
-                pts = np.stack([rng.uniform(x_lo, x_hi, K),
-                                rng.uniform(1.2, 6.8, K)], -1)
-                d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
-                if (d + np.eye(K) * 1e9).min() >= min_sep:
-                    out[b] = pts
-                    break
-        return out
-
-    items = sample_side(1.0, 2.5)
-    targets = sample_side(5.5, 7.0)
+    # relaxed profile); same-side spacing per spaced_scenarios' doc
+    from alore_legged_manipulator_tpu.runtime.mission_fleet import (
+        spaced_scenarios)
+    items, targets = spaced_scenarios(B, K, rng)
     robot0 = np.tile(np.array([1.0, 4.0, 0.0], np.float32), (B, 1))
 
     # CORRECTION_MODE=redispatch: instead of compiling the correction
@@ -95,14 +79,16 @@ def main():
 
     times = []
     n_corrected = 0
+    base = res
     for _ in range(3):
         t0 = time.perf_counter()
-        res = fleet(ij, tj, rj)
+        base = fleet(ij, tj, rj)
+        res = base
         if redispatch:
             from alore_legged_manipulator_tpu.runtime.mission_fleet \
                 import correct_missed_legs
             res, n_corrected = correct_missed_legs(
-                res, ij, tj, esdf, icr, cfg, correction_ticks=corr or 300)
+                base, tj, esdf, icr, cfg, correction_ticks=corr or 300)
         float(res.object_err.sum())
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
@@ -112,7 +98,8 @@ def main():
     if redispatch:
         from alore_legged_manipulator_tpu.runtime.mission_fleet import (
             mission_seconds_exact)
-        sim_s = mission_seconds_exact(res, cfg, corr or 300) / B
+        # billed against PRE-correction misses: the legs that ran one
+        sim_s = mission_seconds_exact(base, cfg, corr or 300) / B
     else:
         sim_s = mission_seconds(cfg, K)
     missions_per_s = B / med

@@ -174,10 +174,10 @@ class Solver {
     bool solve() {
         solution_ = osqp_oracle::solve_qp(data_.P_, data_.q_, data_.A_,
                                           data_.l_, data_.u_);
-        osqp_oracle::Record rec;
-        rec.P = data_.P_; rec.q = data_.q_; rec.A = data_.A_;
-        rec.l = data_.l_; rec.u = data_.u_; rec.solution = solution_;
-        osqp_oracle::records().push_back(rec);
+        // NOTE: unlike the per-QP ltv_oracle stub this composed-loop
+        // copy does NOT record each solved QP -- a 16 s run fires
+        // ~5k dense solves and the record list would grow to GBs;
+        // the e2e harness only consumes the published commands.
         return true;
     }
     Eigen::VectorXd getSolution() { return solution_; }

@@ -247,7 +247,7 @@ def test_host_redispatch_correction():
     missed = ~np.asarray(res.delivered)
     assert missed[0, 0] and not missed[1, 0]
 
-    fixed, n = correct_missed_legs(res, items, targets, esdf, ICR, cfg,
+    fixed, n = correct_missed_legs(res, targets, esdf, ICR, cfg,
                                    correction_ticks=220)
     assert n == 1
     assert bool(fixed.delivered.all())
