@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..control.tracked_traj import build_tracked_traj, pstate, vstate, astate
+from ..control.tracked_traj import build_tracked_traj, pstate
 from ..core import poly
 from ..ops.esdf import ESDF, esdf_from_occupancy
 from ..planner.backend import BackendConfig, BackendResult, plan_backend
