@@ -84,6 +84,10 @@ class E2EScenario:
     max_replan_time: float = 0.05
     obs_t: float = -1.0           # popup obstacle time (< 0: none)
     obs_cells: tuple = (0, 0, 0, 0)
+    laser_mode: str = "perspective"   # or "raycast" (occlusion-aware
+                                      # beam scan -> Bresenham log-odds
+                                      # fusion, if_perspective=false)
+    n_beams: int = 360
 
     @classmethod
     def from_golden(cls, scn: dict) -> "E2EScenario":
@@ -96,7 +100,9 @@ class E2EScenario:
                    laser_period_ms=int(round(1000.0 / scn["laser_rate"])),
                    replan_time=scn["replan_time"],
                    max_replan_time=scn["max_replan_time"],
-                   obs_t=scn["obs_t"], obs_cells=tuple(scn["obs_cells"]))
+                   obs_t=scn["obs_t"], obs_cells=tuple(scn["obs_cells"]),
+                   laser_mode=scn.get("laser_mode", "perspective"),
+                   n_beams=scn.get("n_beams", 360))
 
 
 @dataclasses.dataclass
@@ -199,11 +205,43 @@ def run_planner_sim(scn: E2EScenario, pm_cfg: PlanManagerConfig,
     pm.set_goal(scn.goal, start_xyt=scn.start)
 
     # --- online map state
+    raycast = scn.laser_mode == "raycast"
     map_state = occupancy_init((nx, ny), occ_cfg)
     pending_cloud = None
-    fuse_jit = jax.jit(lambda st, pose, pts, mask: occupancy_update_perspective(
-        st, jnp.asarray(lower, jnp.float32), res, pose, pts, mask,
-        scn.detection_range, occ_cfg))
+    if raycast:
+        from ..world.lidar import LidarConfig, occupancy_update
+        lcfg = LidarConfig(n_beams=scn.n_beams, fov_rad=2.0 * np.pi,
+                           max_range=scn.detection_range)
+        fuse_jit = jax.jit(lambda st, pose, ranges, hits: occupancy_update(
+            st, jnp.asarray(lower, jnp.float32), res, pose, ranges, hits,
+            lcfg, occ_cfg))
+
+        def host_scan(occ, pose):
+            """world/lidar.lidar_scan's exact arithmetic at f64 on the
+            host (the oracle's generator runs in f64 and casts ranges
+            to f32; a device-f32 lattice could flip boundary cells)."""
+            n_beams, n_steps, rng = scn.n_beams, lcfg.n_steps, \
+                scn.detection_range
+            angles = pose[2] + (np.arange(n_beams) / n_beams - 0.5) \
+                * 2.0 * np.pi
+            ts = (np.arange(1, n_steps + 1) / n_steps) * rng
+            pxs = pose[0] + np.cos(angles)[:, None] * ts[None, :]
+            pys = pose[1] + np.sin(angles)[:, None] * ts[None, :]
+            ix = np.clip(((pxs - lower[0]) / res).astype(int), 0, nx - 1)
+            iy = np.clip(((pys - lower[1]) / res).astype(int), 0, ny - 1)
+            inside = ((pxs >= lower[0]) & (pxs < lower[0] + nx * res)
+                      & (pys >= lower[1]) & (pys < lower[1] + ny * res))
+            hit = np.where(inside, occ[ix, iy], False)
+            any_hit = hit.any(1)
+            ranges = np.where(any_hit, ts[hit.argmax(1)],
+                              rng).astype(np.float32)
+            any_hit &= ranges < rng        # boundary-tie drop
+            return ranges, any_hit
+    else:
+        fuse_jit = jax.jit(
+            lambda st, pose, pts, mask: occupancy_update_perspective(
+                st, jnp.asarray(lower, jnp.float32), res, pose, pts, mask,
+                scn.detection_range, occ_cfg))
 
     # --- plant (host f64; the true world)
     px, py, pth = scn.start
@@ -250,29 +288,40 @@ def run_planner_sim(scn: E2EScenario, pm_cfg: PlanManagerConfig,
         # laser capture BEFORE timers, at the plant pose entering this
         # step (harness inject_scan)
         if k % scn.laser_period_ms == 0:
-            ix, iy = np.nonzero(true_grid)
-            cx = lower[0] + (ix + 0.5) * res
-            cy = lower[1] + (iy + 0.5) * res
-            sel = (cx - px) ** 2 + (cy - py) ** 2 \
-                <= scn.detection_range ** 2
-            pending_cloud = (np.stack([cx[sel], cy[sel]], -1),
-                             np.array([px, py, pth]))
+            if raycast:
+                ranges, hits = host_scan(true_grid,
+                                         np.array([px, py, pth]))
+                pending_cloud = (ranges, hits, np.array([px, py, pth]))
+            else:
+                ix, iy = np.nonzero(true_grid)
+                cx = lower[0] + (ix + 0.5) * res
+                cy = lower[1] + (iy + 0.5) * res
+                sel = (cx - px) ** 2 + (cy - py) ** 2 \
+                    <= scn.detection_range ** 2
+                pending_cloud = (np.stack([cx[sel], cy[sel]], -1),
+                                 np.array([px, py, pth]))
 
         # --- 20 Hz occupancy fusion (SDFmap occ_timer, registered first)
         if k % 50 == 0 and pending_cloud is not None:
-            pts, scan_pose = pending_cloud
+            if raycast:
+                ranges, hits, scan_pose = pending_cloud
+                map_state = fuse_jit(
+                    map_state, jnp.asarray(scan_pose, jnp.float32),
+                    jnp.asarray(ranges, jnp.float32), jnp.asarray(hits))
+            else:
+                pts, scan_pose = pending_cloud
+                n = len(pts)
+                # fixed padded shape: one fusion compile per run
+                pad = 512
+                while pad < n:
+                    pad *= 2
+                pts_j = jnp.zeros((pad, 2), jnp.float32).at[:n].set(
+                    jnp.asarray(pts, jnp.float32))
+                mask = jnp.arange(pad) < n
+                map_state = fuse_jit(map_state, jnp.asarray(scan_pose,
+                                                            jnp.float32),
+                                     pts_j, mask)
             pending_cloud = None
-            n = len(pts)
-            # fixed padded shape: one fusion compile for the whole run
-            pad = 512
-            while pad < n:
-                pad *= 2
-            pts_j = jnp.zeros((pad, 2), jnp.float32).at[:n].set(
-                jnp.asarray(pts, jnp.float32))
-            mask = jnp.arange(pad) < n
-            map_state = fuse_jit(map_state, jnp.asarray(scan_pose,
-                                                        jnp.float32),
-                                 pts_j, mask)
             occ_est, _, _ = occupancy_classes(map_state, occ_cfg)
             pm.occ = np.asarray(occ_est)
             map_dirty = True

@@ -37,6 +37,13 @@
 //   obs_t obs_x0 obs_y0 obs_x1 obs_y1     (cells [x0,x1)x[y0,y1) become
 //                                          occupied at sim time obs_t;
 //                                          obs_t < 0 disables)
+//   laser_mode n_beams   (0 = perspective cloud: every occupied cell
+//                          within range; 1 = raycast: occlusion-aware
+//                          beam scan, endpoint cloud with 1.5x-range
+//                          phantom points for no-return beams -- the
+//                          same deterministic lattice generator the
+//                          fusion goldens use, identical to
+//                          world/lidar.lidar_scan)
 // stdout: event log, one record per line:
 //   PLAN t traj_start n_pieces t_pts... inner(x y)... init(p v a 6) tail(p v a 6) start_xyt icr
 //   CMD t v omega
@@ -316,12 +323,19 @@ int main() {
     double replan_time = rd(f), max_replan_time = rd(f);
     double obs_t = rd(f);
     int ox0 = ri(f), oy0 = ri(f), ox1 = ri(f), oy1 = ri(f);
+    int laser_mode = 0, n_beams = 360;
+    if (fscanf(f, "%d %d", &laser_mode, &n_beams) != 2) {
+        laser_mode = 0;   // legacy scenarios: perspective
+        n_beams = 360;
+    }
 
     const double xhi = xlo + nx * res - 1e-9;
     const double yhi = ylo + ny * res - 1e-9;
 
     install_params(res, xlo, xhi, ylo, yhi, det_range, sx, sy, syaw,
                    replan_time, max_replan_time);
+    // mapping pipeline follows the laser mode (launch:22/76)
+    oracle_params::set("/global_planning/if_perspective", laser_mode == 0);
     install_remaps();
     oracle_clock::set(0.0);
 
@@ -395,22 +409,61 @@ int main() {
         oracle_bus::inject(topic, ps);
     };
 
-    // ---- laser injection (perspective mode: every occupied global
-    // cell center within detection_range, world coords; the exact
-    // generator the fusion parity uses) ----
+    // ---- laser injection ----
+    // perspective (mode 0): every occupied global cell center within
+    // detection_range, world coords -- the exact generator the fusion
+    // parity uses.
+    // raycast (mode 1): deterministic occlusion-aware beam scan on the
+    // 256-sample lattice (identical arithmetic to the fusion-golden
+    // recorder / world/lidar.lidar_scan: f64 lattice, f32 range cast,
+    // argmax-first-hit, hits at exactly det_range dropped, no-return
+    // beams emitted as 1.5x-range phantom points so the reference
+    // exercises its range clamp, raycastProcess sdf_map.cpp:156).
     auto inject_scan = [&](double rx, double ry, double ryaw) {
         auto& m = *pm->sdfmap_;
         m.cloud_.clear();
-        for (int ix = 0; ix < nx; ++ix)
-            for (int iy = 0; iy < ny; ++iy) {
-                if (!grid[(size_t)ix * ny + iy]) continue;
-                double px = xlo + (ix + 0.5) * res;
-                double py = ylo + (iy + 0.5) * res;
-                double d = std::hypot(px - rx, py - ry);
-                if (d <= det_range)
-                    m.cloud_.push_back(
-                        pcl::PointXYZ((float)px, (float)py, 0.f));
+        if (laser_mode == 0) {
+            for (int ix = 0; ix < nx; ++ix)
+                for (int iy = 0; iy < ny; ++iy) {
+                    if (!grid[(size_t)ix * ny + iy]) continue;
+                    double px = xlo + (ix + 0.5) * res;
+                    double py = ylo + (iy + 0.5) * res;
+                    double d = std::hypot(px - rx, py - ry);
+                    if (d <= det_range)
+                        m.cloud_.push_back(
+                            pcl::PointXYZ((float)px, (float)py, 0.f));
+                }
+        } else {
+            const int n_steps = 256;
+            for (int b = 0; b < n_beams; ++b) {
+                double a = ryaw + ((double)b / n_beams - 0.5)
+                                  * 2.0 * M_PI;
+                double ca = std::cos(a), sa = std::sin(a);
+                float r_hit = 0.f;
+                bool hit = false;
+                for (int s = 1; s <= n_steps; ++s) {
+                    double t = ((double)s / n_steps) * det_range;
+                    double px = rx + ca * t, py = ry + sa * t;
+                    if (px < xlo || px >= xlo + nx * res || py < ylo
+                        || py >= ylo + ny * res)
+                        continue;
+                    int ix = (int)((px - xlo) / res);
+                    int iy = (int)((py - ylo) / res);
+                    if (ix < 0) ix = 0; if (ix > nx - 1) ix = nx - 1;
+                    if (iy < 0) iy = 0; if (iy > ny - 1) iy = ny - 1;
+                    if (grid[(size_t)ix * ny + iy]) {
+                        r_hit = (float)t;
+                        hit = true;
+                        break;
+                    }
+                }
+                if (hit && r_hit >= (float)det_range) hit = false;
+                float r_pt = hit ? r_hit : (float)(1.5 * det_range);
+                m.cloud_.push_back(pcl::PointXYZ(
+                    (float)(rx + ca * (double)r_pt),
+                    (float)(ry + sa * (double)r_pt), 0.f));
             }
+        }
         m.odom_pos_ << rx, ry, ryaw;
         m.occ_need_update_ = true;
     };

@@ -88,7 +88,8 @@ def record(name: str) -> None:
         start=list(sc.start), goal=list(sc.goal), sim_T=sc.sim_T,
         laser_rate=sc.laser_rate, detection_range=sc.detection_range,
         replan_time=sc.replan_time, max_replan_time=sc.max_replan_time,
-        obs_t=sc.obs_t, obs_cells=list(sc.obs_cells))
+        obs_t=sc.obs_t, obs_cells=list(sc.obs_cells),
+        laser_mode=sc.laser_mode, n_beams=sc.n_beams)
     out = HERE / "goldens" / f"{name}.json.gz"
     out.parent.mkdir(exist_ok=True)
     with gzip.open(out, "wt") as f:
@@ -99,6 +100,6 @@ def record(name: str) -> None:
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["corridor", "popup"]
+    names = sys.argv[1:] or ["corridor", "popup", "corridor_raycast"]
     for name in names:
         record(name)

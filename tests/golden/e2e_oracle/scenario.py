@@ -38,6 +38,8 @@ class E2EScenario:
     max_replan_time: float
     obs_t: float                # < 0: no popup obstacle
     obs_cells: tuple            # (x0, y0, x1, y1) cell box, [x0,x1)x[y0,y1)
+    laser_mode: str = "perspective"   # or "raycast" (occlusion-aware)
+    n_beams: int = 360
 
 
 def _corridor_grid(nx: int, ny: int) -> np.ndarray:
@@ -69,6 +71,13 @@ def make(name: str) -> E2EScenario:
         # block dropped in the right half's open lane while in transit
         return E2EScenario(name=name, sim_T=16.0, obs_t=4.0,
                            obs_cells=(88, 28, 96, 52), **common)
+    if name == "corridor_raycast":
+        # same course through the OTHER mapping pipeline: occlusion-
+        # aware beam scans -> Bresenham log-odds raycast fusion
+        # (if_perspective=false branch, sdf_map.cpp:130-314)
+        return E2EScenario(name=name, sim_T=14.0, obs_t=-1.0,
+                           obs_cells=(0, 0, 0, 0),
+                           laser_mode="raycast", **common)
     raise KeyError(name)
 
 
@@ -81,6 +90,7 @@ def to_stdin(sc: E2EScenario) -> str:
     lines.append(f"{sc.sim_T} {sc.laser_rate} {sc.detection_range} "
                  f"{sc.replan_time} {sc.max_replan_time}")
     lines.append(f"{sc.obs_t} " + " ".join(str(c) for c in sc.obs_cells))
+    lines.append(f"{int(sc.laser_mode == 'raycast')} {sc.n_beams}")
     return "\n".join(lines) + "\n"
 
 

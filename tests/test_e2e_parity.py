@@ -100,7 +100,11 @@ def _pose_deviation(trace, golden):
     return np.hypot(tp[:n, 1] - gp[:n, 1], tp[:n, 2] - gp[:n, 2])
 
 
-SCENARIOS = ["corridor", "popup"]
+# corridor_raycast runs the same course through the OTHER mapping
+# pipeline (occlusion-aware beam scans -> Bresenham log-odds raycast
+# fusion, if_perspective=false) -- both reference branches now live in
+# the composed pinned loop
+SCENARIOS = ["corridor", "popup", "corridor_raycast"]
 
 
 @pytest.mark.parametrize("name", SCENARIOS)
