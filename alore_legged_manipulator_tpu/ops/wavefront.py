@@ -38,11 +38,24 @@ def _shift(a, dx, dy, fill):
     return p[1 + dx:1 + dx + H, 1 + dy:1 + dy + W]
 
 
-def octile_distance_field(blocked, goal_cell, n_iters: int | None = None):
+def octile_distance_field(blocked, goal_cell, n_iters: int | None = None,
+                          impl: str = "auto"):
     """(H, W) octile distance to `goal_cell` in cell units; _BIG where
     unreachable or blocked.  `n_iters` sweeps of min-plus relaxation
     (default H + W, enough for any simple path on the grid since every
-    sweep relaxes all 8 directions at once)."""
+    sweep relaxes all 8 directions at once).
+
+    `impl`: "xla" runs the scan below (one fused HBM pass per sweep);
+    "pallas" runs ops/wavefront_pallas.py (grid resident in VMEM, all
+    sweeps on-chip, convergence early-exit); "auto" picks pallas on TPU
+    backends and xla elsewhere.  Same field either way
+    (tests/test_wavefront_pallas.py)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .wavefront_pallas import octile_distance_field_pallas
+        return octile_distance_field_pallas(blocked, goal_cell, n_iters,
+                                            interpret=False)
     H, W = blocked.shape
     if n_iters is None:
         n_iters = H + W
