@@ -50,12 +50,16 @@ def octile_distance_field(blocked, goal_cell, n_iters: int | None = None,
     sweeps on-chip, convergence early-exit); "auto" picks pallas on TPU
     backends and xla elsewhere.  Same field either way
     (tests/test_wavefront_pallas.py)."""
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"impl must be 'auto', 'xla' or 'pallas': {impl!r}")
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from .wavefront_pallas import octile_distance_field_pallas
+        # interpret=None: the kernel wrapper auto-detects the backend, so
+        # an explicit impl="pallas" off-TPU runs in interpreter mode
         return octile_distance_field_pallas(blocked, goal_cell, n_iters,
-                                            interpret=False)
+                                            interpret=None)
     H, W = blocked.shape
     if n_iters is None:
         n_iters = H + W

@@ -1,0 +1,80 @@
+"""Diagnostic: replay the corridor_raycast twin and find the first
+divergence from the composed golden (VERDICT r3 next-step #1)."""
+import gzip
+import json
+import os
+import pathlib
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from alore_legged_manipulator_tpu.config.profiles import (
+    backend_config_from_profiles, frontend_config_from_profiles,
+    load_profile, ltv_config_from_profiles, occupancy_config_from_profile,
+    reference_profile_paths)
+from alore_legged_manipulator_tpu.mission.plan_manager import (
+    PlanManagerConfig)
+from alore_legged_manipulator_tpu.runtime.planner_sim import (
+    E2EScenario, run_planner_sim)
+
+GOLDEN = pathlib.Path(__file__).resolve().parents[1] / "tests" / "golden" \
+    / "e2e_oracle" / "goldens" / "corridor_raycast.json.gz"
+
+with gzip.open(GOLDEN, "rt") as f:
+    golden = json.load(f)
+scn = E2EScenario.from_golden(golden["scenario"])
+paths = reference_profile_paths()
+car = load_profile(paths["car"])
+glob = load_profile(paths["global_planning"])
+jps = load_profile(paths["jps"])
+ltv_yaml = load_profile(paths["ltv"])
+mapsim = load_profile(paths["mapsim"])
+be = backend_config_from_profiles(car, glob, standard_diff=True)
+fe = frontend_config_from_profiles(jps, car, glob,
+                                   piece_buckets=(4, 8, 16, 24))
+ltv = ltv_config_from_profiles(ltv_yaml, car)
+occ = occupancy_config_from_profile(mapsim)
+pm_cfg = PlanManagerConfig(replan_period=scn.replan_time,
+                           max_replan_time=scn.max_replan_time,
+                           backend=be, frontend=fe, dtype=jnp.float64)
+trace = run_planner_sim(scn, pm_cfg, ltv, occ, dtype=jnp.float64)
+
+g_t = [p["t"] for p in golden["plans"]]
+t_t = [p["t"] for p in trace.plans]
+print("golden plans:", len(g_t), " twin plans:", len(t_t))
+for i in range(max(len(g_t), len(t_t))):
+    gt = g_t[i] if i < len(g_t) else None
+    tt = t_t[i] if i < len(t_t) else None
+    mark = ""
+    if gt is None or tt is None or abs(gt - tt) > 1e-9:
+        mark = "   <<<< DIVERGE"
+    print(f"{i:3d}  golden {gt}  twin {tt}{mark}")
+    if mark and i > 0:
+        break
+
+# around the divergence: compare the start states / inner points of the
+# preceding plans
+i0 = None
+for i in range(min(len(g_t), len(t_t))):
+    if abs(g_t[i] - t_t[i]) > 1e-9:
+        i0 = i
+        break
+if i0 is None:
+    i0 = min(len(g_t), len(t_t)) - 1
+for i in range(max(0, i0 - 3), i0):
+    gp, tp = golden["plans"][i], trace.plans[i]
+    gs = np.array(gp["start_xyt"]); ts = np.array(tp["start_xyt"])
+    gi = np.array(gp["inner"]); ti = np.array(tp["inner"])
+    print(f"plan {i} t={gp['t']:.3f}  d_start={np.abs(gs-ts).max():.3e}"
+          f"  d_inner={np.abs(gi.flatten()[:ti.size]-ti.flatten()[:gi.size]).max() if gi.size==ti.size else 'shape'}"
+          f"  g_np={len(gp['t_pts'])} t_np={tp['n_pieces']}"
+          f"  g_dur={sum(gp['t_pts']):.4f} t_dur={tp['duration']:.4f}")
+print("\nFSM edges twin:", [(round(t, 3), s.name) for t, s in trace.states])
+print("FSM edges golden:", golden["states"][:20])

@@ -1,0 +1,118 @@
+"""Pallas wavefront kernel parity vs the XLA scan implementation.
+
+ops/wavefront_pallas.py claims bit-identical fields to
+ops/wavefront.py::octile_distance_field(impl="xla"); this asserts it on
+the CPU test mesh (interpreter mode — the same kernel program the TPU
+compiles with Mosaic), including the vmapped fleet shape and the
+blocked/disconnected-goal cases.  The compiled Mosaic path itself is
+exercised on the real chip by tests marked `tpu` (see
+test_pallas_field_on_tpu below) and by the production fleet program
+whose frontend_mode defaults to the pallas field on TPU backends
+(runtime/mission_fleet.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.ops.wavefront import (
+    _BIG, extract_path, octile_distance_field)
+from alore_legged_manipulator_tpu.ops.wavefront_pallas import (
+    octile_distance_field_pallas)
+
+
+def _grid(seed=0, shape=(48, 56), p=0.25):
+    rng = np.random.default_rng(seed)
+    g = rng.random(shape) < p
+    return jnp.asarray(g)
+
+
+def test_field_bit_identical_open_grid():
+    blocked = jnp.zeros((40, 40), bool)
+    goal = jnp.asarray([7, 31], jnp.int32)
+    ref = octile_distance_field(blocked, goal, impl="xla")
+    ker = octile_distance_field_pallas(blocked, goal)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(ker))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_field_bit_identical_random_obstacles(seed):
+    blocked = _grid(seed)
+    goal = jnp.asarray([3, 4], jnp.int32)
+    # goal must be free for a meaningful field; force it
+    blocked = blocked.at[3, 4].set(False)
+    ref = octile_distance_field(blocked, goal, impl="xla")
+    ker = octile_distance_field_pallas(blocked, goal)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(ker))
+    # diagonal corner rule actually matters on these grids: assert the
+    # field is not the trivial unblocked octile metric
+    assert (np.asarray(ref) >= _BIG).sum() > blocked.sum()
+
+
+def test_field_blocked_goal_all_big():
+    blocked = _grid(5)
+    blocked = blocked.at[10, 10].set(True)
+    goal = jnp.asarray([10, 10], jnp.int32)
+    ker = octile_distance_field_pallas(blocked, goal)
+    assert bool(jnp.all(ker >= _BIG))
+
+
+def test_field_disconnected_region():
+    blocked = jnp.zeros((32, 32), bool)
+    blocked = blocked.at[:, 16].set(True)        # full wall
+    goal = jnp.asarray([5, 25], jnp.int32)
+    ref = octile_distance_field(blocked, goal, impl="xla")
+    ker = octile_distance_field_pallas(blocked, goal)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(ker))
+    assert bool(jnp.all(ker[:, :16] >= _BIG))    # left side unreachable
+
+
+def test_vmapped_fleet_matches_xla():
+    B = 6
+    grids = jnp.stack([_grid(s).at[2, 2].set(False) for s in range(B)])
+    goals = jnp.tile(jnp.asarray([2, 2], jnp.int32), (B, 1))
+    ref = jax.vmap(lambda g, c: octile_distance_field(g, c, impl="xla"))(
+        grids, goals)
+    ker = jax.vmap(octile_distance_field_pallas)(grids, goals)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(ker))
+
+
+def test_dispatch_impl_pallas_off_tpu_interprets():
+    """ADVICE r3: impl='pallas' off-TPU must run (interpreter mode), not
+    fail at Mosaic compile time."""
+    blocked = jnp.zeros((24, 24), bool)
+    goal = jnp.asarray([1, 1], jnp.int32)
+    out = octile_distance_field(blocked, goal, impl="pallas")
+    ref = octile_distance_field(blocked, goal, impl="xla")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_dispatch_rejects_unknown_impl():
+    blocked = jnp.zeros((8, 8), bool)
+    goal = jnp.asarray([1, 1], jnp.int32)
+    with pytest.raises(ValueError):
+        octile_distance_field(blocked, goal, impl="palas")
+
+
+def test_extracted_path_agrees_between_impls():
+    blocked = _grid(7).at[1, 1].set(False).at[40, 50].set(False)
+    goal = jnp.asarray([40, 50], jnp.int32)
+    f_x = octile_distance_field(blocked, goal, impl="xla")
+    f_p = octile_distance_field_pallas(blocked, goal)
+    c1, v1 = extract_path(f_x, blocked, jnp.asarray([1, 1]), 256)
+    c2, v2 = extract_path(f_p, blocked, jnp.asarray([1, 1]), 256)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+@pytest.mark.tpu
+def test_pallas_field_on_tpu():
+    """Compiled Mosaic path on the real chip (run with JAX_PLATFORMS
+    unset / tpu selected; skipped on the CPU test mesh)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs the real TPU backend")
+    blocked = _grid(3).at[2, 2].set(False)
+    goal = jnp.asarray([2, 2], jnp.int32)
+    ker = octile_distance_field_pallas(blocked, goal, interpret=False)
+    ref = octile_distance_field(blocked, goal, impl="xla")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(ker))
