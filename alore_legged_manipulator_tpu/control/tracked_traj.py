@@ -100,22 +100,30 @@ def astate(tt: TrackedTraj, t):
     return poly.eval_traj(tt.traj, jnp.clip(t, 0.0, tt.duration), 2)
 
 
-def ref_points(tt: TrackedTraj, t_now, n_samples: int, dt, yaw_est):
+def ref_points(tt: TrackedTraj, t_now, n_samples: int, dt, yaw_est,
+               wheel_icr: ICRParams = None):
     """Reference states (3, N+1) and inputs (2, N+1) for one NMPC tick.
 
     Mirrors getRefPoints (mpc.cpp:432-461): samples t_now+dt ... t_now+
     (N+1)*dt; beyond the trajectory end holds the final pose with zero
     wheel speeds.  Yaw is wrapped then unwrapped against yaw_est
     (smooth_yaw, mpc.cpp:248-277).
+
+    wheel_icr: ICR used for the wheel-speed references.  The reference
+    node computes them from its LIVE EKF ICR estimate (car_icr_, fed by
+    ICRCallback mpc.cpp:123-127), not from the trajectory's Polynome
+    ICR -- pass the current estimate in the composed loop.  Defaults to
+    the trajectory ICR (the standalone/parity configuration).
     """
+    icr_w = tt.icr if wheel_icr is None else wheel_icr
     ts = t_now + dt * jnp.arange(1, n_samples + 2, dtype=tt.seq.dtype)
     inside = ts <= tt.duration
     tq = jnp.clip(ts, 0.0, tt.duration)
 
     states = jax.vmap(lambda t: pstate(tt, t))(tq)       # (N+1, 3)
     vels = jax.vmap(lambda t: vstate(tt, t))(tq)         # (N+1, 2)
-    vl = vels[:, 1] - vels[:, 0] * tt.icr.yl
-    vr = vels[:, 1] - vels[:, 0] * tt.icr.yr
+    vl = vels[:, 1] - vels[:, 0] * icr_w.yl
+    vr = vels[:, 1] - vels[:, 0] * icr_w.yr
     vl = jnp.where(inside, vl, 0.0)
     vr = jnp.where(inside, vr, 0.0)
 

@@ -513,6 +513,7 @@ def correct_missed_legs(result: MissionFleetResult, targets,
     de = np.array(r.delivered)
     te = np.array(r.track_err_max)
     co = np.array(r.collision)
+    pt = np.array(r.push_traj)
     err2_np = np.asarray(err2)[:M]
     # the object physically ends at the CORRECTED pose: report the
     # corrected error unconditionally for missed lanes, matching the
@@ -522,27 +523,76 @@ def correct_missed_legs(result: MissionFleetResult, targets,
     te[lanes[:, 0], lanes[:, 1]] = np.maximum(
         te[lanes[:, 0], lanes[:, 1]], np.asarray(tmax2)[:M])
     co[lanes[:, 0], lanes[:, 1]] |= np.asarray(coll2)[:M]
+    # the trace's FINAL sample moves to the corrected pose (corrections
+    # are otherwise untraced) so `push_traj[..., -1, :]` always reads
+    # "where the object physically is" -- which is what an ITERATED
+    # correction round must start from
+    pt[lanes[:, 0], lanes[:, 1], -1, :] = np.asarray(obj2)[:M]
 
     out = r._replace(object_err=jnp.asarray(oe), delivered=jnp.asarray(de),
                      track_err_max=jnp.asarray(te),
-                     collision=jnp.asarray(co))
+                     collision=jnp.asarray(co), push_traj=jnp.asarray(pt))
     if not batched:
         out = jax.tree.map(lambda a: a[0], out)
     return out, M
 
 
+def correct_until_delivered(result: MissionFleetResult, targets,
+                            esdf: ESDF, true_icr: ICRParams,
+                            cfg: MissionFleetConfig, correction_ticks: int,
+                            max_rounds: int = 3, seed: int = 0):
+    """Iterate host-re-dispatch correction rounds until every leg
+    delivers or `max_rounds` is exhausted -- the reference FSM's
+    replan-until-within-tolerance loop (b2z1_object_fsm.py:752-822
+    OBJECT_TRACKING re-entry; plan_manager.hpp:556-712 REPLAN), whose
+    headline run finishes 32/32 objects with zero failures
+    (README.md:28).
+
+    Each round gathers ONLY the still-missed lanes (compacted, padded),
+    replans from the object's CURRENT pose (the previous round's
+    corrected final), and uses fresh tracking seeds so a marginal
+    failure is not replayed verbatim.  Returns
+    (result, miss_counts): miss_counts[i] is the number of legs that
+    ran a correction in round i -- feed it to mission_seconds_exact for
+    honest per-miss billing.
+    """
+    import numpy as np
+
+    miss_counts = []
+    for rnd in range(max_rounds):
+        n_missed = int((~np.asarray(result.delivered)).sum())
+        if n_missed == 0:
+            break
+        result, m = correct_missed_legs(
+            result, targets, esdf, true_icr, cfg, correction_ticks,
+            seed=seed + 50_000 * (rnd + 1))
+        miss_counts.append(m)
+    return result, miss_counts
+
+
 def mission_seconds_exact(result: MissionFleetResult,
                           cfg: MissionFleetConfig,
-                          correction_ticks: int) -> float:
+                          correction_ticks: int,
+                          miss_counts=None) -> float:
     """Simulated seconds for a fleet that used correct_missed_legs:
     base phases for every leg + correction ticks only where a leg
-    actually missed the main budget."""
+    actually ran a correction.
+
+    miss_counts: per-round correction counts from
+    correct_until_delivered (each round bills its own misses).  When
+    None, `result` must be the PRE-correction fleet result and one
+    round is billed per pre-correction miss (the single-round legacy
+    form)."""
     de = result.delivered
     n_legs = int(de.size)
-    n_missed = int((~de).sum())
+    if miss_counts is None:
+        n_corrections = int((~de).sum())
+    else:
+        n_corrections = int(sum(miss_counts))
     base = ((cfg.approach_ticks + cfg.grasp_ticks + cfg.release_ticks)
             * cfg.fsm.fsm_dt + cfg.push_ticks * cfg.loop.nmpc.dt)
-    return base * n_legs + correction_ticks * cfg.loop.nmpc.dt * n_missed
+    return (base * n_legs
+            + correction_ticks * cfg.loop.nmpc.dt * n_corrections)
 
 
 def mission_seconds(cfg: MissionFleetConfig, n_objects: int) -> float:

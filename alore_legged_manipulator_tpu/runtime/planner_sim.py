@@ -51,7 +51,7 @@ import numpy as np
 
 from ..control.ltv_mpc import LtvMpcConfig, ltv_mpc_init, ltv_mpc_tick
 from ..control.tracked_traj import (build_tracked_traj, ltv_ref_points,
-                                    pad_tracked_traj)
+                                    pad_tracked_traj, ref_points)
 from ..estimator.icr_ekf import EkfConfig, ekf_init, ekf_predict, ekf_update
 from ..mission.plan_manager import PlanManager, PlanManagerConfig, PlanState
 from ..utils.angles import normalize_angle
@@ -112,6 +112,14 @@ class E2ETrace:
     ekf: np.ndarray      # (M, 7) t, x, y, psi, yr, yl, xv (100 Hz publish)
     plans: list          # dicts: t, traj_start, n_pieces, duration, ...
     states: list         # (t, PlanState) FSM edges
+    # every 1 kHz gate firing that ATTEMPTED a plan (successful or not).
+    # The gate compares accumulated f64 clocks -- pure, FP-portable
+    # arithmetic -- so attempt times pin the MainThread cadence
+    # bit-for-bit even when an individual backend solve legitimately
+    # fails (collision after the anneal loop; the reference keeps the
+    # old trajectory and retries at the next due tick, MainThread
+    # :676-679 -- so a failed attempt shifts nothing).
+    attempts: list = dataclasses.field(default_factory=list)
 
 
 class _LtvNode:
@@ -189,11 +197,123 @@ class _LtvNode:
         return (float(cmd[0]), float(cmd[1]))
 
 
+class _NmpcNode:
+    """nmpc_controller node twin (the real-robot ACADO RTI tracker,
+    nmpc_controller/src/mpc.cpp CmdCallback :173-240 + run :296-350).
+
+    Publishes WHEEL speeds (v_r, v_l) = predicted u[:, delay_num];
+    consumes the live EKF ICR estimate both for the wheel-speed
+    references (getRefPoints :442-443) and as the solver's OnlineData
+    (run :305-310).  The trajectory flow integrates with the Polynome's
+    ICR xv -- zero under if_standard_diff, because MPCPathPub only
+    fills the ICR field in the non-standard branch
+    (plan_manager.hpp:824-828)."""
+
+    PIECE_CAPACITY = 32
+
+    def __init__(self, cfg, dtype):
+        from ..control.nmpc import NmpcConfig, nmpc_init
+        self.cfg = cfg if cfg is not None else NmpcConfig()
+        self.dtype = dtype
+        self.carry = None            # solve_from_scratch_: est-replicated
+        self.tracked = None
+        self.duration = 0.0
+        self.start_time = -1.0
+        self.new_tracked = None
+        self.new_start = -1.0
+        self.receive_traj = False
+        self.at_goal = False
+        self.last_u = np.zeros(2)    # (vr, vl) of the latest solve
+        self._jit = {}
+        self._nmpc_init = nmpc_init
+
+    def receive(self, msg):
+        # under if_standard_diff the reference Polynome's ICR field is
+        # never filled (MPCPathPub plan_manager.hpp:824-828), so the
+        # TrajAnal flow integrates with xv = 0; our manager always
+        # stamps its configured ICR -- zero it here to match the wire
+        # contract (this twin composes the standard-diff launch)
+        flow_msg = msg._replace(icr=jnp.zeros_like(msg.icr))
+        n = msg.piece_times.shape[0]
+        key = ("build", n)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(lambda m: pad_tracked_traj(
+                build_tracked_traj(m, n_grid=1024), self.PIECE_CAPACITY))
+        self.new_tracked = self._jit[key](flow_msg)
+        self.new_start = float(msg.traj_start_time)
+        self.receive_traj = True
+        self.at_goal = False
+
+    def _tick_fn(self):
+        if "tick" not in self._jit:
+            cfg = self.cfg
+
+            @jax.jit
+            def fn(carry, tt, t_cur, est_pose, icr_vec):
+                from ..control.nmpc import nmpc_rti_step
+                from ..core.dynamics import ICRParams
+                icr = ICRParams(yr=icr_vec[0], yl=icr_vec[1],
+                                xv=icr_vec[2])
+                ref_x, ref_u = ref_points(tt, t_cur, cfg.horizon, cfg.dt,
+                                          est_pose[2], wheel_icr=icr)
+                carry2, u_cmd, _, _ = nmpc_rti_step(carry, est_pose,
+                                                    ref_x, ref_u, icr,
+                                                    cfg)
+                return carry2, u_cmd
+
+            self._jit["tick"] = fn
+        return self._jit["tick"]
+
+    def tick(self, t: float, est_pose, est_icr):
+        """One CmdCallback.  Returns None (no odom/traj yet), or
+        ("wheels", (vr, vl)), or ("at_goal", (vr, vl) stale) -- the
+        at_goal branch also zeroes (v, omega) through the CarState
+        path (:186-206)."""
+        if not self.receive_traj and self.tracked is None:
+            return None
+        if self.new_tracked is not None and t > self.new_start:
+            self.tracked = self.new_tracked
+            self.duration = float(self.tracked.duration)
+            self.start_time = self.new_start
+            self.new_tracked = None
+        if self.tracked is None:
+            return None
+        if self.at_goal:
+            self.receive_traj = False
+            self.tracked = None
+            self.start_time = -1.0
+            return ("at_goal", (float(self.last_u[0]),
+                                float(self.last_u[1])))
+        t_cur = t - self.start_time
+        # getRefPoints sets the flag THIS tick; the zero-command branch
+        # runs on the NEXT tick (:186, :427-433)
+        self.at_goal = t_cur > self.duration + 1.0
+        if self.carry is None:
+            # solve_from_scratch_ (run :313-317): states reset to the
+            # estimate, inputs to zero
+            self.carry = self._nmpc_init(
+                self.cfg, jnp.asarray(est_pose, self.dtype), self.dtype)
+        fn = self._tick_fn()
+        self.carry, u_cmd = fn(self.carry, self.tracked,
+                               jnp.asarray(t_cur, self.dtype),
+                               jnp.asarray(est_pose, self.dtype),
+                               jnp.asarray(est_icr, self.dtype))
+        self.last_u = np.asarray(u_cmd, float)
+        return ("wheels", (float(self.last_u[0]), float(self.last_u[1])))
+
+
 def run_planner_sim(scn: E2EScenario, pm_cfg: PlanManagerConfig,
                     ltv_cfg: LtvMpcConfig,
                     occ_cfg: OccupancyConfig = OccupancyConfig(),
-                    dtype=jnp.float32) -> E2ETrace:
-    """Run the composed closed loop for scn.sim_T seconds."""
+                    dtype=jnp.float32, tracker: str = "ltv",
+                    nmpc_cfg=None) -> E2ETrace:
+    """Run the composed closed loop for scn.sim_T seconds.
+
+    tracker: "ltv" composes the planner_sim.launch graph (LTV
+    mpc_controller over the CarState instant-adoption path); "nmpc"
+    composes the real-robot tracker (ACADO-RTI nmpc_controller over the
+    CarControl wheel path: desired-velocity rate-limited plant with the
+    live ICR lateral term, simulator.h:234-274)."""
     nx, ny = scn.grid.shape
     true_grid = scn.grid.copy()
     lower = np.asarray(scn.lower, float)
@@ -247,6 +367,17 @@ def run_planner_sim(scn: E2EScenario, pm_cfg: PlanManagerConfig,
     px, py, pth = scn.start
     pv = pw = 0.0
     max_a_lim, max_w_lim = 2.0 * 0.01, 4.0 * 0.01   # quirk: publish interval
+    # ControlSub path state (the NMPC composition): desired (v, omega)
+    # and the lateral vy term, set per wheel command through the TRUE
+    # ICR geometry (ControlSubCallback, simulator.h:234-242)
+    des_v = des_w = vy_cur = 0.0
+    yr_t, yl_t, xv_t = E2E_TRUE_ICR
+
+    def wheels_to_desired(vr, vl):
+        dw = (vr - vl) / (yl_t - yr_t)
+        dv = (vl + vr) / 2.0 - dw * (yl_t + yr_t) / 2.0
+        vy = -dw * xv_t
+        return dv, dw, vy
 
     # --- EKF node state (cold start at the origin, icrekf.h:171-176)
     ekf = ekf_init(np.zeros(3), np.asarray(E2E_EKF_ICR_INIT), E2E_EKF_CONFIG,
@@ -261,10 +392,17 @@ def run_planner_sim(scn: E2EScenario, pm_cfg: PlanManagerConfig,
     est_pub = None        # last published (wrapped-yaw) estimate
 
     # --- MPC node
-    mpc = _LtvNode(ltv_cfg, dtype)
+    if tracker == "nmpc":
+        mpc = _NmpcNode(nmpc_cfg, dtype)
+    elif tracker == "ltv":
+        mpc = _LtvNode(ltv_cfg, dtype)
+    else:
+        raise ValueError(f"tracker must be 'ltv' or 'nmpc': {tracker!r}")
+    est_icr = None
 
     map_dirty = False
     poses, cmds, ekf_rows, plans, states = [], [], [], [], []
+    attempts = []
     last_state = None
     obs_added = scn.obs_t < 0
     n_steps = int(round(scn.sim_T * 1000))
@@ -331,6 +469,8 @@ def run_planner_sim(scn: E2EScenario, pm_cfg: PlanManagerConfig,
         # the gate is "first EKF publish received"
         if est_pub is not None:
             msg = pm.tick(t, est_pub)
+            if pm.last_loop_time == t:        # gate fired (plan attempted)
+                attempts.append(t)
             if msg is not None:
                 plans.append(dict(
                     t=t, traj_start=float(msg.traj_start_time),
@@ -343,13 +483,27 @@ def run_planner_sim(scn: E2EScenario, pm_cfg: PlanManagerConfig,
             last_state = pm.state
             states.append((t, pm.state))
 
-        # --- 500 Hz plant propagation (decay toward desired = 0)
+        # --- 500 Hz plant propagation.  LTV composition: decay toward
+        # desired = 0 (ControlSub never fed).  NMPC composition:
+        # rate-limited tracking of the wheel-command desired + the
+        # lateral vy term at the NEW theta (StatePropaCallback,
+        # simulator.h:246-270; per-step limit uses the POSE PUBLISH
+        # interval 0.01, not the 2 ms propagation dt)
         if k % 2 == 0:
-            pv = 0.0 if abs(pv) < max_a_lim else pv - max_a_lim * np.sign(pv)
-            pw = 0.0 if abs(pw) < max_w_lim else pw - max_w_lim * np.sign(pw)
+            if abs(pv - des_v) < max_a_lim:
+                pv = des_v
+            else:
+                pv += max_a_lim * np.sign(des_v - pv)
+            if abs(pw - des_w) < max_w_lim:
+                pw = des_w
+            else:
+                pw += max_w_lim * np.sign(des_w - pw)
             px += pv * 2e-3 * np.cos(pth)
             py += pv * 2e-3 * np.sin(pth)
             pth += pw * 2e-3
+            if tracker == "nmpc":
+                px -= vy_cur * 2e-3 * np.sin(pth)
+                py += vy_cur * 2e-3 * np.cos(pth)
 
         # --- 100 Hz wheel feedback -> EKF predict (ControlSubCallback)
         if k % 10 == 0:
@@ -376,18 +530,34 @@ def run_planner_sim(scn: E2EScenario, pm_cfg: PlanManagerConfig,
             else:
                 ekf = update_jit(ekf, jnp.asarray(pose_obs, dtype))
 
-        # --- 100 Hz MPC tick; command applied instantly (PoseSub path)
+        # --- 100 Hz MPC tick
         if k % 10 == 0 and est_pub is not None:
-            cmd = mpc.tick(t, est_pub)
-            if cmd is not None:
-                pv, pw = cmd
-                cmds.append([t, cmd[0], cmd[1]])
+            if tracker == "nmpc":
+                # CarControl wheel path: desired-velocity adoption
+                # (ControlSubCallback); the at_goal branch additionally
+                # zeroes (v, omega) instantly through the CarState
+                # PoseSub path before the stale wheel publish
+                out = mpc.tick(t, est_pub, est_icr)
+                if out is not None:
+                    kind, (vr, vl) = out
+                    if kind == "at_goal":
+                        pv = pw = 0.0           # PoseSub instant zero
+                    des_v, des_w, vy_cur = wheels_to_desired(vr, vl)
+                    cmds.append([t, vr, vl])
+            else:
+                # CarState path: command applied instantly (PoseSub)
+                cmd = mpc.tick(t, est_pub)
+                if cmd is not None:
+                    pv, pw = cmd
+                    cmds.append([t, cmd[0], cmd[1]])
 
-        # --- 100 Hz EKF publish (timer registered last)
+        # --- 100 Hz EKF publish (timer registered last); the ICR
+        # estimate rides along on EKF_ICR (state_pub_timer_callback)
         if k % 10 == 0:
             x = np.asarray(ekf.x, float)
             est_pub = np.array([x[0], x[1],
                                 float(normalize_angle(x[2]))])
+            est_icr = np.array([x[3], x[4], x[5]])
             ekf_rows.append([t, x[0], x[1], x[2], x[3], x[4], x[5]])
 
         # --- 100 Hz ESDF refresh (after all timers; the re-enabled
@@ -401,4 +571,5 @@ def run_planner_sim(scn: E2EScenario, pm_cfg: PlanManagerConfig,
             poses.append([t, px, py, pth, pv, pw])
 
     return E2ETrace(poses=np.asarray(poses), cmds=np.asarray(cmds),
-                    ekf=np.asarray(ekf_rows), plans=plans, states=states)
+                    ekf=np.asarray(ekf_rows), plans=plans, states=states,
+                    attempts=attempts)

@@ -1,0 +1,66 @@
+#!/bin/bash
+# Build the COMPOSED NMPC-tracker golden oracle (see harness_nmpc.cpp):
+# harness.cpp's planner/EKF/simulator composition with the reference's
+# ACADO RTI nmpc_controller (generated solver + vendored qpOASES) as the
+# tracking controller, compiled read-only from /root/reference.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=/root/reference/planning_ddr_opt
+NMPC=$REF/nmpc_controller
+CG=$NMPC/UAV_CAR_model/build/quadrotor_mpc_codegen
+QP=$NMPC/externals/qpoases
+EIGEN=$(python - <<'PY'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+
+BUILD=build_nmpc_obj
+mkdir -p $BUILD
+
+# --- ACADO generated C (single precision RTI) ---
+for src in acado_solver acado_integrator acado_auxiliary_functions; do
+    if [ ! -f $BUILD/$src.o ] || [ $CG/$src.c -nt $BUILD/$src.o ]; then
+        gcc -O2 -w -c -I "$CG" "$CG/$src.c" -o $BUILD/$src.o
+    fi
+done
+
+# --- qpOASES (vendored; the sources the reference CMakeLists builds) ---
+# (qpOASES' Constants.hpp includes the ACADO interface header -> -I $CG)
+for src in Bounds Constraints CyclingManager Indexlist MessageHandling \
+           QProblem QProblemB SubjectTo Utils; do
+    if [ ! -f $BUILD/$src.o ] || [ $QP/SRC/$src.cpp -nt $BUILD/$src.o ]; then
+        g++ -O2 -std=c++14 -w -c -I "$CG" -I "$QP/INCLUDE" -I "$QP/SRC" \
+            "$QP/SRC/$src.cpp" -o $BUILD/$src.o
+    fi
+done
+if [ ! -f $BUILD/SolutionAnalysis.o ]; then
+    g++ -O2 -std=c++14 -w -c -I "$CG" -I "$QP/INCLUDE" -I "$QP/SRC" \
+        "$QP/SRC/EXTRAS/SolutionAnalysis.cpp" -o $BUILD/SolutionAnalysis.o
+fi
+if [ ! -f $BUILD/acado_qpoases_interface.o ]; then
+    g++ -O2 -std=c++14 -w -c -I "$CG" -I "$QP" -I "$QP/INCLUDE" \
+        -I "$QP/SRC" "$CG/acado_qpoases_interface.cpp" \
+        -o $BUILD/acado_qpoases_interface.o
+fi
+
+g++ -O2 -std=c++14 -w \
+    -I stub \
+    -I "$EIGEN" \
+    -I "$REF/utils/plan_env/include" \
+    -I "$REF/utils/plan_env/src" \
+    -I "$REF/utils/simulator/include" \
+    -I "$REF/icrekf/include" \
+    -I "$REF/icrekf/src" \
+    -I "$NMPC/include" \
+    -I "$NMPC/include/nmpc_controller" \
+    -I "$NMPC/src" \
+    -I "$CG" \
+    -I "$REF/front_end/include" \
+    -I "$REF/front_end/src" \
+    -I "$REF/back_end/include" \
+    -I "$REF/back_end/src" \
+    -I "$REF/plan_manager/include" \
+    harness_nmpc.cpp $BUILD/*.o -o e2e_oracle_nmpc -lpthread
+echo "built $(pwd)/e2e_oracle_nmpc"

@@ -71,10 +71,11 @@ def parse_log(text: str) -> dict:
                 states=states)
 
 
-def record(name: str) -> None:
+def record(name: str, oracle: str = "e2e_oracle",
+           prefix: str = "") -> None:
     sc = sc_mod.make(name)
     proc = subprocess.run(
-        [str(HERE / "e2e_oracle")], input=sc_mod.to_stdin(sc),
+        [str(HERE / oracle)], input=sc_mod.to_stdin(sc),
         capture_output=True, text=True, timeout=600)
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-2000:])
@@ -90,16 +91,25 @@ def record(name: str) -> None:
         replan_time=sc.replan_time, max_replan_time=sc.max_replan_time,
         obs_t=sc.obs_t, obs_cells=list(sc.obs_cells),
         laser_mode=sc.laser_mode, n_beams=sc.n_beams)
-    out = HERE / "goldens" / f"{name}.json.gz"
+    out = HERE / "goldens" / f"{prefix}{name}.json.gz"
     out.parent.mkdir(exist_ok=True)
     with gzip.open(out, "wt") as f:
         json.dump(golden, f)
-    print(f"{name}: {len(golden['plans'])} plans, "
+    print(f"{prefix}{name}: {len(golden['plans'])} plans, "
           f"{len(golden['poses'])} poses -> {out} "
           f"({out.stat().st_size // 1024} KiB)")
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["corridor", "popup", "corridor_raycast"]
+    # --nmpc: record through the NMPC-tracker composition
+    # (harness_nmpc.cpp / build_nmpc.sh) into goldens/nmpc_<name>.json.gz
+    args = sys.argv[1:]
+    nmpc = "--nmpc" in args
+    names = [a for a in args if not a.startswith("--")]
+    names = names or (["corridor", "popup"] if nmpc
+                      else ["corridor", "popup", "corridor_raycast"])
     for name in names:
-        record(name)
+        if nmpc:
+            record(name, oracle="e2e_oracle_nmpc", prefix="nmpc_")
+        else:
+            record(name)

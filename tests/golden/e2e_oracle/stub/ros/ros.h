@@ -374,5 +374,9 @@ class NodeHandle {
 #define ROS_INFO_STREAM(expr) ORACLE_LOG_STREAM(expr)
 #define ROS_WARN_STREAM(expr) ORACLE_LOG_STREAM(expr)
 #define ROS_ERROR_STREAM(expr) ORACLE_LOG_STREAM(expr)
+// throttled variants: first arg is the period -- drop it, log as normal
+#define ROS_INFO_THROTTLE(period, ...) ORACLE_LOG_PRINTF(__VA_ARGS__)
+#define ROS_WARN_THROTTLE(period, ...) ORACLE_LOG_PRINTF(__VA_ARGS__)
+#define ROS_ERROR_THROTTLE(period, ...) ORACLE_LOG_PRINTF(__VA_ARGS__)
 
 #endif  // E2E_ORACLE_ROS_STUB_H
