@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core.poly import PolyTraj
@@ -204,6 +205,11 @@ def minco_coeffs(head, tail, inner, times):
     if n - 1 >= CR_MIN_JOINTS:
         # horizon-parallel path: block cyclic reduction, O(log N) depth
         u = solve_block_tridiag_cr(D, L, U, rhs)     # (m, 2, 2)
+    elif SMALL_N_SOLVER == "thomas_scan":
+        # latency-profile override (see set_small_n_solver below)
+        u = solve_block_tridiag_thomas_scan(D, L, U, rhs)
+    elif SMALL_N_SOLVER == "cr":
+        u = solve_block_tridiag_cr(D, L, U, rhs)
     else:
         # small-N path: dense solve of the reduced 2m x 2m system.
         # MEASURED VERDICT (round 3, v5e): an unrolled block-Thomas
@@ -301,6 +307,25 @@ def _reduced_system(head, tail, inner, times):
 # sequential pivot steps once m is non-trivial)
 CR_MIN_JOINTS = 16
 
+# small-N (m < CR_MIN_JOINTS) solver profile: "lu" (default; best fleet
+# throughput, ROOFLINE.md opt 4 + negative results 7/9), "thomas_scan"
+# (lax.scan block Thomas; latency profile) or "cr".  A TRACE-TIME
+# switch: flip it before jitting the program that should use it (the
+# latency-critical B=1 replan loop), never mid-session for cached jits.
+SMALL_N_SOLVER = "lu"
+
+
+def set_small_n_solver(mode: str):
+    """Select the small-N spline solve used by subsequently TRACED
+    programs.  Returns the previous mode (restore it after compiling a
+    latency-profile program)."""
+    global SMALL_N_SOLVER
+    if mode not in ("lu", "thomas_scan", "cr"):
+        raise ValueError(f"unknown small-N solver {mode!r}")
+    prev = SMALL_N_SOLVER
+    SMALL_N_SOLVER = mode
+    return prev
+
 
 def _reduced_blocks(head, tail, inner, times):
     """The jerk/snap continuity system in block-tridiagonal form.
@@ -395,6 +420,45 @@ def solve_block_tridiag_thomas(D, L, U, b):
     for i in range(m - 2, -1, -1):
         xs[i] = _inv2(Dp[i]) @ (bp[i] - U[i] @ xs[i + 1])
     return jnp.stack(xs, 0)
+
+
+def solve_block_tridiag_thomas_scan(D, L, U, b):
+    """lax.scan block Thomas elimination (no pivoting).
+
+    Same math as solve_block_tridiag_thomas, but the forward
+    elimination and back substitution are `lax.scan`s instead of an
+    unrolled Python loop -- the HLO body is CONSTANT-SIZE regardless of
+    m, which is what killed the unrolled variant inside the flat-BFGS
+    while_loop (ROOFLINE.md negative result 7: the ~4m-step unrolled
+    chain bloated the loop body re-executed every trip).  Aimed at the
+    B=1 latency-critical program where jnp.linalg.solve's 2m pivoted
+    dynamic-slice steps dominate; measure END TO END before changing
+    any default (the fleet-throughput default stays dense LU).
+    """
+    def fwd(carry, blk):
+        Dp_prev, bp_prev = carry
+        Di, Li, Ui_prev, bi = blk
+        W = Li @ _inv2(Dp_prev)
+        Dp = Di - W @ Ui_prev
+        bp = bi - W @ bp_prev
+        return (Dp, bp), (Dp, bp)
+
+    U_prev = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], 0)
+    (_, _), (Dps, bps) = jax.lax.scan(
+        fwd, (D[0], b[0]), (D[1:], L[1:], U_prev[1:], b[1:]))
+    Dps = jnp.concatenate([D[0][None], Dps], 0)
+    bps = jnp.concatenate([b[0][None], bps], 0)
+
+    x_last = _inv2(Dps[-1]) @ bps[-1]
+
+    def bwd(x_next, blk):
+        Dpi, bpi, Ui = blk
+        xi = _inv2(Dpi) @ (bpi - Ui @ x_next)
+        return xi, xi
+
+    _, xs_rev = jax.lax.scan(
+        bwd, x_last, (Dps[:-1][::-1], bps[:-1][::-1], U[:-1][::-1]))
+    return jnp.concatenate([xs_rev[::-1], x_last[None]], 0)
 
 
 def solve_block_tridiag_cr(D, L, U, b):

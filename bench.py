@@ -151,8 +151,19 @@ def bench_backend():
 
     # on-chip single-plan latency: chain K dependent plans inside one
     # jit (the tunneled dev TPU's ~25 ms dispatch floor would otherwise
-    # dominate a single-plan call; it does not exist on attached HW)
+    # dominate a single-plan call; it does not exist on attached HW).
+    # The latency-critical B=1 program compiles with the CYCLIC-
+    # REDUCTION spline profile: CR's log-depth solve has fewer
+    # dependent kernel segments than the pivoted LU and wins ~10 ms at
+    # B=1 (measured p50 38.0 / p99 40.1 ms quiet, 38.3 / 40.8 under a
+    # 4-core host load), while the fleet program above keeps dense LU,
+    # which amortizes better across the batch (ROOFLINE.md round 4:
+    # per-program profile, revisiting negative result 9's global
+    # switch).
+    from alore_legged_manipulator_tpu.solvers import minco
     K = int(os.environ.get("BENCH_BACKEND_CHAIN", "6"))
+
+    prev_solver = minco.set_small_n_solver("cr")
 
     @jax.jit
     def chained(goal):
@@ -164,7 +175,8 @@ def bench_backend():
         return jnp.sum(sums)
 
     g0 = goals[0]
-    float(chained(g0))              # compile
+    float(chained(g0))              # compile (traces the CR profile)
+    minco.set_small_n_solver(prev_solver)
     lat = []
     for _ in range(12):
         t0 = time.perf_counter()

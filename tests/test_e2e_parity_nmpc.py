@@ -1,0 +1,229 @@
+"""Composed closed-loop parity vs the compiled reference with the
+REAL-ROBOT tracker: the ACADO RTI nmpc_controller (VERDICT r3 #3).
+
+The oracle (tests/golden/e2e_oracle/harness_nmpc.cpp, built by
+build_nmpc.sh) compiles the reference's plan_manager + MSPlanner + JPS
++ SDFmap + icrekf + simulator with nmpc_controller/src/mpc.cpp +
+mpc_wrapper.cpp + the generated ACADO solver + vendored qpOASES into
+one deterministic stepped loop; goldens/nmpc_{corridor,popup}.json.gz
+hold its full event logs.
+
+The JAX twin is run_planner_sim(..., tracker="nmpc"): the same
+plan_manager/EKF/mapping composition with the _NmpcNode (control/nmpc
+matrix-free RTI) publishing wheel commands through the simulator's
+ControlSub path (desired-velocity rate limit + live ICR lateral term,
+simulator.h:234-274).
+
+What is pinned:
+  * replan-gate ATTEMPT times bit-for-bit (pure f64 clock arithmetic),
+    successful plans skip-tolerantly -- same layered scheme as
+    tests/test_e2e_parity.py
+  * swap timing exactly
+  * trajectory within the LTV bands; goal reached; no occupied cell
+  * FSM edge sequence, matched times
+  * the wheel-command stream at tolerance AFTER the solve-from-scratch
+    transient: the reference's first ticks solve a QP prepared around
+    the constructor's zero-state linearization with qpOASES hot-start
+    in single precision (mpc_wrapper.cpp:33-96, run :313-317), ours
+    prepares at the estimate-replicated guess in f64 -- both bang-bang
+    saturate +-3 with different sign patterns for ~0.3 s, then converge
+    (measured dev over t in [0.5, 2): < 0.1 wheel units)
+  * the EKF estimate stream (cold-start rows exact)
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alore_legged_manipulator_tpu.config.profiles import (
+    backend_config_from_profiles, frontend_config_from_profiles,
+    load_profile, ltv_config_from_profiles, occupancy_config_from_profile,
+    reference_profile_paths)
+from alore_legged_manipulator_tpu.mission.plan_manager import (
+    PlanManagerConfig, PlanState)
+from alore_legged_manipulator_tpu.runtime.planner_sim import (
+    E2EScenario, run_planner_sim)
+
+from test_e2e_parity import _STATE_MAP, _match_ticks
+
+pytestmark = pytest.mark.slow
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden" / "e2e_oracle" / \
+    "goldens"
+
+_RUNS = {}
+
+SCENARIOS = ["corridor", "popup"]
+
+
+def _load_golden(name):
+    with gzip.open(GOLDEN_DIR / f"nmpc_{name}.json.gz", "rt") as f:
+        return json.load(f)
+
+
+def _run(name, dtype):
+    key = (name, dtype)
+    if key not in _RUNS:
+        golden = _load_golden(name)
+        scn = E2EScenario.from_golden(golden["scenario"])
+        paths = reference_profile_paths()
+        car = load_profile(paths["car"])
+        glob = load_profile(paths["global_planning"])
+        jps = load_profile(paths["jps"])
+        ltv_yaml = load_profile(paths["ltv"])
+        mapsim = load_profile(paths["mapsim"])
+        be = backend_config_from_profiles(car, glob, standard_diff=True)
+        fe = frontend_config_from_profiles(jps, car, glob,
+                                           piece_buckets=(4, 8, 16, 24))
+        ltv = ltv_config_from_profiles(ltv_yaml, car)
+        occ = occupancy_config_from_profile(mapsim)
+        pm_cfg = PlanManagerConfig(replan_period=scn.replan_time,
+                                   max_replan_time=scn.max_replan_time,
+                                   backend=be, frontend=fe, dtype=dtype)
+        trace = run_planner_sim(scn, pm_cfg, ltv, occ, dtype=dtype,
+                                tracker="nmpc")
+        _RUNS[key] = (golden, scn, trace)
+    return _RUNS[key]
+
+
+def _n_skips(trace, golden):
+    g_t = [p["t"] for p in golden["plans"]]
+    t_t = [p["t"] for p in trace.plans]
+    matched, _, ut = _match_ticks(g_t, t_t)
+    return (len(g_t) - matched) + max(0, len(ut) - 2)
+
+
+@pytest.mark.parametrize("name", SCENARIOS)
+def test_replan_cadence_matches_reference(name):
+    golden, scn, trace = _run(name, jnp.float64)
+    g_t = [p["t"] for p in golden["plans"]]
+    t_t = [p["t"] for p in trace.plans]
+    att = np.asarray(trace.attempts)
+    assert len(g_t) >= 10
+
+    for gt in g_t:
+        assert np.min(np.abs(att - gt)) <= 1e-9, \
+            f"golden replan at {gt} has no twin gate attempt"
+
+    matched, unmatched_g, unmatched_t = _match_ticks(g_t, t_t)
+    assert matched >= len(g_t) - 3, (unmatched_g, unmatched_t)
+    assert len(unmatched_t) <= 3, unmatched_t
+
+    for side in (golden["plans"], trace.plans):
+        offs = np.array([p["traj_start"] - p["t"] for p in side])
+        assert abs(offs[0]) < 1e-9
+        np.testing.assert_allclose(offs[1:], scn.max_replan_time,
+                                   atol=1e-9)
+
+
+@pytest.mark.parametrize("name", SCENARIOS)
+def test_trajectory_parity_f64(name):
+    golden, scn, trace = _run(name, jnp.float64)
+    gp = np.array(golden["poses"])
+    tp = trace.poses
+    n = min(len(gp), len(tp))
+    np.testing.assert_allclose(gp[:n, 0], tp[:n, 0], atol=1e-9)
+    dev = np.hypot(tp[:n, 1] - gp[:n, 1], tp[:n, 2] - gp[:n, 2])
+    assert dev.mean() < 0.15, f"mean deviation {dev.mean():.3f}"
+    max_tol = 0.45 if _n_skips(trace, golden) == 0 else 0.75
+    assert dev.max() < max_tol, f"max deviation {dev.max():.3f}"
+
+    goal = np.asarray(scn.goal[:2])
+    final = trace.poses[-1, 1:3]
+    g_final = np.asarray(golden["poses"][-1][1:3])
+    assert np.hypot(*(final - goal)) < 0.15
+    assert np.hypot(*(final - g_final)) < 0.2
+
+    grid = scn.grid.copy()
+    if scn.obs_t >= 0:
+        x0, y0, x1, y1 = scn.obs_cells
+        grid[x0:x1, y0:y1] = True
+    P = trace.poses
+    ix = ((P[:, 1] - scn.lower[0]) / scn.res).astype(int).clip(
+        0, grid.shape[0] - 1)
+    iy = ((P[:, 2] - scn.lower[1]) / scn.res).astype(int).clip(
+        0, grid.shape[1] - 1)
+    after = P[:, 0] >= (scn.obs_t if scn.obs_t >= 0 else -1.0)
+    base = scn.grid[ix, iy]
+    popup_hit = grid[ix, iy] & ~base & after
+    assert base.sum() == 0
+    assert popup_hit.sum() == 0
+
+
+@pytest.mark.parametrize("name", SCENARIOS)
+def test_fsm_edges_match_reference(name):
+    golden, scn, trace = _run(name, jnp.float64)
+    g_edges = [(t, s) for t, s in golden["states"] if s in _STATE_MAP]
+    t_edges = trace.states
+    g_seq = [_STATE_MAP[s] for _, s in g_edges]
+    t_seq = [s for _, s in t_edges]
+    assert t_seq == g_seq, (t_edges, g_edges)
+    for (gt, gs), (tt_, _) in zip(g_edges, t_edges):
+        tol = 1e-6 if _STATE_MAP[gs] in (PlanState.IDLE,
+                                         PlanState.PLANNING,
+                                         PlanState.REPLAN) \
+            and gt < 1.0 else 0.6
+        assert abs(gt - tt_) <= tol, (gt, tt_, gs)
+
+
+@pytest.mark.parametrize("name", SCENARIOS)
+def test_wheel_command_stream_parity(name):
+    """The published (v_r, v_l) wheel stream agrees with the compiled
+    ACADO+qpOASES loop once past the solve-from-scratch transient (see
+    module docstring); all commands respect the +-3 wheel bounds."""
+    golden, scn, trace = _run(name, jnp.float64)
+    gc = np.array(golden["cmds"])
+    tc = trace.cmds
+    n = min(len(gc), len(tc))
+    assert n >= 100
+    np.testing.assert_allclose(tc[:n, 0], gc[:n, 0], atol=1e-9)  # times
+    assert np.abs(tc[:, 1:]).max() <= 3.0 + 1e-6
+
+    t = tc[:n, 0]
+    w = (t >= 0.5) & (t < 2.0)
+    dvr = np.abs(tc[:n, 1] - gc[:n, 1])
+    dvl = np.abs(tc[:n, 2] - gc[:n, 2])
+    assert dvr[w].max() < 0.3, dvr[w].max()
+    assert dvl[w].max() < 0.3, dvl[w].max()
+    # whole-mission stream stays within 15% of the wheel range even as
+    # the closed loops drift apart late in the run
+    assert dvr.mean() < 0.45 and dvl.mean() < 0.45
+
+
+@pytest.mark.parametrize("name", SCENARIOS)
+def test_estimator_trace_parity(name):
+    golden, scn, trace = _run(name, jnp.float64)
+    ge = np.array(golden["ekf"])
+    te = trace.ekf
+    n = min(len(ge), len(te))
+    np.testing.assert_allclose(te[:9], ge[:9], atol=1e-9)
+    dev = np.hypot(te[:n, 1] - ge[:n, 1], te[:n, 2] - ge[:n, 2])
+    assert dev[200:].max() < (0.45 if _n_skips(trace, golden) == 0
+                              else 0.75)
+    P = trace.poses
+    m = min(len(P), len(te))
+    err = np.hypot(te[:m, 1] - P[:m, 1], te[:m, 2] - P[:m, 2])
+    assert err[200:].max() < 0.12
+
+
+def test_trajectory_parity_f32():
+    """Shipped-precision twin against the f32 ACADO oracle."""
+    golden, scn, trace = _run("corridor", jnp.float32)
+    gp = np.array(golden["poses"])
+    tp = trace.poses
+    n = min(len(gp), len(tp))
+    dev = np.hypot(tp[:n, 1] - gp[:n, 1], tp[:n, 2] - gp[:n, 2])
+    assert dev.mean() < 0.2, f"mean deviation {dev.mean():.3f}"
+    assert dev.max() < 0.8, f"max deviation {dev.max():.3f}"
+    goal = np.asarray(scn.goal[:2])
+    assert np.hypot(*(trace.poses[-1, 1:3] - goal)) < 0.2
+
+    g_t = [p["t"] for p in golden["plans"]]
+    att = np.asarray(trace.attempts)
+    for gt in g_t:
+        assert np.min(np.abs(att - gt)) <= 1e-9

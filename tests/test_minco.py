@@ -223,3 +223,32 @@ def test_block_thomas_matches_dense():
         np.testing.assert_allclose(
             np.asarray(x_t).reshape(2 * (n - 1), 2),
             np.asarray(x_d), atol=1e-9)
+
+
+def test_small_n_solver_profiles_match_lu():
+    """The trace-time small-N solver profile (set_small_n_solver) is a
+    pure performance knob: every mode produces the same spline.  The
+    'cr' profile is what the driver bench's B=1 latency program
+    compiles with (bench.py; measured p99 40.8 ms under host load vs
+    50.5 ms for LU on the chained chip program -- ROOFLINE.md round 4);
+    'thomas_scan' is the recorded-negative lax.scan Thomas variant."""
+    import numpy as np
+    from alore_legged_manipulator_tpu.solvers import minco
+    rng = np.random.default_rng(11)
+    for n in (3, 6, 12):
+        head = jnp.asarray(rng.standard_normal((2, 3)))
+        tail = jnp.asarray(rng.standard_normal((2, 3)))
+        inner = jnp.asarray(rng.standard_normal((2, n - 1)))
+        times = jnp.asarray(rng.uniform(0.3, 1.5, n))
+        ref = minco.minco_coeffs(head, tail, inner, times)
+        for mode in ("thomas_scan", "cr"):
+            prev = minco.set_small_n_solver(mode)
+            try:
+                out = minco.minco_coeffs(head, tail, inner, times)
+            finally:
+                minco.set_small_n_solver(prev)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-7, atol=1e-9)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        minco.set_small_n_solver("nope")
