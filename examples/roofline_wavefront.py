@@ -1,0 +1,92 @@
+"""Wavefront front-end roofline (VERDICT r3 weak #4 / next-step #5).
+
+Decomposes the on-device batched front end's time into its stages --
+octile distance-field relaxation (XLA min-plus sweeps vs the Pallas
+VMEM-resident kernel) and greedy path extraction -- across fleet sizes,
+to locate the round-3 "peaks at B=1024, drops past B=4096,
+memory-bound" cliff and verify the Pallas kernel removes it.
+
+Run on the chip: python examples/roofline_wavefront.py [B ...]
+Each stage is timed as a separate jitted program over the same scenario
+distribution as examples/bench_frontend.py (100x100 grid, safe-dis
+blocked mask).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+from alore_legged_manipulator_tpu.ops.wavefront import (
+    extract_path, octile_distance_field)
+from alore_legged_manipulator_tpu.planner.frontend import FrontendConfig
+
+
+def main():
+    sizes = [int(v) for v in sys.argv[1:]] or [256, 1024, 4096, 8192,
+                                               16384]
+    rng = np.random.default_rng(0)
+
+    H = W = 100
+    occ = np.zeros((H, W), bool)
+    occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
+    occ[40:44, 10:70] = True
+    occ[70:74, 30:95] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    cfg = FrontendConfig()
+    blocked = esdf.dist < cfg.safe_dis
+
+    def programs(impl):
+        @jax.jit
+        def field_only(g_cells):
+            d = jax.vmap(lambda gc: octile_distance_field(
+                blocked, gc, impl=impl))(g_cells)
+            return jnp.sum(d * (d < 1e8))
+
+        @jax.jit
+        def full(s_cells, g_cells):
+            def one(sc, gc):
+                dist = octile_distance_field(blocked, gc, impl=impl)
+                path, n = extract_path(dist, blocked, sc, max_len=256)
+                return dist[sc[0], sc[1]], jnp.sum(n)
+            d, n = jax.vmap(one)(s_cells, g_cells)
+            return jnp.sum(d), jnp.sum(n)
+
+        return field_only, full
+
+    def timeit(fn, *args, reps=4):
+        jax.block_until_ready(fn(*args))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    hdr = (f"{'B':>6} {'xla field/s':>12} {'pallas field/s':>14} "
+           f"{'xla full/s':>12} {'pallas full/s':>14} {'extract ms':>11}")
+    print(hdr)
+    for B in sizes:
+        s = rng.uniform([1.0, 1.0], [3.0, 8.5], (B, 2))
+        g = rng.uniform([8.0, 1.0], [9.5, 8.5], (B, 2))
+        s_cells = jnp.asarray((s / 0.1).astype(np.int32))
+        g_cells = jnp.asarray((g / 0.1).astype(np.int32))
+
+        row = [B]
+        for impl in ("xla", "pallas"):
+            f_only, full = programs(impl)
+            dt_f = timeit(f_only, g_cells)
+            dt_full = timeit(full, s_cells, g_cells)
+            row += [B / dt_f, B / dt_full, (dt_full - dt_f) * 1e3]
+        print(f"{row[0]:>6} {row[1]:>12.0f} {row[4]:>14.0f} "
+              f"{row[2]:>12.0f} {row[5]:>14.0f} "
+              f"{row[6]:>11.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,15 @@ def main():
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--num-envs", type=int, default=1536)
     ap.add_argument("--ckpt-dir", type=str, default=None)
+    # reference-schedule artifacts (VERDICT r3 #8): --physics trains the
+    # contact-plant env (rl/env_physics, the PhysX-analogue mode);
+    # --csv writes the learning curve for the repo artifact.  The
+    # reference's smaller schedule is 24 steps/env x 1500 iterations
+    # (agents/rsl_rl_ppo_cfg.py:49-50):
+    #   python examples/train_and_deploy_highlevel.py --iters 1500 \
+    #       --physics --csv examples/artifacts/train_physics_1500.csv
+    ap.add_argument("--physics", action="store_true")
+    ap.add_argument("--csv", type=str, default=None)
     args = ap.parse_args()
 
     from alore_legged_manipulator_tpu.rl.runner import (TrainConfig, train,
@@ -42,7 +51,7 @@ def main():
 
     print("devices:", jax.devices())
     cfg = TrainConfig(num_envs=args.num_envs, steps_per_env=24,
-                      iterations=args.iters)
+                      iterations=args.iters, physics_env=args.physics)
 
     t0 = time.time()
     log_every = max(args.iters // 10, 1)
@@ -60,6 +69,18 @@ def main():
           f"({steps / t_train:.0f} steps/s)")
     print(f"reward {history[0]['mean_reward']:.3f} -> "
           f"{history[-1]['mean_reward']:.3f}")
+
+    if args.csv:
+        import csv
+        Path(args.csv).parent.mkdir(parents=True, exist_ok=True)
+        keys = sorted({k for m in history for k in m})
+        with open(args.csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["iter"] + keys)
+            for i, m in enumerate(history):
+                w.writerow([i] + [float(m.get(k, float("nan")))
+                                  for k in keys])
+        print("learning curve ->", args.csv)
 
     if args.ckpt_dir:
         save_checkpoint(args.ckpt_dir, ppo_state, args.iters)
