@@ -152,18 +152,15 @@ def bench_backend():
     # on-chip single-plan latency: chain K dependent plans inside one
     # jit (the tunneled dev TPU's ~25 ms dispatch floor would otherwise
     # dominate a single-plan call; it does not exist on attached HW).
-    # The latency-critical B=1 program compiles with the CYCLIC-
-    # REDUCTION spline profile: CR's log-depth solve has fewer
-    # dependent kernel segments than the pivoted LU and wins ~10 ms at
-    # B=1 (measured p50 38.0 / p99 40.1 ms quiet, 38.3 / 40.8 under a
-    # 4-core host load), while the fleet program above keeps dense LU,
-    # which amortizes better across the batch (ROOFLINE.md round 4:
-    # per-program profile, revisiting negative result 9's global
-    # switch).
-    from alore_legged_manipulator_tpu.solvers import minco
+    # Measured DISTRIBUTIONALLY over several goals: B=1 latency is
+    # eval-count-bound at a constant ~0.42 ms per solver-loop trip, and
+    # the trip count is goal-dependent (ALM outer rounds, line-search
+    # rejections) -- a single-goal number under-samples the tail.  The
+    # spline stays dense LU: the round-4 investigation (ROOFLINE.md
+    # "latency profile" entry) measured CR/thomas-scan/small-memory
+    # alternatives and none reduces per-trip time at B=1; CR's apparent
+    # win was a convergence-path accident that reverses on other goals.
     K = int(os.environ.get("BENCH_BACKEND_CHAIN", "6"))
-
-    prev_solver = minco.set_small_n_solver("cr")
 
     @jax.jit
     def chained(goal):
@@ -174,14 +171,14 @@ def bench_backend():
         _, sums = jax.lax.scan(body, goal, None, length=K)
         return jnp.sum(sums)
 
-    g0 = goals[0]
-    float(chained(g0))              # compile (traces the CR profile)
-    minco.set_small_n_solver(prev_solver)
+    n_goals = int(os.environ.get("BENCH_BACKEND_LAT_GOALS", "4"))
+    float(chained(goals[0]))        # compile
     lat = []
-    for _ in range(12):
-        t0 = time.perf_counter()
-        float(chained(g0))
-        lat.append((time.perf_counter() - t0) / K)
+    for gi in range(n_goals):
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(chained(goals[gi]))
+            lat.append((time.perf_counter() - t0) / K)
     lat_ms = np.asarray(lat) * 1e3
     budget = 20.0                   # plans/s the 0.05 s budget implies
     print(json.dumps({

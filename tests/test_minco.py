@@ -227,11 +227,12 @@ def test_block_thomas_matches_dense():
 
 def test_small_n_solver_profiles_match_lu():
     """The trace-time small-N solver profile (set_small_n_solver) is a
-    pure performance knob: every mode produces the same spline.  The
-    'cr' profile is what the driver bench's B=1 latency program
-    compiles with (bench.py; measured p99 40.8 ms under host load vs
-    50.5 ms for LU on the chained chip program -- ROOFLINE.md round 4);
-    'thomas_scan' is the recorded-negative lax.scan Thomas variant."""
+    pure performance knob: every mode produces the same spline (to
+    rounding).  Both alternates were measured for the B=1 latency path
+    and REJECTED (ROOFLINE.md round 4, negative results 10/11: per-eval
+    time at B=1 is spline-independent, and CR's rounding can buy an
+    extra ALM outer round); the knob and this parity pin remain so any
+    future re-measurement starts from asserted-equal solutions."""
     import numpy as np
     from alore_legged_manipulator_tpu.solvers import minco
     rng = np.random.default_rng(11)
