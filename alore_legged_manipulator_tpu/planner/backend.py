@@ -124,6 +124,11 @@ class BackendConfig(NamedTuple):
     # search's max-over-lanes amplification; False restores the
     # reference-shaped L-BFGS ring-buffer solver
     flat_bfgs: bool = True
+    # 'ring' = reference-shaped two-loop recursion (bit-identical to the
+    # nested L-BFGS, the fleet default); 'compact' = Byrd-Nocedal compact
+    # inverse form, the same operator at O(1) sequential depth per eval
+    # (the B=1 latency profile; see solvers/bfgs.py)
+    solver_direction: str = "ring"
 
 
 # ---------------------------------------------------------------------------
@@ -403,7 +408,7 @@ def _alm_stage(x0, flat, esdf, safe_dis, cfg: BackendConfig, alm: AlmConfig,
 
         x, f, aux, status, k_total, n_outer = alm_minimize(
             fun, x0, (lam0, rho0), outer_update, cfg.lbfgs,
-            max_outer=alm.max_outer)
+            max_outer=alm.max_outer, direction=cfg.solver_direction)
         return x, k_total
 
     def run_lbfgs(x, lam, rho):
@@ -460,7 +465,9 @@ def plan_backend(flat: FlatTraj, esdf: ESDF, cfg: BackendConfig = BackendConfig(
     def s1(params):
         def fun(z):
             return jax.value_and_grad(lambda q: stage1_cost(q, flat, cfg))(z)
-        minimize = flat_lbfgs_minimize if cfg.flat_bfgs else lbfgs_minimize
+        minimize = (partial(flat_lbfgs_minimize,
+                            direction=cfg.solver_direction)
+                    if cfg.flat_bfgs else lbfgs_minimize)
         xs, _, _, _ = minimize(fun, x0, params)
         return xs
 

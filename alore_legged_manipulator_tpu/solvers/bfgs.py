@@ -74,6 +74,11 @@ class _S(NamedTuple):
     lm_ys: jnp.ndarray
     end: jnp.ndarray
     bound: jnp.ndarray
+    # compact mode (Byrd-Nocedal-Schnabel): Y^T Y and the explicit R^{-1}
+    # (R = upper-triangular part of S^T Y, chronological order), both
+    # maintained incrementally with O(1) sequential depth per update
+    cYtY: jnp.ndarray
+    cRinv: jnp.ndarray
     # inner bookkeeping
     k: jnp.ndarray            # accepted iterations, current inner solve
     k_total: jnp.ndarray      # accepted iterations across outer restarts
@@ -107,7 +112,12 @@ def _flat_minimize(fun, x0, params: LbfgsParams, direction,
     m = p.mem_size
     past = max(p.past, 1)
     dtype = x0.dtype
+    if direction not in ("dense", "ring", "compact"):
+        raise ValueError(f"unknown direction {direction!r}; "
+                         "expected 'dense', 'ring' or 'compact'")
     dense = direction == "dense"
+    compact = direction == "compact"
+    cm = m if compact else 0
 
     max_iter = p.max_iterations if p.max_iterations > 0 else p.hard_iter_cap
     max_iter = min(max_iter, p.hard_iter_cap)
@@ -135,6 +145,7 @@ def _flat_minimize(fun, x0, params: LbfgsParams, direction,
         lm_y=jnp.zeros((m if not dense else 0, n), dtype),
         lm_ys=jnp.ones((m if not dense else 0,), dtype),
         end=zero_i, bound=zero_i,
+        cYtY=jnp.zeros((cm, cm), dtype), cRinv=jnp.zeros((cm, cm), dtype),
         k=jnp.ones((), jnp.int32), k_total=zero_i,
         evals=zero_i,
         pf=jnp.full((past,), jnp.inf, dtype).at[0].set(f0),
@@ -165,6 +176,7 @@ def _flat_minimize(fun, x0, params: LbfgsParams, direction,
             lm_s=jnp.zeros_like(s.lm_s), lm_y=jnp.zeros_like(s.lm_y),
             lm_ys=jnp.ones_like(s.lm_ys),
             end=jnp.zeros((), jnp.int32), bound=jnp.zeros((), jnp.int32),
+            cYtY=jnp.zeros_like(s.cYtY), cRinv=jnp.zeros_like(s.cRinv),
             k=jnp.ones((), jnp.int32), k_total=s.k_total, evals=evals,
             pf=jnp.full((past,), jnp.inf, dtype).at[0].set(f_new),
             status=s.status, ostate=s.ostate, outer=s.outer,
@@ -240,6 +252,70 @@ def _flat_minimize(fun, x0, params: LbfgsParams, direction,
             d_new = jnp.where(first_update, -g_new, d_new)
             lm_s, lm_y, lm_ys = s.lm_s, s.lm_y, s.lm_ys
             end, bound = s.end, s.bound
+            cYtY, cRinv = s.cYtY, s.cRinv
+        elif compact:
+            # Compact inverse form (Byrd-Nocedal-Schnabel 1994):
+            #   H = gI + [S gY] W [S^T; gY^T],
+            #   W = [[R^{-T}(D + g Y^TY)R^{-1}, -R^{-T}], [-R^{-1}, 0]]
+            # with S,Y the stored pairs in CHRONOLOGICAL row order
+            # [0, bound), D = diag(s_i^T y_i) and R the upper-triangular
+            # part of S^T Y.  Mathematically identical to the two-loop
+            # recursion with per-iteration g = ys/yy rescale, but the
+            # 2*mem_size sequential ring trips collapse to ~10 small
+            # matvecs of O(1) depth -- the latency lever for B=1 plans
+            # (ROOFLINE.md round-4 latency profile).  R^{-1} and Y^T Y
+            # are maintained incrementally: appending a pair is one
+            # matvec + column write; dropping the oldest uses the fact
+            # that R_2^{-1} is exactly the trailing block of R^{-1}.
+            idxs = jnp.arange(m)
+            is_full = s.bound >= m
+            ys_safe = jnp.maximum(ys, 1e-30)
+
+            def shift_rows(a):
+                return jnp.where(is_full, jnp.roll(a, -1, axis=0), a)
+
+            S1 = shift_rows(s.lm_s)
+            Y1 = shift_rows(s.lm_y)
+            ys1 = jnp.where(is_full, jnp.roll(s.lm_ys, -1), s.lm_ys)
+            YtY1 = jnp.where(is_full,
+                             jnp.roll(jnp.roll(s.cYtY, -1, 0), -1, 1),
+                             s.cYtY)
+            not_last = (idxs < m - 1).astype(dtype)
+            R1 = jnp.where(is_full,
+                           jnp.roll(jnp.roll(s.cRinv, -1, 0), -1, 1)
+                           * not_last[:, None] * not_last[None, :],
+                           s.cRinv)
+            idx = jnp.where(is_full, m - 1, s.bound)
+
+            S2 = S1.at[idx].set(s_vec)
+            Y2 = Y1.at[idx].set(y_vec)
+            ys2 = ys1.at[idx].set(ys)
+            ycol = Y2 @ y_vec            # rows > idx are zero rows
+            YtY2 = YtY1.at[idx, :].set(ycol).at[:, idx].set(ycol)
+            r = (S2 @ y_vec) * (idxs < idx).astype(dtype)
+            c = -(R1 @ r) / ys_safe      # rows >= idx of R1 are zero
+            c = c.at[idx].set(1.0 / ys_safe)
+            R2 = R1.at[:, idx].set(c)
+
+            lm_s = jnp.where(use, S2, s.lm_s)
+            lm_y = jnp.where(use, Y2, s.lm_y)
+            lm_ys = jnp.where(use, ys2, s.lm_ys)
+            cYtY = jnp.where(use, YtY2, s.cYtY)
+            cRinv = jnp.where(use, R2, s.cRinv)
+            bound = jnp.where(use, jnp.minimum(s.bound + 1, m), s.bound)
+            end = s.end
+            H, first_update = s.H, s.first_update
+
+            # d = -(g*g_new + S w - g*Y u): ring-mode gamma semantics
+            # (rescale only on the trip that stored a pair)
+            gam = jnp.where(use, gamma, 1.0)
+            pvec = lm_s @ g_new
+            qvec = lm_y @ g_new
+            u = cRinv @ pvec
+            t = lm_ys * u + gam * (cYtY @ u) - gam * qvec
+            w = cRinv.T @ t
+            Hg = gam * g_new + lm_s.T @ w - gam * (lm_y.T @ u)
+            d_new = jnp.where(bound > 0, -Hg, -g_new)
         else:
             # exact lbfgs.py semantics: ring-buffer + two-loop with
             # per-iteration gamma rescale (lbfgs.hpp:709-739)
@@ -249,6 +325,7 @@ def _flat_minimize(fun, x0, params: LbfgsParams, direction,
             bound = jnp.where(use, jnp.minimum(s.bound + 1, m), s.bound)
             end = jnp.where(use, (s.end + 1) % m, s.end)
             H, first_update = s.H, s.first_update
+            cYtY, cRinv = s.cYtY, s.cRinv
 
             d0 = -g_new
 
@@ -262,7 +339,8 @@ def _flat_minimize(fun, x0, params: LbfgsParams, direction,
                 return d, alpha
 
             d_new, alpha = jax.lax.fori_loop(
-                0, m, loop1, (d0, jnp.zeros((m,), dtype)))
+                0, m, loop1, (d0, jnp.zeros((m,), dtype)),
+                unroll=p.two_loop_unroll)
             gscale = jnp.where(use, gamma, 1.0)
             d_new = d_new * jnp.where(bound > 0, gscale, 1.0)
 
@@ -272,7 +350,8 @@ def _flat_minimize(fun, x0, params: LbfgsParams, direction,
                 beta = jnp.where(valid, hdot(lm_y[jj], d) / lm_ys[jj], 0.0)
                 return d + (alpha[jj] - beta) * lm_s[jj]
 
-            d_new = jax.lax.fori_loop(0, m, loop2, d_new)
+            d_new = jax.lax.fori_loop(0, m, loop2, d_new,
+                                      unroll=p.two_loop_unroll)
             d_new = jnp.where(bound > 0, d_new, -g_new)
 
         dginit_new = hdot(g_new, d_new)
@@ -332,6 +411,7 @@ def _flat_minimize(fun, x0, params: LbfgsParams, direction,
             ls_iters=sel(jnp.zeros((), jnp.int32), ls_iters),
             H=H, first_update=first_update,
             lm_s=lm_s, lm_y=lm_y, lm_ys=lm_ys, end=end, bound=bound,
+            cYtY=cYtY, cRinv=cRinv,
             k=sel(s.k + 1, s.k),
             k_total=jnp.where(accept, s.k_total + 1, s.k_total),
             evals=evals,
@@ -364,9 +444,16 @@ def bfgs_minimize(fun: Callable, x0, params: LbfgsParams = LbfgsParams(),
 
 
 def flat_lbfgs_minimize(fun: Callable, x0,
-                        params: LbfgsParams = LbfgsParams()):
-    """L-BFGS iterates in the flat one-eval-per-trip loop."""
-    return bfgs_minimize(fun, x0, params, direction="ring")
+                        params: LbfgsParams = LbfgsParams(),
+                        direction: str = "ring"):
+    """L-BFGS iterates in the flat one-eval-per-trip loop.
+
+    direction='compact' swaps the two-loop recursion for the
+    Byrd-Nocedal-Schnabel compact inverse form: mathematically the same
+    operator, O(1) sequential depth per eval instead of 2*mem_size ring
+    trips (the B=1 latency profile; tests/test_bfgs.py pins it against
+    the ring iterates)."""
+    return bfgs_minimize(fun, x0, params, direction=direction)
 
 
 def alm_minimize(fun: Callable, x0, ostate0, outer_update,

@@ -48,6 +48,13 @@ class LbfgsParams(NamedTuple):
     cautious_factor: float = 1.0e-6
     machine_prec: float = 1.0e-16
     hard_iter_cap: int = 2000        # static unroll bound for while_loop
+    # Static unroll factor for the two-loop recursion's fori_loops
+    # (solvers/bfgs.py ring mode).  At B=1 the 2*mem_size tiny loop
+    # trips are pure sequential-depth overhead (~µs/trip of loop
+    # plumbing around a dim~17 dot); unrolling lets XLA fuse the chain
+    # into a few kernels.  Op order is unchanged, so iterates stay
+    # bit-identical to the rolled loop (asserted in tests/test_bfgs.py).
+    two_loop_unroll: int = 1
 
 
 STATUS_CONVERGED = 0

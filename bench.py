@@ -162,10 +162,22 @@ def bench_backend():
     # win was a convergence-path accident that reverses on other goals.
     K = int(os.environ.get("BENCH_BACKEND_CHAIN", "6"))
 
+    # Latency profile: fully unroll the L-BFGS two-loop recursion.  At
+    # B=1 the 2*mem_size rolled fori_loop trips are pure sequential
+    # loop-plumbing depth; unrolling is bit-identical (tests/test_bfgs.py)
+    # so this is a compile-shape choice, not a numerics change.  The
+    # fleet program above keeps the rolled loop (per-trip overhead is
+    # amortized over the batch; unrolling only grows compile time).
+    unroll = int(os.environ.get("BENCH_BACKEND_UNROLL",
+                                str(2 * cfg.lbfgs.mem_size)))
+    lat_cfg = cfg._replace(
+        lbfgs=cfg.lbfgs._replace(two_loop_unroll=unroll),
+        path_lbfgs=cfg.path_lbfgs._replace(two_loop_unroll=unroll))
+
     @jax.jit
     def chained(goal):
         def body(g, _):
-            res = plan_backend(mk(g), esdf, cfg)
+            res = plan_backend(mk(g), esdf, lat_cfg)
             g2 = g + 1e-6 * jnp.tanh(res.final_xy_err)  # dependency chain
             return g2, jnp.sum(res.times)
         _, sums = jax.lax.scan(body, goal, None, length=K)

@@ -149,3 +149,22 @@ def test_cost_breakdown_sums_to_total():
     total = float(stage2_cost(x0, flat, esdf, 0.6, lam, rho, CFG))
     np.testing.assert_allclose(float(terms["total"]), total, rtol=1e-10)
     assert float(terms["collision"]) >= 0.0
+
+
+@pytest.mark.slow
+def test_plan_backend_compact_direction_quality():
+    """The compact-form solver profile (solver_direction='compact', the
+    B=1 latency configuration -- see solvers/bfgs.py) must deliver the
+    same plan quality as the reference-shaped ring mode: goal reached
+    within ALM tolerance, collision-free, total duration within 2%."""
+    flat = _straight_flat_traj([1.0, 4.0], [7.0, 4.0], 6)
+    esdf = _map_with_block(block=(35, 45, 36, 44))
+    ring = jax.jit(lambda f: plan_backend(f, esdf, CFG))(flat)
+    ccfg = CFG._replace(solver_direction="compact")
+    comp = jax.jit(lambda f: plan_backend(f, esdf, ccfg))(flat)
+    assert not bool(comp.collision)
+    err = float(jnp.linalg.norm(comp.final_xy_err))
+    assert err < CFG.alm.tolerance * 1.5
+    t_ring = float(jnp.sum(ring.times))
+    t_comp = float(jnp.sum(comp.times))
+    assert abs(t_comp - t_ring) < 0.02 * t_ring, (t_ring, t_comp)

@@ -100,3 +100,89 @@ def test_vmap_heterogeneous_lanes():
         _mkfun(Qi, bi), jnp.zeros_like(bi), params, "ring"))(Q, b)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(sol),
                                atol=1e-5)
+
+
+def test_two_loop_unroll_bit_identical():
+    """Unrolling the two-loop fori_loops is a compile-shape choice only:
+    op order is unchanged, so iterates are bit-for-bit identical (this is
+    what lets the bench latency profile unroll without re-recording any
+    golden)."""
+    def rosen(x):
+        def c(z):
+            return jnp.sum(100 * (z[1:] - z[:-1] ** 2) ** 2
+                           + (1 - z[:-1]) ** 2)
+        return c(x), jax.grad(c)(x)
+
+    x0 = jnp.asarray(np.linspace(-1.2, 0.7, 17))
+    for m in (8, 64):
+        outs = []
+        for unroll in (1, 8, 2 * m):
+            p = LbfgsParams(mem_size=m, g_epsilon=1e-9, delta=1e-8, past=3,
+                            hard_iter_cap=400, two_loop_unroll=unroll)
+            outs.append(jax.jit(
+                lambda x, p=p: flat_lbfgs_minimize(rosen, x, p))(x0))
+        x_ref = np.asarray(outs[0][0])
+        for x, f, st, k in outs[1:]:
+            assert np.array_equal(x_ref, np.asarray(x))
+            assert int(k) == int(outs[0][3])
+
+
+def test_compact_direction_matches_two_loop_operator():
+    """The Byrd-Nocedal compact inverse form is the SAME operator as the
+    two-loop recursion (H0 = gamma*I, chronological pairs, cautious
+    gate): early iterates must agree to f64 round-off, including past the
+    memory-overflow (oldest-pair-drop) boundary."""
+    def rosen(x):
+        def c(z):
+            return jnp.sum(100 * (z[1:] - z[:-1] ** 2) ** 2
+                           + (1 - z[:-1]) ** 2)
+        return c(x), jax.grad(c)(x)
+
+    x0 = jnp.asarray(np.linspace(-1.2, 0.7, 11))
+    # mem_size 4 << iterations so the drop-oldest path is exercised
+    for k_max in (3, 6, 10, 14):
+        p = LbfgsParams(mem_size=4, g_epsilon=0.0, delta=0.0, past=0,
+                        max_iterations=k_max, hard_iter_cap=400)
+        xr, fr, _, kr = jax.jit(lambda x, p=p: bfgs_minimize(
+            rosen, x, p, direction="ring"))(x0)
+        xc, fc, _, kc = jax.jit(lambda x, p=p: bfgs_minimize(
+            rosen, x, p, direction="compact"))(x0)
+        assert int(kr) == int(kc)
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(xc),
+                                   rtol=0, atol=1e-7)
+
+
+def test_compact_converges_on_nonsmooth_and_batch():
+    """End-to-end: compact mode solves the nonsmooth cost and the
+    heterogeneous batch to the same optimum as ring."""
+    from alore_legged_manipulator_tpu.core.smoothing import \
+        positive_smoothed_l1
+
+    def ns(x):
+        def c(z):
+            return (jnp.sum(positive_smoothed_l1(z, 0.01))
+                    + 0.5 * jnp.sum((z - 0.3) ** 2))
+        return c(x), jax.grad(c)(x)
+
+    x0 = jnp.linspace(-2, 2, 17)
+    params = LbfgsParams(g_epsilon=0.0, delta=1e-9, past=3,
+                         hard_iter_cap=500, mem_size=64)
+    xr, fr, _, _ = flat_lbfgs_minimize(ns, x0, params)
+    xc, fc, _, _ = flat_lbfgs_minimize(ns, x0, params, direction="compact")
+    assert abs(float(fc) - float(fr)) < 1e-8 * max(1.0, abs(float(fr)))
+
+    Q, b = _quad_batch(B=8, n=5)
+    scales = jnp.asarray([1.0, 10.0, 100.0, 0.1, 1.0, 5.0, 50.0, 2.0])
+    Q = Q * scales[:, None, None]
+    p2 = LbfgsParams(g_epsilon=1e-9, delta=0, past=0, hard_iter_cap=500)
+    sol = jnp.linalg.solve(Q, b[..., None]).squeeze(-1)
+    out = jax.vmap(lambda Qi, bi: bfgs_minimize(
+        _mkfun(Qi, bi), jnp.zeros_like(bi), p2, "compact"))(Q, b)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(sol),
+                               atol=1e-5)
+
+
+def test_unknown_direction_raises():
+    with pytest.raises(ValueError):
+        bfgs_minimize(_mkfun(*map(lambda a: a[0], _quad_batch(B=1, n=5))),
+                      jnp.zeros(5), LbfgsParams(), direction="danse")
