@@ -170,9 +170,11 @@ def bench_backend():
     # amortized over the batch; unrolling only grows compile time).
     unroll = int(os.environ.get("BENCH_BACKEND_UNROLL",
                                 str(2 * cfg.lbfgs.mem_size)))
+    lat_dir = os.environ.get("BENCH_BACKEND_DIRECTION", "ring")
     lat_cfg = cfg._replace(
         lbfgs=cfg.lbfgs._replace(two_loop_unroll=unroll),
-        path_lbfgs=cfg.path_lbfgs._replace(two_loop_unroll=unroll))
+        path_lbfgs=cfg.path_lbfgs._replace(two_loop_unroll=unroll),
+        solver_direction=lat_dir)
 
     @jax.jit
     def chained(goal):

@@ -9,6 +9,9 @@ computation -- the same program structure a 2-host TPU pod slice runs.
 import os
 import sys
 
+# launched as a script: sys.path gets tests/, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 

@@ -106,8 +106,7 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     nmpc = "--nmpc" in args
     names = [a for a in args if not a.startswith("--")]
-    names = names or (["corridor", "popup"] if nmpc
-                      else ["corridor", "popup", "corridor_raycast"])
+    names = names or ["corridor", "popup", "corridor_raycast"]
     for name in names:
         if nmpc:
             record(name, oracle="e2e_oracle_nmpc", prefix="nmpc_")

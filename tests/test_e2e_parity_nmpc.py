@@ -58,7 +58,7 @@ GOLDEN_DIR = pathlib.Path(__file__).parent / "golden" / "e2e_oracle" / \
 
 _RUNS = {}
 
-SCENARIOS = ["corridor", "popup"]
+SCENARIOS = ["corridor", "popup", "corridor_raycast"]
 
 
 def _load_golden(name):
