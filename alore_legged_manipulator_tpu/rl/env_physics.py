@@ -123,10 +123,18 @@ def critic_observation(st: PhysPushEnvState, cfg: PhysicsEnvConfig):
 
 
 def env_reset(key, cfg: PhysicsEnvConfig = PhysicsEnvConfig(),
-              dtype=jnp.float32, obstacles=None) -> PhysPushEnvState:
+              dtype=jnp.float32, obstacles=None, obj_type=None,
+              obj_pose=None) -> PhysPushEnvState:
     """obstacles: optional (centers (M,2), yaws (M,), half_exts (M,2)) --
     M must equal cfg.n_obstacles; appended as INFINITE-mass bodies the
-    contact solver treats as immovable walls."""
+    contact solver treats as immovable walls.
+
+    obj_type / obj_pose: optional overrides of the randomized object
+    class and world (x, y, yaw) -- used by the deployment runtime
+    (runtime/highlevel_controller) to re-anchor a fresh docked scene at
+    the mission object's observed pose, preserving every reset
+    invariant (robot docked at the grasp anchor, weld active,
+    class-consistent half-extents/inertia)."""
     b = cfg.base
     k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     mass = jax.random.uniform(k1, (), dtype, *b.mass_range)
@@ -134,9 +142,15 @@ def env_reset(key, cfg: PhysicsEnvConfig = PhysicsEnvConfig(),
     com = jax.random.uniform(k3, (2,), dtype, -b.com_range, b.com_range)
     cmd = jax.random.uniform(k4, (3,), dtype, -1.0, 1.0) \
         * jnp.asarray([1.0, 0.5, 1.0], dtype)
-    obj_type = jax.random.randint(k5, (), 0, 3)
+    if obj_type is None:
+        obj_type = jax.random.randint(k5, (), 0, 3)
+    else:
+        obj_type = jnp.asarray(obj_type, jnp.int32)
     obj_he = jnp.asarray(OBJ_HALF_EXT, dtype)[obj_type]
-    yaw0 = jax.random.uniform(k7, (), dtype, -jnp.pi, jnp.pi)
+    if obj_pose is None:
+        yaw0 = jax.random.uniform(k7, (), dtype, -jnp.pi, jnp.pi)
+    else:
+        yaw0 = jnp.asarray(obj_pose[2], dtype)
 
     # robot starts "docked": its EE anchor coincides with the object's
     # grasp anchor (the reference grips during the reset window before
@@ -145,7 +159,8 @@ def env_reset(key, cfg: PhysicsEnvConfig = PhysicsEnvConfig(),
     anchor_o = jnp.stack([-obj_he[0], jnp.asarray(0.0, dtype)])
     c, s = jnp.cos(yaw0), jnp.sin(yaw0)
     R = jnp.asarray([[c, -s], [s, c]])
-    obj_pos = jnp.asarray([0.0, 0.0], dtype)
+    obj_pos = (jnp.asarray([0.0, 0.0], dtype) if obj_pose is None
+               else jnp.asarray(obj_pose[:2], dtype))
     robot_pos = obj_pos + R @ anchor_o - (_rot2(yaw0) @ anchor_r)
     poses = jnp.stack([
         jnp.concatenate([robot_pos, yaw0[None]]),

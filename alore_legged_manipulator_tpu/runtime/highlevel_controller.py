@@ -53,10 +53,16 @@ def _graph_of(st: PushEnvState) -> GraphBatch:
 
 def make_actor_policy(actor, actor_params) -> Callable:
     """Inference policy from a PhysicActorCritic (runner
-    get_inference_policy analogue): deterministic mean action."""
+    get_inference_policy analogue): deterministic mean action.
+
+    The interaction-graph build runs INSIDE the jit: a policy tick is
+    one device call, not ~20 host-dispatched ops (on the tunneled dev
+    chip each stray op pays the ~25 ms dispatch floor, which turned the
+    deployed mission loop into minutes-per-object)."""
 
     @jax.jit
-    def policy_fn(obs_hist, graph: GraphBatch):
+    def policy_fn(obs_hist, env_state: PushEnvState):
+        graph = _graph_of(env_state)
         g = GraphBatch(nodes=graph.nodes[None],
                        edge_attr=graph.edge_attr[None])
         mean, _, _ = actor.apply(actor_params, obs_hist[None], g)
@@ -76,7 +82,7 @@ def make_oracle_policy(cfg: PushEnvConfig = PushEnvConfig()) -> Callable:
                        cfg.action_scale_ang], np.float32)
     cmd_scale = np.asarray(COMMANDS_SCALE, np.float32)
 
-    def policy_fn(obs_hist, graph: GraphBatch):
+    def policy_fn(obs_hist, env_state: PushEnvState):
         cmd = np.asarray(obs_hist[-1, 50:53]) / cmd_scale
         a = np.zeros(9, np.float32)
         a[:3] = np.clip(cmd / scales, -1.0, 1.0)
@@ -95,17 +101,35 @@ class HighLevelControllerNode:
 
     bus: MessageBus
     world: WorldState
-    policy_fn: Callable                    # (obs_hist, graph) -> action (9,)
+    policy_fn: Callable                # (obs_hist, env_state) -> action (9,)
     env_cfg: PushEnvConfig = field(default_factory=PushEnvConfig)
     seed: int = 0
+    # True: step the CONTACT-PLANT env (rl/env_physics, the
+    # PhysX-analogue) instead of the surrogate -- required when the
+    # deployed policy was trained with TrainConfig(physics_env=True),
+    # so train and deploy see the same dynamics + observation pipeline
+    physics: bool = False
 
     def __post_init__(self):
         self._latest: Optional[EnvControlData] = None
         self._active_obj: Optional[int] = None
-        self.env_state: PushEnvState = env_reset(
-            jax.random.PRNGKey(self.seed), self.env_cfg)
-        self._step = jax.jit(
-            lambda st, a: env_step(st, a, self.env_cfg))
+        if self.physics:
+            from ..rl.env_physics import (PhysicsEnvConfig,
+                                          as_surrogate_view,
+                                          env_reset as phys_reset,
+                                          env_step as phys_step)
+            pcfg = PhysicsEnvConfig(base=self.env_cfg)
+            self._phys_reset = phys_reset
+            self._phys_cfg = pcfg
+            self.env_state = phys_reset(jax.random.PRNGKey(self.seed), pcfg)
+            self._step = jax.jit(lambda st, a: phys_step(st, a, pcfg))
+            self._view = jax.jit(as_surrogate_view)
+        else:
+            self.env_state = env_reset(
+                jax.random.PRNGKey(self.seed), self.env_cfg)
+            self._step = jax.jit(
+                lambda st, a: env_step(st, a, self.env_cfg))
+            self._view = lambda s: s
         self.bus.subscribe(TOPIC_CTRL, self._on_ctrl)
 
     def _on_ctrl(self, data):
@@ -115,10 +139,18 @@ class HighLevelControllerNode:
         """Re-anchor the env to the object being pushed (object_type slot
         of /env_control_data selects it; env class = id mod 3)."""
         pose = jnp.asarray(self.world.objects[obj_id], jnp.float32)
-        self.env_state = self.env_state._replace(
-            obj_pose=pose,
-            obj_vel=jnp.zeros(3, jnp.float32),
-            obj_type=jnp.asarray(obj_id % 3, jnp.int32))
+        otype = jnp.asarray(obj_id % 3, jnp.int32)
+        if self.physics:
+            # fresh docked scene at the observed pose: robot at the
+            # grasp anchor, weld active, class-consistent geometry
+            self.env_state = self._phys_reset(
+                jax.random.PRNGKey(self.seed + 7919 * obj_id),
+                self._phys_cfg, obj_type=obj_id % 3, obj_pose=pose)
+        else:
+            self.env_state = self.env_state._replace(
+                obj_pose=pose,
+                obj_vel=jnp.zeros(3, jnp.float32),
+                obj_type=otype)
         self._active_obj = obj_id
 
     def tick(self, dt: float = 0.02):
@@ -142,10 +174,11 @@ class HighLevelControllerNode:
             # the FSM's commanded object velocity becomes the env command
             es = self.env_state._replace(
                 cmd=jnp.asarray(cmd.object_vel_cmd, jnp.float32))
-            action = self.policy_fn(es.obs_hist, _graph_of(es))
+            vw = self._view(es)
+            action = self.policy_fn(vw.obs_hist, vw)
             es, _, _, _ = self._step(es, jnp.asarray(action, jnp.float32))
             self.env_state = es
-            pose = np.asarray(es.obj_pose, float)
+            pose = np.asarray(self._view(es).obj_pose, float)
             w.objects[obj_id][:] = pose
             # robot attached behind the object (bus_mission convention)
             w.robot[:] = [pose[0] - ATTACH_DIST * np.cos(pose[2]),
@@ -156,7 +189,8 @@ class HighLevelControllerNode:
                 es = self.env_state._replace(cmd=jnp.zeros(3, jnp.float32))
                 es, _, _, _ = self._step(es, jnp.zeros(9, jnp.float32))
                 self.env_state = es
-                w.objects[w.grasped][:] = np.asarray(es.obj_pose, float)
+                w.objects[w.grasped][:] = np.asarray(
+                    self._view(es).obj_pose, float)
 
     def publish_obs(self):
         """publish_obs_data twin: robot + object rows on /env_obs."""

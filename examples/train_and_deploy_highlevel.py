@@ -41,10 +41,14 @@ def main():
     #       --physics --csv examples/artifacts/train_physics_1500.csv
     ap.add_argument("--physics", action="store_true")
     ap.add_argument("--csv", type=str, default=None)
+    # deploy-only: restore params saved by --ckpt-dir (orbax) and skip
+    # straight to the eval + bus-mission phases
+    ap.add_argument("--load-ckpt", type=str, default=None)
     args = ap.parse_args()
 
     from alore_legged_manipulator_tpu.rl.runner import (TrainConfig, train,
                                                         init_models,
+                                                        load_checkpoint,
                                                         save_checkpoint)
     from alore_legged_manipulator_tpu.rl.env import (PushEnvConfig, env_reset,
                                                      env_step)
@@ -62,13 +66,21 @@ def main():
                   f"est_loss {m.get('estimator_loss', float('nan')):7.4f}  "
                   f"kl {m.get('kl', float('nan')):.4f}", flush=True)
 
-    ppo_state, history = train(cfg, progress=progress)
-    t_train = time.time() - t0
-    steps = args.iters * args.num_envs * cfg.steps_per_env
-    print(f"trained {steps:.2e} env steps in {t_train:.1f} s "
-          f"({steps / t_train:.0f} steps/s)")
-    print(f"reward {history[0]['mean_reward']:.3f} -> "
-          f"{history[-1]['mean_reward']:.3f}")
+    if args.load_ckpt:
+        from alore_legged_manipulator_tpu.rl.ppo import PpoState
+        params = load_checkpoint(args.load_ckpt, args.iters)
+        ppo_state = PpoState(params=params, opt_state=None,
+                             lr=jnp.zeros(()))
+        history = []
+        print(f"restored params from {args.load_ckpt} (step {args.iters})")
+    else:
+        ppo_state, history = train(cfg, progress=progress)
+        t_train = time.time() - t0
+        steps = args.iters * args.num_envs * cfg.steps_per_env
+        print(f"trained {steps:.2e} env steps in {t_train:.1f} s "
+              f"({steps / t_train:.0f} steps/s)")
+        print(f"reward {history[0]['mean_reward']:.3f} -> "
+              f"{history[-1]['mean_reward']:.3f}")
 
     if args.csv:
         import csv
@@ -90,6 +102,21 @@ def main():
     models, _ = init_models(cfg)
     env_cfg = cfg.env
 
+    # physics mode: eval + deploy step the SAME contact-plant env the
+    # policy was trained on (train/deploy dynamics mismatch otherwise)
+    if args.physics:
+        from alore_legged_manipulator_tpu.rl.env_physics import (
+            PhysicsEnvConfig, as_surrogate_view,
+            env_reset as _reset, env_step as _estep)
+        pcfg = PhysicsEnvConfig(base=env_cfg)
+        reset_one = lambda k: _reset(k, pcfg)
+        step_one = lambda s, a: _estep(s, a, pcfg)
+        view = as_surrogate_view
+    else:
+        reset_one = lambda k: env_reset(k, env_cfg)
+        step_one = lambda s, a: env_step(s, a, env_cfg)
+        view = lambda s: s
+
     @jax.jit
     def eval_rollout(params, key):
         from alore_legged_manipulator_tpu.rl.env import graph_features
@@ -97,7 +124,7 @@ def main():
             build_interaction_graph)
 
         keys = jax.random.split(key, 256)
-        states = jax.vmap(lambda k: env_reset(k, env_cfg))(keys)
+        states = jax.vmap(reset_one)(keys)
         cmds = jnp.concatenate([
             jnp.tile(jnp.array([[0.5, 0.0, 0.0]]), (128, 1)),
             jnp.tile(jnp.array([[0.3, 0.0, 0.8]]), (128, 1))]).astype(
@@ -105,13 +132,13 @@ def main():
         states = states._replace(cmd=cmds)
 
         def step(states, _):
+            views = jax.vmap(view)(states)
             graphs = jax.vmap(
-                lambda s: build_interaction_graph(*graph_features(s)))(states)
-            mean, _, _ = models.actor.apply(params["actor"], states.obs_hist,
+                lambda s: build_interaction_graph(*graph_features(s)))(views)
+            mean, _, _ = models.actor.apply(params["actor"], views.obs_hist,
                                             graphs)
-            states, _, _, _ = jax.vmap(
-                lambda s, a: env_step(s, a, env_cfg))(states, mean)
-            return states, states.obj_vel
+            states, _, _, _ = jax.vmap(step_one)(states, mean)
+            return states, jax.vmap(view)(states).obj_vel
 
         states, vels = jax.lax.scan(step, states, None, length=100)
         # steady-state tracking error over the last 50 steps
@@ -141,7 +168,8 @@ def main():
     percept = PerceptionNode(bus, seed=7)
     fsm_node = MissionFsmNode(bus, items, targets, order=[0], dt=0.02)
     policy = make_actor_policy(models.actor, ppo_state.params["actor"])
-    ctrl = HighLevelControllerNode(bus, world, policy)
+    ctrl = HighLevelControllerNode(bus, world, policy,
+                                   physics=args.physics)
 
     t0 = time.time()
     ticks = 0
