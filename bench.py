@@ -107,7 +107,16 @@ def bench_backend():
     occ = np.zeros((80, 80), bool)
     occ[30:40, 44:50] = True
     esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
-    cfg = BackendConfig()
+    # Production solver profile: the compact-form L-BFGS direction
+    # (solvers/bfgs.py).  Same operator as the reference-shaped ring
+    # two-loop (which stays the BackendConfig default for the compiled-
+    # reference parity suite); measured round 4 on-chip: fleet 512
+    # throughput 379 -> 730 plans/s (the (B,m,n) direction matvecs
+    # batch onto the MXU where the ring's 2*64 sequential trips were
+    # issue-bound) and chained B=1 latency p50 50 -> 13 ms.  Quality
+    # gated by test_plan_backend_compact_direction_quality.
+    direction = os.environ.get("BENCH_BACKEND_DIRECTION", "compact")
+    cfg = BackendConfig(solver_direction=direction)
 
     def mk(goal_xy):
         start = jnp.asarray([1.0, 4.0], dtype)
@@ -162,19 +171,17 @@ def bench_backend():
     # win was a convergence-path accident that reverses on other goals.
     K = int(os.environ.get("BENCH_BACKEND_CHAIN", "6"))
 
-    # Latency profile: fully unroll the L-BFGS two-loop recursion.  At
-    # B=1 the 2*mem_size rolled fori_loop trips are pure sequential
-    # loop-plumbing depth; unrolling is bit-identical (tests/test_bfgs.py)
-    # so this is a compile-shape choice, not a numerics change.  The
-    # fleet program above keeps the rolled loop (per-trip overhead is
-    # amortized over the batch; unrolling only grows compile time).
+    # Latency profile: with direction='ring' the two-loop fori_loops are
+    # additionally fully unrolled (bit-identical, tests/test_bfgs.py;
+    # measured p99 47 -> 41 ms).  With the default compact direction
+    # there is no two-loop and the knob is inert; compact measures
+    # p50 13.3 / p99 15.5 ms quiet and 14.9 / 20.1 ms under a 4-core
+    # host load (ROOFLINE.md round-4 latency entry).
     unroll = int(os.environ.get("BENCH_BACKEND_UNROLL",
                                 str(2 * cfg.lbfgs.mem_size)))
-    lat_dir = os.environ.get("BENCH_BACKEND_DIRECTION", "ring")
     lat_cfg = cfg._replace(
         lbfgs=cfg.lbfgs._replace(two_loop_unroll=unroll),
-        path_lbfgs=cfg.path_lbfgs._replace(two_loop_unroll=unroll),
-        solver_direction=lat_dir)
+        path_lbfgs=cfg.path_lbfgs._replace(two_loop_unroll=unroll))
 
     @jax.jit
     def chained(goal):
@@ -229,7 +236,13 @@ def bench_mission():
     occ[30:40, 44:50] = True
     esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
     icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
-    cfg = MissionFleetConfig(approach_ticks=700, push_ticks=550)
+    # compact solver profile (see bench_backend): 13.3 -> 18.3
+    # missions/s measured round 4, delivered_frac 1.0 both ways
+    from alore_legged_manipulator_tpu.planner.backend import BackendConfig
+    cfg = MissionFleetConfig(
+        approach_ticks=700, push_ticks=550,
+        backend=BackendConfig(solver_direction=os.environ.get(
+            "BENCH_BACKEND_DIRECTION", "compact")))
     corr_ticks = 300
 
     rng = np.random.default_rng(0)
