@@ -86,8 +86,65 @@ def main():
     }), flush=True)
 
     bench_backend()
+    if os.environ.get("BENCH_WAVEFRONT", "1") != "0":
+        bench_wavefront()
     if os.environ.get("BENCH_MISSION", "1") != "0":
         bench_mission()
+
+
+def bench_wavefront():
+    """Front-end line: on-device wavefront paths/s (field + greedy
+    extraction) at fleet scale, Pallas VMEM-resident kernel.
+
+    Baseline: the reference's compiled JPS saturates ~700 plans/s on
+    this host CPU (examples/bench_frontend.py round-3 measurement).
+    The round-3 'drops past B=4096' cliff was the XLA min-plus path
+    streaming (B,100,100) arrays from HBM per sweep; the Pallas kernel
+    scales monotonically (ROOFLINE.md round-4 wavefront entry)."""
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    from alore_legged_manipulator_tpu.ops.wavefront import (
+        extract_path, octile_distance_field)
+    from alore_legged_manipulator_tpu.planner.frontend import FrontendConfig
+
+    B = int(os.environ.get("BENCH_WAVEFRONT_FLEET", "8192"))
+    impl = os.environ.get("BENCH_WAVEFRONT_IMPL", "pallas")
+    rng = np.random.default_rng(0)
+    occ = np.zeros((100, 100), bool)
+    occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
+    occ[40:44, 10:70] = True
+    occ[70:74, 30:95] = True
+    esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+    blocked = esdf.dist < FrontendConfig().safe_dis
+
+    s = rng.uniform([1.0, 1.0], [3.0, 8.5], (B, 2))
+    g = rng.uniform([8.0, 1.0], [9.5, 8.5], (B, 2))
+    s_cells = jnp.asarray((s / 0.1).astype(np.int32))
+    g_cells = jnp.asarray((g / 0.1).astype(np.int32))
+
+    @jax.jit
+    def full(s_cells, g_cells):
+        def one(sc, gc):
+            dist = octile_distance_field(blocked, gc, impl=impl)
+            path, n = extract_path(dist, blocked, sc, max_len=256)
+            return dist[sc[0], sc[1]], jnp.sum(n)
+        d, n = jax.vmap(one)(s_cells, g_cells)
+        return jnp.sum(d), jnp.sum(n)
+
+    jax.block_until_ready(full(s_cells, g_cells))
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        jax.block_until_ready(full(s_cells, g_cells))
+        ts.append(time.perf_counter() - t0)
+    paths_per_s = B / float(np.median(ts))
+    print(json.dumps({
+        "metric": "wavefront_frontend_paths_per_s_per_chip",
+        "value": round(paths_per_s, 1),
+        "unit": "paths/s",
+        "vs_baseline": round(paths_per_s / 700.0, 2),
+        "fleet": B,
+        "impl": impl,
+    }), flush=True)
 
 
 def bench_backend():
