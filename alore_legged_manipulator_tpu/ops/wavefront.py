@@ -106,33 +106,42 @@ def extract_path(dist, blocked, start_cell, max_len: int):
     """
     H, W = dist.shape
     moves = jnp.asarray([(m[0], m[1]) for m in _MOVES], jnp.int32)
-    costs = jnp.asarray([m[2] for m in _MOVES], jnp.float32)
-    diag = jnp.asarray([bool(m[0] and m[1]) for m in _MOVES])
+
+    # Per-cell greedy policy in ONE fused stencil pass (shifted copies,
+    # no gathers), so each of the max_len sequential descent steps costs
+    # a single packed int32 gather instead of ~20 (8 dist reads, 2
+    # blocked reads, bounds/corner logic).  Measured round 4: the
+    # descent was the full-pipeline bound at fleet scale (~84 us/path,
+    # ROOFLINE.md wavefront entry).  Move scoring is value-identical to
+    # the old per-step logic -- out-of-grid / corner-blocked candidates
+    # are >= _BIG either way and the argmin move order is preserved --
+    # so extracted paths are unchanged (tests/test_wavefront.py).
+    scores = []
+    for (dx, dy, w) in _MOVES:
+        cand = _shift(dist, dx, dy, _BIG) + jnp.float32(w)
+        if dx and dy:
+            o1 = _shift(blocked, dx, 0, True)
+            o2 = _shift(blocked, 0, dy, True)
+            cand = jnp.where(o1 & o2, _BIG, cand)
+        scores.append(cand)
+    sc = jnp.stack(scores)                             # (8, H, W)
+    policy = jnp.argmin(sc, axis=0).astype(jnp.int32)
+    stuck_f = (jnp.min(sc, axis=0) >= _BIG)
+    packed = (policy
+              | (stuck_f.astype(jnp.int32) << 3)
+              | ((dist <= 0.0).astype(jnp.int32) << 4)
+              | ((dist >= _BIG).astype(jnp.int32) << 5))
 
     def step(carry, _):
         c, done = carry
-        nbs = c[None, :] + moves                       # (8, 2)
-        inb = ((nbs[:, 0] >= 0) & (nbs[:, 0] < H)
-               & (nbs[:, 1] >= 0) & (nbs[:, 1] < W))
-        nx = jnp.clip(nbs[:, 0], 0, H - 1)
-        ny = jnp.clip(nbs[:, 1], 0, W - 1)
-        # diagonal corner rule from the current cell
-        ox = jnp.clip(c[0] + moves[:, 0], 0, H - 1)
-        oy = jnp.clip(c[1] + moves[:, 1], 0, W - 1)
-        corner = diag & blocked[ox, c[1]] & blocked[c[0], oy]
-        # Bellman-consistent move: minimize dist[nb] + step cost
-        score = jnp.where(inb & jnp.logical_not(corner),
-                          dist[nx, ny] + costs, _BIG)
-        k = jnp.argmin(score)
-        nxt = jnp.stack([nx[k], ny[k]])
-        at_goal = dist[c[0], c[1]] <= 0.0
-        stuck = score[k] >= _BIG
-        ndone = done | at_goal | stuck
+        v = packed[c[0], c[1]]
+        nxt = c + moves[v & 7]
+        ndone = done | ((v & 0b11000) != 0)            # stuck | at_goal
         c2 = jnp.where(ndone, c, nxt)
         return (c2, ndone), (c2, jnp.logical_not(ndone))
 
     start = jnp.asarray(start_cell, jnp.int32)
-    disconnected = dist[start[0], start[1]] >= _BIG
+    disconnected = (packed[start[0], start[1]] & (1 << 5)) != 0
     (_, _), (cells, valid) = jax.lax.scan(
         step, (start, disconnected), None, length=max_len)
     cells = jnp.concatenate([start[None], cells], 0)
