@@ -35,7 +35,8 @@ def main():
     occ = np.zeros((80, 80), bool)
     occ[30:40, 44:50] = True
     esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
-    cfg = BackendConfig()
+    cfg = BackendConfig(
+        solver_direction=os.environ.get("BENCH_BACKEND_DIRECTION", "compact"))
 
     rng = np.random.default_rng(0)
     goals = np.stack([rng.uniform(5.0, 7.0, B), rng.uniform(3.0, 5.0, B)], 1)

@@ -43,7 +43,8 @@ def main():
     occ = np.zeros((80, 80), bool)
     occ[30:40, 44:50] = True
     esdf = esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
-    cfg = BackendConfig()
+    cfg = BackendConfig(
+        solver_direction=os.environ.get("BENCH_BACKEND_DIRECTION", "compact"))
     icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
     loop_cfg = LoopConfig()
 
