@@ -33,7 +33,10 @@ def main():
     dtype = jnp.float32
     n = cfg.horizon
 
-    B = int(os.environ.get("BENCH_BATCH", "8192"))
+    # operating point: 16384 measured 648.6k vs 635.8k solves/s at 8192
+    # on the round-4 chip (the batch amortizes the scan's fixed per-step
+    # overheads a little further; flat beyond)
+    B = int(os.environ.get("BENCH_BATCH", "16384"))
     rng = np.random.default_rng(0)
 
     x_traj = jnp.asarray(rng.standard_normal((B, n + 1, 3)) * 0.1, dtype)
@@ -106,7 +109,12 @@ def bench_wavefront():
         extract_path, octile_distance_field)
     from alore_legged_manipulator_tpu.planner.frontend import FrontendConfig
 
-    B = int(os.environ.get("BENCH_WAVEFRONT_FLEET", "8192"))
+    # operating point: the Pallas field kernel scales monotonically with
+    # fleet size (ROOFLINE.md wavefront entry); 16384 measured 35.3k
+    # paths/s vs 22.4k at 8192 on the round-4 chip.  Larger fleets help
+    # further but the extraction buffer (B, 257, 2) starts to dominate
+    # host transfer in examples/roofline_wavefront.py's sweep.
+    B = int(os.environ.get("BENCH_WAVEFRONT_FLEET", "16384"))
     impl = os.environ.get("BENCH_WAVEFRONT_IMPL", "pallas")
     rng = np.random.default_rng(0)
     occ = np.zeros((100, 100), bool)
@@ -287,6 +295,11 @@ def bench_mission():
         run_mission, spaced_scenarios)
 
     dtype = jnp.float32
+    # operating point: 64 beats 256 (17.8 vs 15.1 missions/s measured
+    # round 4) -- the vmapped solver while_loops pay max-over-lanes trip
+    # counts, so larger fleets see more tail lanes per pass and a bigger
+    # correction batch; the per-lane NMPC push ticks already fill the
+    # chip's vector units at 64.
     B = int(os.environ.get("BENCH_MISSION_FLEET", "64"))
     K = 3
     occ = np.zeros((80, 80), bool)
