@@ -618,19 +618,71 @@ def feedback(carry: NmpcCarry, prep, x_est, ref_x, ref_u, icr: ICRParams,
 
 
 def nmpc_rti_step(carry: NmpcCarry, x_est, ref_x, ref_u, icr: ICRParams,
-                  cfg: NmpcConfig):
+                  cfg: NmpcConfig, prep_icr: ICRParams = None):
     """One full RTI tick: prepare + feedback.
 
     In the reference the preparation for tick k+1 overlaps the control
     interval in a second thread (mpc.cpp:301, 336, 394-403); on TPU both
     halves are one fused program and the \"overlap\" is batch pipelining.
+
+    prep_icr: optional ICR for the LINEARIZATION only.  The reference's
+    OnlineData is consumed exclusively by the preparation step, which ran
+    in the previous tick's thread with the previous tick's EKF ICR
+    (run() sets od at :310 but feedbackStep never reads it) -- so a
+    composition that wants tick-for-tick ACADO semantics passes last
+    tick's estimate here while `icr` stays the live one used for the
+    wheel references.  Default None = fused same-tick semantics (the
+    fleet/throughput path, where the one-tick staleness is irrelevant).
     Returns (new_carry, u_cmd (2,), predicted (x, u) trajectories).
     """
     fast = (cfg.qp_mode == "matfree"
             and cfg.condense_mode == "triangular"
             and cfg.integrator == "exact")
-    prep = (prepare_tri if fast else prepare)(carry, icr, cfg)
+    lin_icr = icr if prep_icr is None else prep_icr
+    prep = (prepare_tri if fast else prepare)(carry, lin_icr, cfg)
     new_carry, x_pred, u_pred = feedback(carry, prep, x_est, ref_x, ref_u,
                                          icr, cfg)
     u_cmd = u_pred[cfg.delay_num]
     return new_carry, u_cmd, x_pred, u_pred
+
+
+def nmpc_cold_start_step(x_est, ref_x, ref_u, cfg: NmpcConfig,
+                         dtype=jnp.float32):
+    """The reference controller's exact first-tick solve
+    (solve_from_scratch_, mpc.cpp:317-320).
+
+    The first feedbackStep runs against the QP prepared in the
+    CONSTRUCTOR: all-zero trajectory, all-zero inputs, and the
+    hard-coded ICR OnlineData (xv, yr, yl) = (0.0, -0.2, 0.2)
+    (mpc_wrapper.cpp:84-92) -- NOT the live EKF estimate, because od is
+    only read at preparation time.  solve() then overwrites the
+    expansion base with replicate(est)/zeros AFTER that preparation
+    (mpc_wrapper.cpp:267-275), so at feedback:
+
+      Dx0 = x0 - x[0] = est - est = 0
+      Dy  = h(x_prep=0, u_prep=0) - y = -y     (references enter whole)
+      jacobians evGx/evGu at the zero trajectory
+
+    and the published command is u = 0 + du from that one condensed box
+    QP, while the next carry is x = replicate(est) + C du, u = du.
+    Returns (new_carry, u_cmd, x_pred, u_pred) like nmpc_rti_step.
+    """
+    zero_carry = NmpcCarry(
+        x_traj=jnp.zeros((cfg.horizon + 1, NX), dtype),
+        u_traj=jnp.zeros((cfg.horizon, NU), dtype))
+    icr0 = ICRParams(yr=jnp.asarray(-0.2, dtype),
+                     yl=jnp.asarray(0.2, dtype),
+                     xv=jnp.asarray(0.0, dtype))
+    fast = (cfg.qp_mode == "matfree"
+            and cfg.condense_mode == "triangular"
+            and cfg.integrator == "exact")
+    prep = (prepare_tri if fast else prepare)(zero_carry, icr0, cfg)
+    # x_est = 0 makes Dx0 = 0 exactly as solve()'s replicate leaves it
+    carry2, x_pred, u_pred = feedback(zero_carry, prep,
+                                      jnp.zeros((NX,), dtype),
+                                      ref_x, ref_u, icr0, cfg)
+    # solve() replaced the expansion base states with replicate(est)
+    x_new = carry2.x_traj + x_est[None, :].astype(dtype)
+    new_carry = NmpcCarry(x_traj=x_new, u_traj=carry2.u_traj)
+    u_cmd = u_pred[cfg.delay_num]
+    return new_carry, u_cmd, x_new, carry2.u_traj

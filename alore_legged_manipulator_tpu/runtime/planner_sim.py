@@ -212,10 +212,13 @@ class _NmpcNode:
     PIECE_CAPACITY = 32
 
     def __init__(self, cfg, dtype):
-        from ..control.nmpc import NmpcConfig, nmpc_init
+        from ..control.nmpc import NmpcConfig, nmpc_cold_start_step
         self.cfg = cfg if cfg is not None else NmpcConfig()
         self.dtype = dtype
-        self.carry = None            # solve_from_scratch_: est-replicated
+        self.carry = None            # solve_from_scratch_ pending
+        self.prep_icr = None         # ICR the NEXT feedback's QP was
+        #                              prepared with (od is read only at
+        #                              preparation time, run :310)
         self.tracked = None
         self.duration = 0.0
         self.start_time = -1.0
@@ -225,7 +228,7 @@ class _NmpcNode:
         self.at_goal = False
         self.last_u = np.zeros(2)    # (vr, vl) of the latest solve
         self._jit = {}
-        self._nmpc_init = nmpc_init
+        self._cold_step = nmpc_cold_start_step
 
     def receive(self, msg):
         # under if_standard_diff the reference Polynome's ICR field is
@@ -249,20 +252,45 @@ class _NmpcNode:
             cfg = self.cfg
 
             @jax.jit
-            def fn(carry, tt, t_cur, est_pose, icr_vec):
+            def fn(carry, tt, t_cur, est_pose, icr_vec, prep_icr_vec):
                 from ..control.nmpc import nmpc_rti_step
+                from ..core.dynamics import ICRParams
+                icr = ICRParams(yr=icr_vec[0], yl=icr_vec[1],
+                                xv=icr_vec[2])
+                # the QP this tick solves was prepared LAST tick with
+                # LAST tick's EKF ICR (preparationThread, run :336);
+                # the wheel references use the live one (getRefPoints
+                # :442-443)
+                picr = ICRParams(yr=prep_icr_vec[0], yl=prep_icr_vec[1],
+                                 xv=prep_icr_vec[2])
+                ref_x, ref_u = ref_points(tt, t_cur, cfg.horizon, cfg.dt,
+                                          est_pose[2], wheel_icr=icr)
+                carry2, u_cmd, _, _ = nmpc_rti_step(carry, est_pose,
+                                                    ref_x, ref_u, icr,
+                                                    cfg, prep_icr=picr)
+                return carry2, u_cmd
+
+            self._jit["tick"] = fn
+        return self._jit["tick"]
+
+    def _cold_fn(self):
+        if "cold" not in self._jit:
+            cfg = self.cfg
+            dtype = self.dtype
+
+            @jax.jit
+            def fn(tt, t_cur, est_pose, icr_vec):
                 from ..core.dynamics import ICRParams
                 icr = ICRParams(yr=icr_vec[0], yl=icr_vec[1],
                                 xv=icr_vec[2])
                 ref_x, ref_u = ref_points(tt, t_cur, cfg.horizon, cfg.dt,
                                           est_pose[2], wheel_icr=icr)
-                carry2, u_cmd, _, _ = nmpc_rti_step(carry, est_pose,
-                                                    ref_x, ref_u, icr,
-                                                    cfg)
+                carry2, u_cmd, _, _ = self._cold_step(est_pose, ref_x,
+                                                      ref_u, cfg, dtype)
                 return carry2, u_cmd
 
-            self._jit["tick"] = fn
-        return self._jit["tick"]
+            self._jit["cold"] = fn
+        return self._jit["cold"]
 
     def tick(self, t: float, est_pose, est_icr):
         """One CmdCallback.  Returns None (no odom/traj yet), or
@@ -289,15 +317,24 @@ class _NmpcNode:
         # runs on the NEXT tick (:186, :427-433)
         self.at_goal = t_cur > self.duration + 1.0
         if self.carry is None:
-            # solve_from_scratch_ (run :313-317): states reset to the
-            # estimate, inputs to zero
-            self.carry = self._nmpc_init(
-                self.cfg, jnp.asarray(est_pose, self.dtype), self.dtype)
-        fn = self._tick_fn()
-        self.carry, u_cmd = fn(self.carry, self.tracked,
-                               jnp.asarray(t_cur, self.dtype),
-                               jnp.asarray(est_pose, self.dtype),
-                               jnp.asarray(est_icr, self.dtype))
+            # solve_from_scratch_ (run :317-320): one feedbackStep
+            # against the constructor-prepared zero-trajectory QP with
+            # the hard-coded ICR; see nmpc_cold_start_step
+            fn = self._cold_fn()
+            self.carry, u_cmd = fn(self.tracked,
+                                   jnp.asarray(t_cur, self.dtype),
+                                   jnp.asarray(est_pose, self.dtype),
+                                   jnp.asarray(est_icr, self.dtype))
+        else:
+            fn = self._tick_fn()
+            self.carry, u_cmd = fn(self.carry, self.tracked,
+                                   jnp.asarray(t_cur, self.dtype),
+                                   jnp.asarray(est_pose, self.dtype),
+                                   jnp.asarray(est_icr, self.dtype),
+                                   jnp.asarray(self.prep_icr, self.dtype))
+        # the preparation for the NEXT tick runs now, with THIS tick's
+        # EKF ICR as its OnlineData
+        self.prep_icr = np.asarray(est_icr, float)
         self.last_u = np.asarray(u_cmd, float)
         return ("wheels", (float(self.last_u[0]), float(self.last_u[1])))
 

@@ -55,7 +55,11 @@ def main():
 
     print("devices:", jax.devices())
     cfg = TrainConfig(num_envs=args.num_envs, steps_per_env=24,
-                      iterations=args.iters, physics_env=args.physics)
+                      iterations=args.iters, physics_env=args.physics,
+                      # periodic in-train saves every 100 iters mirror the
+                      # reference flat schedule's save_interval=100
+                      # (agents/rsl_rl_ppo_cfg.py:18)
+                      checkpoint_dir=args.ckpt_dir)
 
     t0 = time.time()
     log_every = max(args.iters // 10, 1)

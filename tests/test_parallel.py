@@ -59,6 +59,177 @@ def test_sharded_tick_hlo_is_collective_free():
     assert "all-reduce" in hlo_red
 
 
+def _synth_flat_batch(n_lanes, dtype=jnp.float32, n_pieces=3):
+    """Small synthetic FlatTraj fleet around one obstacle (the
+    dryrun_multichip planner program's scenario family)."""
+    from alore_legged_manipulator_tpu.planner.flat_traj import FlatTraj
+
+    def synth(goal_x):
+        fr = jnp.arange(1, n_pieces, dtype=dtype) / n_pieces
+        return FlatTraj(
+            inner_yaw_s=jnp.stack(
+                [jnp.zeros((n_pieces - 1,), dtype), goal_x * fr]),
+            init_piece_time=jnp.asarray(0.5, dtype),
+            inner_positions=jnp.concatenate(
+                [jnp.stack([0.5 + goal_x * fr, 1.0 + jnp.zeros_like(fr),
+                            jnp.zeros_like(fr)], 1),
+                 jnp.stack([0.5 + goal_x, jnp.asarray(1.0, dtype),
+                            jnp.zeros((), dtype)])[None]], 0),
+            start_state=jnp.zeros((2, 3), dtype),
+            final_state=jnp.zeros((2, 3), dtype).at[1, 0].set(goal_x),
+            start_xytheta=jnp.asarray([0.5, 1.0, 0.0], dtype),
+            final_xytheta=jnp.stack([0.5 + goal_x, jnp.asarray(1.0, dtype),
+                                     jnp.asarray(0.0, dtype)]),
+            if_cut=jnp.asarray(False))
+
+    goals = jnp.linspace(1.5, 2.5, n_lanes, dtype=dtype)
+    return jax.vmap(synth)(goals)
+
+
+def _small_esdf(dtype=jnp.float32):
+    from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+    occ = np.zeros((40, 40), bool)
+    occ[18:22, 14:20] = True
+    return esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2, dtype), 0.1)
+
+
+def test_sharded_backend_cost_eval_matches_single_device():
+    """Layer 1 of the backend sharding-equivalence pin (VERDICT r4 next
+    #4): ONE deterministic stage-2 cost + gradient evaluation -- the
+    numerical workhorse every solver iteration calls -- must agree
+    sharded over the 8-device virtual mesh vs unsharded to near round-off.
+    A resharding or batch-tiling regression that changed the MATH (not
+    just the reduction order) fails here."""
+    from alore_legged_manipulator_tpu.planner.backend import (
+        BackendConfig, pack_vars, real_to_virtual_time, stage2_cost)
+
+    dtype = jnp.float64
+    esdf = _small_esdf(dtype)
+    bcfg = BackendConfig()
+    flats = _synth_flat_batch(16, dtype)
+
+    def x0_of(flat):
+        tau = real_to_virtual_time(
+            jnp.full((3,), flat.init_piece_time, dtype))
+        return pack_vars(flat.inner_yaw_s, flat.final_state[1, 0], tau)
+
+    lam = jnp.zeros((2,), dtype)
+    rho = jnp.ones((2,), dtype)
+
+    @jax.jit
+    def eval_fleet(flats):
+        def one(flat):
+            f = lambda x: stage2_cost(x, flat, esdf, bcfg.safe_dis, lam,
+                                      rho, bcfg)
+            x = x0_of(flat)
+            return f(x), jax.grad(f)(x)
+        return jax.vmap(one)(flats)
+
+    c_single, g_single = jax.tree.map(np.asarray, eval_fleet(flats))
+    mesh = make_mesh(8)
+    (flats_sh,) = shard_scenarios(mesh, (flats,))
+    c_shard, g_shard = jax.tree.map(np.asarray, eval_fleet(flats_sh))
+
+    np.testing.assert_allclose(c_shard, c_single, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(g_shard, g_single, rtol=1e-9, atol=1e-10)
+
+
+def test_sharded_backend_planner_quality_matches_single_device():
+    """Layer 2: full plan_backend solves sharded vs unsharded must agree
+    in PLAN QUALITY -- goal met, collision-free, durations within a few
+    percent.
+
+    Why not element-wise equivalence like the tracking tick
+    (test_sharded_step_matches_single_device): the solver is a
+    many-hundred-trip while_loop with line-search accept/reject
+    branches.  XLA compiles different (all valid) reduction orders for
+    local batch 2 (sharded: 16 lanes / 8 devices) vs 16 (unsharded), the
+    ~1-ulp cost differences flip accept decisions, and the iterates walk
+    to DIFFERENT equally-valid local optima -- measured here: per-lane
+    total durations differ up to 63% (e.g. 2.6 vs 7.0 s on one lane,
+    both plans collision-free and on-goal; the anneal loop settles on
+    different time weights).  The same happens between vmap widths with
+    no mesh at all (batch 2 vs 16 unsharded, f64: 0.84 s), so it is
+    batch-tiling chaos amplified by the optimizer, not a sharding
+    defect.  Layer 1 pins the underlying math to 1e-12; this layer pins
+    the per-lane validity invariants and the fleet-level duration
+    distribution that production consumes."""
+    from alore_legged_manipulator_tpu.planner.backend import (BackendConfig,
+                                                              plan_backend)
+
+    esdf = _small_esdf()
+    bcfg = BackendConfig()
+    flats = _synth_flat_batch(16)
+
+    @jax.jit
+    def plan_fleet(flats):
+        res = jax.vmap(lambda f: plan_backend(f, esdf, bcfg))(flats)
+        return res.times, res.final_xy_err, res.collision
+
+    t_single, e_single, coll_single = jax.tree.map(
+        np.asarray, plan_fleet(flats))
+
+    mesh = make_mesh(8)
+    (flats_sh,) = shard_scenarios(mesh, (flats,))
+    t_shard, e_shard, coll_shard = jax.tree.map(
+        np.asarray, plan_fleet(flats_sh))
+
+    # both sides: every lane on-goal and collision-free
+    assert np.abs(e_single).max() < 1e-2
+    assert np.abs(e_shard).max() < 1e-2
+    assert coll_single.sum() == 0 and coll_shard.sum() == 0
+    # fleet-level duration distribution agrees (per-lane values are
+    # local-optimum-dependent; see docstring)
+    d_single = t_single.sum(axis=-1)
+    d_shard = t_shard.sum(axis=-1)
+    assert abs(np.median(d_shard) - np.median(d_single)) \
+        < 0.2 * np.median(d_single)
+    assert d_shard.max() < 3.0 * d_single.max()
+
+
+def test_sharded_mission_fleet_matches_single_device():
+    """The whole-mission fleet program (approach + grasp + wavefront
+    front end + backend plan + NMPC push leg in one jitted function)
+    must produce identical outcomes sharded vs unsharded."""
+    from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+    from alore_legged_manipulator_tpu.planner.backend import BackendConfig
+    from alore_legged_manipulator_tpu.runtime.mission_fleet import (
+        MissionFleetConfig, run_mission)
+
+    dtype = jnp.float32
+    esdf = _small_esdf()
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+    mcfg = MissionFleetConfig(
+        backend=BackendConfig(), n_pieces=3, approach_ticks=30,
+        grasp_ticks=2, release_ticks=2, push_ticks=40, correction_ticks=0)
+    B = 16
+    rng = np.random.default_rng(3)
+    items = jnp.asarray(
+        rng.uniform(0.9, 1.1, (B, 1, 2)), dtype)
+    targets = jnp.asarray(
+        rng.uniform([2.5, 1.1], [2.7, 1.3], (B, 1, 2)), dtype)
+    robots = jnp.tile(jnp.asarray([0.5, 0.5, 0.0], dtype), (B, 1))
+
+    @jax.jit
+    def mission_fleet(i, tg, r):
+        res = jax.vmap(
+            lambda a, b, c: run_mission(a, b, c, esdf, icr, mcfg))(i, tg, r)
+        return res.object_err, res.delivered, res.track_err_max
+
+    e_single, d_single, tr_single = jax.tree.map(
+        np.asarray, mission_fleet(items, targets, robots))
+
+    mesh = make_mesh(8)
+    items_sh, targets_sh, robots_sh = shard_scenarios(
+        mesh, (items, targets, robots))
+    e_shard, d_shard, tr_shard = jax.tree.map(
+        np.asarray, mission_fleet(items_sh, targets_sh, robots_sh))
+
+    np.testing.assert_allclose(e_shard, e_single, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(d_shard, d_single)
+    np.testing.assert_allclose(tr_shard, tr_single, rtol=1e-4, atol=1e-4)
+
+
 def test_scaling_harness_runs():
     """measure_scaling produces monotone fleet sizes and finite rates on
     the virtual mesh (true efficiency is only meaningful on hardware)."""
