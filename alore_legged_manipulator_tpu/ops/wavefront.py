@@ -149,6 +149,101 @@ def extract_path(dist, blocked, start_cell, max_len: int):
     return cells, valid
 
 
+def extract_path_turns(packed, start_cell, max_len: int):
+    """Turn-compressed greedy descent over a packed
+    policy+flags+run-length field
+    (wavefront_pallas.py::wavefront_packed_pallas).
+
+    Bit-identical (cells, valid) to `extract_path` on the same field
+    (tests/test_wavefront_pallas.py), but each while_loop iteration
+    jumps a whole straight RUN of the greedy policy instead of one
+    cell, so the sequential dependent-gather count is the path's TURN
+    count (measured mean 2.4 / max 17 on the bench maps, run cap 31)
+    instead of its cell length (~150).  Each sequential dependent
+    gather costs ~0.34 ms of latency at B=16384 -- the entire cost of
+    the old per-cell descent (88 ms) -- so this is the difference
+    between 88 ms and ~7 ms of extraction (ROOFLINE.md round-5
+    wavefront entry).
+
+    The while_loop carry holds the (max_len + 1,) packed path plane,
+    which ROOFLINE negative result 13 warns about for PER-CELL descent
+    (150+ iterations x full-carry freeze-select); at turn counts the
+    freeze traffic is ~10x smaller and the gather savings dominate.
+    """
+    H, W = packed.shape
+    start = jnp.asarray(start_cell, jnp.int32)
+    idx = jnp.arange(max_len + 1, dtype=jnp.int32)
+    # select-chain move decode: a moves-table gather would add two more
+    # DEPENDENT gathers to the per-iteration latency chain, which is
+    # the entire cost here
+    mdx_tab = [m[0] for m in _MOVES]
+    mdy_tab = [m[1] for m in _MOVES]
+
+    def move_of(mv):
+        dx = jnp.int32(mdx_tab[-1])
+        dy = jnp.int32(mdy_tab[-1])
+        for i in range(len(_MOVES) - 2, -1, -1):
+            dx = jnp.where(mv == i, jnp.int32(mdx_tab[i]), dx)
+            dy = jnp.where(mv == i, jnp.int32(mdy_tab[i]), dy)
+        return dx, dy
+
+    v0 = packed[start[0], start[1]]
+    done0 = (v0 & (1 << 5)) != 0
+    # one packed path plane (cell = i * W + j) halves the while_loop
+    # carry the vmap freeze-select pays per iteration
+    p0 = jnp.full((max_len + 1,), start[0] * W + start[1], jnp.int32)
+    z = jnp.int32(0)
+
+    def cond(carry):
+        ci, cj, k0, done, p = carry
+        return jnp.logical_and(jnp.logical_not(done), k0 < max_len)
+
+    def body(carry):
+        ci, cj, k0, done, p = carry
+        v = packed[ci, cj]
+        ndone = jnp.logical_or(done, (v & 0b11000) != 0)
+        dx, dy = move_of(v & 7)
+        L = jnp.where(ndone, z, jnp.minimum(v >> 6, max_len - k0))
+        m = (idx > k0) & (idx <= k0 + L)
+        stride = dx * W + dy
+        p = jnp.where(m, ci * W + cj + (idx - k0) * stride, p)
+        return ci + L * dx, cj + L * dy, k0 + L, ndone, p
+
+    ci, cj, k0, done, p = jax.lax.while_loop(
+        cond, body, (start[0], start[1], z, done0, p0))
+    # scan semantics: the final cell repeats past the last real move
+    valid = idx <= k0
+    p = jnp.where(valid, p, ci * W + cj)
+    return jnp.stack([p // W, p % W], axis=-1), valid
+
+
+def wavefront_path(blocked, goal_cell, start_cell, max_len: int,
+                   impl: str = "auto"):
+    """Field + path in one call: returns (dist, cells, valid).
+
+    impl="pallas" runs the packed kernel (wavefront_pallas.py): field,
+    policy, flags and per-cell run lengths are all built while the
+    lane's grid is VMEM-resident, then `extract_path_turns` walks the
+    runs in ~turn-count sequential steps (VERDICT r4 next #5 -- the
+    separate per-cell extract_path was the full-pipeline bound at
+    fleet scale).  impl="xla" composes octile_distance_field +
+    extract_path; "auto" picks pallas on TPU.  Identical
+    (dist, cells, valid) either way (tests/test_wavefront_pallas.py)."""
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"impl must be 'auto', 'xla' or 'pallas': {impl!r}")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .wavefront_pallas import wavefront_packed_pallas
+        dist, packed = wavefront_packed_pallas(blocked, goal_cell,
+                                               interpret=None)
+        cells, valid = extract_path_turns(packed, start_cell, max_len)
+        return dist, cells, valid
+    dist = octile_distance_field(blocked, goal_cell, impl="xla")
+    cells, valid = extract_path(dist, blocked, start_cell, max_len)
+    return dist, cells, valid
+
+
 def _trapezoid_duration(length, start_v, max_v, max_a):
     """jnp evaluate_duration (jps_planner.cpp:378-397), end_v = 0."""
     sv = jnp.minimum(start_v, max_v)

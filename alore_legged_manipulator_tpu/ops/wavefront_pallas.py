@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the octile wavefront distance field.
+"""Pallas TPU kernels for the octile wavefront front end.
 
 Why a kernel here and nowhere else: under XLA, each min-plus sweep of
 `ops/wavefront.py::octile_distance_field` is one fused elementwise pass
@@ -29,8 +29,17 @@ rule (a diagonal move is forbidden only when BOTH adjacent orthogonal
 cells are blocked, graph_search.cpp's getJpsSucc neighbor rule), blocked
 and unreachable cells at _BIG.
 
-The wrapper runs the kernel in interpreter mode off-TPU, so the CPU
-test mesh exercises the same program; `octile_distance_field(...,
+Round 5 (VERDICT r4 next #5): `wavefront_packed_kernel` additionally
+builds the greedy-descent metadata -- packed policy + flags + per-cell
+RUN LENGTH -- while the grid is still VMEM-resident, so the XLA-side
+extraction (`ops/wavefront.py::extract_path_turns`) needs only one
+batched point-gather per path TURN instead of one per path CELL.  See
+that function and ROOFLINE.md's round-5 wavefront entry for the
+measured design space (including the in-kernel-descent and
+pointer-jumping negative results).
+
+The wrapper runs the kernels in interpreter mode off-TPU, so the CPU
+test mesh exercises the same programs; `octile_distance_field(...,
 impl="auto")` in ops/wavefront dispatches here on TPU backends.
 """
 from __future__ import annotations
@@ -44,13 +53,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .wavefront import _BIG, _MOVES
 
+# run lengths are capped at 2^(RUN_LEVELS) - 1 cells: a longer run
+# simply chains (the landing cell keeps the same policy direction, so
+# the descent takes another jump); fewer doubling levels keep the
+# kernel's span-shift cost down (a span-shift lowers ~8x costlier than
+# the relaxation's unit shifts -- measured, ROOFLINE.md round 5)
+RUN_LEVELS = 5
+
 
 def _shifted(a, dx: int, dy: int, fill, row_ids, col_ids):
     """out[i, j] = a[i + dx, j + dy], `fill` past the border.
 
     pltpu.roll wraps, so mask the wrapped rows/cols with iota masks --
     all static-shape VPU ops, no pad/concat (which Mosaic lowers less
-    happily than roll + select).
+    happily than roll + select).  dx/dy may be any static ints (the
+    run-length doubling shifts by powers of two).
     """
     H, W = a.shape
     r = a
@@ -59,19 +76,97 @@ def _shifted(a, dx: int, dy: int, fill, row_ids, col_ids):
     if dy:
         r = pltpu.roll(r, -dy % W, 1)
     valid = None
-    if dx == 1:
-        valid = row_ids < H - 1
-    elif dx == -1:
-        valid = row_ids >= 1
-    if dy == 1:
-        v = col_ids < W - 1
+    if dx > 0:
+        valid = row_ids < H - dx
+    elif dx < 0:
+        valid = row_ids >= -dx
+    if dy > 0:
+        v = col_ids < W - dy
         valid = v if valid is None else (valid & v)
-    elif dy == -1:
-        v = col_ids >= 1
+    elif dy < 0:
+        v = col_ids >= -dy
         valid = v if valid is None else (valid & v)
     if valid is None:
         return r
     return jnp.where(valid, r, fill)
+
+
+def _invalid_masks(blocked_f, row_ids, col_ids):
+    """Per-direction combined invalid mask: out-of-grid OR (for
+    diagonals) the corner rule.  Loop-invariant, hoisted out of the
+    sweeps; merging the two masks halves the per-direction selects."""
+    H, W = blocked_f.shape
+    inval = []
+    for dx, dy, _w in _MOVES:
+        border = None
+        if dx > 0:
+            border = row_ids >= H - dx
+        elif dx < 0:
+            border = row_ids < -dx
+        if dy > 0:
+            b = col_ids >= W - dy
+            border = b if border is None else (border | b)
+        elif dy < 0:
+            b = col_ids < -dy
+            border = b if border is None else (border | b)
+        if dx and dy:
+            o1 = _shifted(blocked_f, dx, 0, jnp.float32(1.0),
+                          row_ids, col_ids)
+            o2 = _shifted(blocked_f, 0, dy, jnp.float32(1.0),
+                          row_ids, col_ids)
+            corner = (o1 != 0) & (o2 != 0)
+            border = corner if border is None else (border | corner)
+        inval.append(border)
+    return inval
+
+
+def _relax_to_fixed_point(dist_ref, dist0_ref, free, inval, row_ids,
+                          col_ids, n_iters):
+    """Early-exit min-plus relaxation on the VMEM-resident field.
+
+    The sweep uses min-then-add: min(a, b) + w == min(a + w, b + w)
+    bit-exactly in f32 (rounding is monotone and ties are equal), so
+    grouping the four straight and four diagonal candidates saves six
+    adds per sweep without changing the field.
+    """
+    big = jnp.float32(_BIG)
+    dist_ref[:] = dist0_ref[:]
+
+    def roll_only(a, dx, dy):
+        r = a
+        if dx:
+            r = pltpu.roll(r, -dx % a.shape[0], 0)
+        if dy:
+            r = pltpu.roll(r, -dy % a.shape[1], 1)
+        return r
+
+    def cond(carry):
+        it, changed = carry
+        return jnp.logical_and(it < n_iters, changed)
+
+    def body(carry):
+        it, _ = carry
+        d = dist_ref[:]
+        ms = None
+        mo = None
+        for (dx, dy, _w), bad in zip(_MOVES, inval):
+            cand = roll_only(d, dx, dy)
+            if bad is not None:
+                cand = jnp.where(bad, big, cand)
+            if dx and dy:
+                mo = cand if mo is None else jnp.minimum(mo, cand)
+            else:
+                ms = cand if ms is None else jnp.minimum(ms, cand)
+        best = jnp.minimum(d, jnp.minimum(ms + jnp.float32(1.0),
+                                          mo + jnp.float32(_MOVES[4][2])))
+        best = jnp.where(free, best, big)
+        # min-plus relaxation is monotone non-increasing: "no cell
+        # dropped" == fixed point == every later sweep is a no-op.
+        changed = jnp.any(best < d)
+        dist_ref[:] = best
+        return it + 1, changed
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
 
 
 def _wavefront_kernel(blocked_ref, dist0_ref, out_ref, *, n_iters: int):
@@ -80,47 +175,120 @@ def _wavefront_kernel(blocked_ref, dist0_ref, out_ref, *, n_iters: int):
     free = blocked_f == 0
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inval = _invalid_masks(blocked_f, row_ids, col_ids)
+    _relax_to_fixed_point(out_ref, dist0_ref, free, inval, row_ids,
+                          col_ids, n_iters)
+
+
+def _wavefront_packed_kernel(blocked_ref, dist0_ref, dist_ref, packed_ref,
+                             *, n_iters: int):
+    """Field relaxation + packed policy/flags/RUN-LENGTH build, all on
+    the VMEM-resident grid (VERDICT r4 next #5).
+
+    Why run lengths: the XLA-side greedy descent pays ~0.34 ms of
+    LATENCY per sequential dependent gather at B=16384 (each batched
+    one-cell gather lowers to a full-grid one-hot reduction per lane),
+    88 ms for 256 per-cell steps.  An octile greedy path is a handful
+    of straight RUNS (measured: mean 2.4, max 17 turns on the bench
+    distribution), so precomputing "how many cells does the policy
+    keep moving in this same direction" lets the descent jump a whole
+    run per gather.
+
+    packed layout (int32): move index (bits 0-2) | stuck (3) |
+    at_goal (4) | disconnected (5) | run length (bits 6+, capped at
+    2^RUN_LEVELS - 1).
+
+    Two alternatives were measured and rejected (ROOFLINE.md round 5):
+    descent INSIDE this kernel (256 masked-reduce gathers per lane are
+    a serialized scalar-latency chain on the one tensorcore: +34
+    us/lane where the whole relaxation is ~20 us/lane), and an
+    XLA-side probe gather that finds the run end without this field
+    (a (B, C) batched gather costs C one-hot grid reductions, 2x
+    WORSE overall at C=128).
+    """
+    H, W = dist_ref.shape
+    blocked_f = blocked_ref[:]
+    free = blocked_f == 0
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     big = jnp.float32(_BIG)
+    inval = _invalid_masks(blocked_f, row_ids, col_ids)
+    _relax_to_fixed_point(dist_ref, dist0_ref, free, inval, row_ids,
+                          col_ids, n_iters)
 
-    # diagonal corner rule, hoisted out of the sweep loop (loop
-    # invariant): moving c <-> c + d is allowed unless both orthogonal
-    # step cells are blocked; out-of-grid counts as blocked.  Shifts
-    # run on the f32 mask (Mosaic's rotate has no 1-bit lane support),
-    # the boolean drops out afterwards.
-    allow = []
-    for dx, dy, _w in _MOVES:
-        if dx and dy:
-            o1 = _shifted(blocked_f, dx, 0, jnp.float32(1.0),
-                          row_ids, col_ids)
-            o2 = _shifted(blocked_f, 0, dy, jnp.float32(1.0),
-                          row_ids, col_ids)
-            allow.append(jnp.logical_not((o1 != 0) & (o2 != 0)))
+    # --- packed greedy policy (extract_path's fused stencil, here over
+    # the converged VMEM field) ---
+    d = dist_ref[:]
+    best_sc = None
+    best_mv = None
+    for mi, ((dx, dy, w), bad) in enumerate(zip(_MOVES, inval)):
+        cand = _shifted(d, dx, dy, big, row_ids, col_ids) + jnp.float32(w)
+        if bad is not None:
+            cand = jnp.where(bad, big, cand)
+        if best_sc is None:
+            best_sc, best_mv = cand, jnp.zeros((H, W), jnp.int32)
         else:
-            allow.append(None)
+            take = cand < best_sc        # strict: first-min tie-break,
+            best_sc = jnp.where(take, cand, best_sc)   # = jnp.argmin
+            best_mv = jnp.where(take, jnp.int32(mi), best_mv)
+    flags = (((best_sc >= big).astype(jnp.int32) << 3)
+             | ((d <= 0.0).astype(jnp.int32) << 4)
+             | ((d >= big).astype(jnp.int32) << 5))
+    done_cell = flags != 0
 
-    out_ref[:] = dist0_ref[:]
+    # --- per-direction run lengths by static-shift chain doubling ---
+    # L_d[c] = 0 if policy[c] != d or done[c], else 1 + L_d[c + d].
+    # Invariant entering the span-s level: L[c] = min(true_L[c], s);
+    # the update  L <- L + (L == s) * shifted(L, s * d)  restores it
+    # for 2s (a saturated count extends by the count s cells ahead,
+    # which by the invariant is min(true_L - s, s)).  f32 arithmetic:
+    # counts < 32 are exact and Mosaic lowers f32 roll/select better
+    # than i32 here.
+    runlen = jnp.zeros((H, W), jnp.float32)
+    for mi, (dx, dy, _w) in enumerate(_MOVES):
+        e = jnp.where((best_mv == mi) & jnp.logical_not(done_cell),
+                      jnp.float32(1.0), jnp.float32(0.0))
+        L = e
+        span = 1
+        while span < (1 << (RUN_LEVELS - 1)):
+            Ls = _shifted(L, dx * span, dy * span, jnp.float32(0.0),
+                          row_ids, col_ids)
+            L = L + jnp.where(L == jnp.float32(span), Ls, 0.0)
+            span *= 2
+        runlen = jnp.where(best_mv == mi, L, runlen)
 
-    def cond(carry):
-        it, changed = carry
-        return jnp.logical_and(it < n_iters, changed)
+    packed_ref[:] = best_mv | flags | (runlen.astype(jnp.int32) << 6)
 
-    def body(carry):
-        it, _ = carry
-        d = out_ref[:]
-        best = d
-        for (dx, dy, w), ok in zip(_MOVES, allow):
-            cand = _shifted(d, dx, dy, big, row_ids, col_ids) + jnp.float32(w)
-            if ok is not None:
-                cand = jnp.where(ok, cand, big)
-            best = jnp.minimum(best, cand)
-        best = jnp.where(free, best, big)
-        # min-plus relaxation is monotone non-increasing: "no cell
-        # dropped" == fixed point == every later sweep is a no-op.
-        changed = jnp.any(best < d)
-        out_ref[:] = best
-        return it + 1, changed
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+def wavefront_packed_pallas(blocked, goal_cell,
+                            n_iters: int | None = None,
+                            interpret: bool | None = None):
+    """Field + packed policy/flags/run-length in one kernel.
+
+    Returns (dist (H, W) f32, packed (H, W) i32); feed packed to
+    ops/wavefront.py::extract_path_turns for the turn-compressed path.
+    """
+    H, W = blocked.shape
+    if n_iters is None:
+        n_iters = H + W
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    free = jnp.logical_not(blocked)
+    dist0 = jnp.full((H, W), _BIG, jnp.float32)
+    dist0 = dist0.at[goal_cell[0], goal_cell[1]].set(0.0)
+    dist0 = jnp.where(free, dist0, _BIG)
+
+    return pl.pallas_call(
+        partial(_wavefront_packed_kernel, n_iters=n_iters),
+        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((H, W), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(blocked.astype(jnp.float32), dist0)
 
 
 def octile_distance_field_pallas(blocked, goal_cell,

@@ -169,8 +169,7 @@ def bench_wavefront():
     streaming (B,100,100) arrays from HBM per sweep; the Pallas kernel
     scales monotonically (ROOFLINE.md round-4 wavefront entry)."""
     from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
-    from alore_legged_manipulator_tpu.ops.wavefront import (
-        extract_path, octile_distance_field)
+    from alore_legged_manipulator_tpu.ops.wavefront import wavefront_path
     from alore_legged_manipulator_tpu.planner.frontend import FrontendConfig
 
     # operating point: the Pallas field kernel scales monotonically with
@@ -196,8 +195,10 @@ def bench_wavefront():
     @jax.jit
     def full(s_cells, g_cells):
         def one(sc, gc):
-            dist = octile_distance_field(blocked, gc, impl=impl)
-            path, n = extract_path(dist, blocked, sc, max_len=256)
+            # round 5: packed kernel + turn-compressed descent
+            # (extract_path_turns) on TPU; bit-identical paths
+            dist, path, n = wavefront_path(blocked, gc, sc, 256,
+                                           impl=impl)
             return dist[sc[0], sc[1]], jnp.sum(n)
         d, n = jax.vmap(one)(s_cells, g_cells)
         return jnp.sum(d), jnp.sum(n)

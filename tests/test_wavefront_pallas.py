@@ -116,3 +116,69 @@ def test_pallas_field_on_tpu():
     ker = octile_distance_field_pallas(blocked, goal, interpret=False)
     ref = octile_distance_field(blocked, goal, impl="xla")
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(ker))
+
+
+# ---- round 5: packed kernel + turn-compressed extraction ------------
+
+def test_wavefront_path_bit_identical_to_extract_path():
+    """wavefront_path(impl='pallas') -- the packed kernel (field +
+    policy + flags + run lengths) followed by extract_path_turns --
+    must reproduce octile_distance_field + extract_path EXACTLY:
+    same field, same cells, same valid mask (VERDICT r4 next #5)."""
+    from alore_legged_manipulator_tpu.ops.wavefront import wavefront_path
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        H = Wd = 40
+        occ = rng.random((H, Wd)) < 0.25
+        occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
+        gc = jnp.asarray([rng.integers(1, H - 1),
+                          rng.integers(1, Wd - 1)], jnp.int32)
+        sc = jnp.asarray([rng.integers(1, H - 1),
+                          rng.integers(1, Wd - 1)], jnp.int32)
+        occ[tuple(np.asarray(gc))] = False
+        occ[tuple(np.asarray(sc))] = False
+        blocked = jnp.asarray(occ)
+        d_ref = octile_distance_field(blocked, gc, impl="xla")
+        c_ref, v_ref = extract_path(d_ref, blocked, sc, max_len=96)
+        d_f, c_f, v_f = wavefront_path(blocked, gc, sc, max_len=96,
+                                       impl="pallas")
+        np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_f))
+        np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_f))
+        np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_f))
+
+
+def test_extract_path_turns_long_straight_runs_chain():
+    """Runs longer than the kernel's 31-cell cap must CHAIN (the
+    landing cell keeps the same policy), reproducing extract_path on a
+    long empty corridor where a single straight run spans ~90 cells."""
+    from alore_legged_manipulator_tpu.ops.wavefront import wavefront_path
+
+    blocked = jnp.zeros((100, 8), bool)
+    blocked = blocked.at[:, 0].set(True).at[:, -1].set(True)
+    blocked = blocked.at[0, :].set(True).at[-1, :].set(True)
+    gc = jnp.asarray([97, 4], jnp.int32)
+    sc = jnp.asarray([2, 4], jnp.int32)
+    d_ref = octile_distance_field(blocked, gc, impl="xla")
+    c_ref, v_ref = extract_path(d_ref, blocked, sc, max_len=128)
+    d_f, c_f, v_f = wavefront_path(blocked, gc, sc, max_len=128,
+                                   impl="pallas")
+    assert int(v_ref.sum()) >= 90          # the corridor really is long
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_f))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_f))
+
+
+def test_wavefront_path_disconnected_start():
+    from alore_legged_manipulator_tpu.ops.wavefront import wavefront_path
+
+    blocked = jnp.zeros((24, 24), bool)
+    blocked = blocked.at[:, 12].set(True)      # wall splits the grid
+    gc = jnp.asarray([5, 4], jnp.int32)
+    sc = jnp.asarray([5, 20], jnp.int32)       # other side of the wall
+    d_ref = octile_distance_field(blocked, gc, impl="xla")
+    c_ref, v_ref = extract_path(d_ref, blocked, sc, max_len=48)
+    d_f, c_f, v_f = wavefront_path(blocked, gc, sc, max_len=48,
+                                   impl="pallas")
+    assert int(v_f.sum()) == 1                 # only the start is valid
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_f))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_f))
