@@ -1,0 +1,176 @@
+"""Mission-fleet two-phase decomposition sizing (VERDICT r4 next #6).
+
+Question: the monolithic jitted mission program scales SUPERLINEARLY in
+fleet size (round 4: B=256 measured 15.1 missions/s vs B=64's 17.8 --
+4x lanes cost 4.7x pass time), attributed to max-over-lanes while_loop
+billing with the plan and push stages coupled through one vmap.  Does
+splitting each leg into separately-dispatched phases
+
+    A: paint + approach + front end + backend plan   (while_loop-heavy)
+    B: NMPC+EKF closed-loop push                     (fixed-tick scan)
+
+with a host re-dispatch between (like correct_missed_legs) recover the
+scaling -- and does EITHER shape beat the adopted B=64 operating point?
+
+Run: python examples/roofline_mission_twophase.py [B ...]
+Prints per-config missions/s + delivered_frac + phase timings.
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alore_legged_manipulator_tpu.control.tracked_traj import (
+    build_tracked_traj)
+from alore_legged_manipulator_tpu.core.dynamics import ICRParams
+from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
+from alore_legged_manipulator_tpu.planner.backend import (BackendConfig,
+                                                          plan_backend)
+from alore_legged_manipulator_tpu.planner.flat_traj import Polynome
+from alore_legged_manipulator_tpu.runtime.mission_fleet import (
+    MissionFleetConfig, _approach, _painted_esdf, _straight_flat,
+    _wavefront_flat, run_mission, spaced_scenarios)
+from alore_legged_manipulator_tpu.runtime.closed_loop import (
+    simulate_tracking)
+
+DTYPE = jnp.float32
+K = 3
+
+
+def _bench_cfg():
+    import os
+    return MissionFleetConfig(
+        approach_ticks=700, push_ticks=550,
+        backend=BackendConfig(solver_direction=os.environ.get(
+            "BENCH_BACKEND_DIRECTION", "compact")))
+
+
+def _esdf():
+    occ = np.zeros((80, 80), bool)
+    occ[30:40, 44:50] = True
+    return esdf_from_occupancy(jnp.asarray(occ), jnp.zeros(2), 0.1)
+
+
+def two_phase_leg_programs(esdf, icr, cfg):
+    """Phase A: paint+approach+plan -> TrackedTraj pytree (static
+    shapes).  Phase B: closed-loop push -> outcomes.  Both vmapped and
+    jitted once; the host alternates them per leg."""
+
+    def plan_leg(robot, item, target, others, seed):
+        leg_esdf = _painted_esdf(esdf, others, cfg.paint_half_extents) \
+            if cfg.paint_objects and K > 1 else esdf
+        robot = _approach(robot, item, cfg.fsm, cfg.approach_ticks)
+        start_xy, start_yaw = item, robot[2]
+        if cfg.frontend_mode == "wavefront":
+            flat = _wavefront_flat(leg_esdf, start_xy, start_yaw, target,
+                                   cfg)
+        else:
+            flat = _straight_flat(start_xy, start_yaw, target,
+                                  cfg.n_pieces, cfg.backend.max_vel)
+        res = plan_backend(flat, leg_esdf, cfg.backend)
+        msg = Polynome(
+            traj_start_time=jnp.zeros((), DTYPE),
+            inner_points=res.inner,
+            piece_times=res.times,
+            init_state=flat.start_state,
+            tail_state=res.tail_state,
+            start_position=flat.start_xytheta,
+            icr=jnp.asarray([icr.yr, icr.yl, icr.xv], DTYPE))
+        tt = build_tracked_traj(msg, n_grid=256)
+        return robot, tt, jnp.linalg.norm(res.final_xy_err), res.collision
+
+    def push_leg(tt, target, seed):
+        tr = simulate_tracking(tt, icr, cfg.push_ticks, cfg.loop,
+                               seed=seed, x0=tt.seq[0])
+        obj_final = tr.xytheta[-1]
+        err = jnp.linalg.norm(obj_final[:2] - target)
+        return obj_final, err, err < cfg.deliver_tol, jnp.max(tr.pos_err)
+
+    plan_fleet = jax.jit(jax.vmap(plan_leg))
+    push_fleet = jax.jit(jax.vmap(push_leg))
+    return plan_fleet, push_fleet
+
+
+def run_two_phase(items, targets, robot0, esdf, icr, cfg, seed=0):
+    B = items.shape[0]
+    plan_fleet, push_fleet = two_phase_leg_programs(esdf, icr, cfg)
+    robot = robot0
+    obj_pos = [items[:, j] for j in range(K)]
+    errs, dels = [], []
+    t_plan = t_push = 0.0
+    for k in range(K):
+        item = obj_pos[k]
+        target = targets[:, k]
+        others = jnp.stack([obj_pos[j] for j in range(K) if j != k], 1)
+        seeds = jnp.full((B,), seed + k, jnp.int32)
+        t0 = time.perf_counter()
+        robot, tt, perr, coll = plan_fleet(robot, item, target, others,
+                                           seeds)
+        jax.block_until_ready(tt.seq)
+        t_plan += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        obj_final, err, dl, tmax = push_fleet(tt, target, seeds)
+        jax.block_until_ready(err)
+        t_push += time.perf_counter() - t0
+        errs.append(err)
+        dels.append(dl)
+        obj_pos[k] = obj_final[:, :2]
+        robot = obj_final
+    return (jnp.stack(errs, 1), jnp.stack(dels, 1), t_plan, t_push)
+
+
+def main():
+    Bs = [int(b) for b in sys.argv[1:]] or [64, 256]
+    esdf = _esdf()
+    icr = ICRParams(yr=-0.3, yl=0.3, xv=0.2)
+    cfg = _bench_cfg()
+    rng = np.random.default_rng(0)
+    print("devices:", jax.devices())
+
+    for B in Bs:
+        items_np, targets_np = spaced_scenarios(B, K, rng)
+        items = jnp.asarray(items_np, DTYPE)
+        targets = jnp.asarray(targets_np, DTYPE)
+        robot0 = jnp.tile(jnp.asarray([1.0, 4.0, 0.0], DTYPE), (B, 1))
+
+        # --- monolithic program (the shipped run_mission) ---
+        fleet = jax.jit(jax.vmap(
+            lambda i, t, r: run_mission(i, t, r, esdf, icr, cfg)))
+        res = fleet(items, targets, robot0)
+        jax.block_until_ready(res.object_err)       # compile+warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = fleet(items, targets, robot0)
+            jax.block_until_ready(res.object_err)
+            ts.append(time.perf_counter() - t0)
+        t_mono = float(np.median(ts))
+        d_mono = float(np.asarray(res.delivered).mean())
+        print(f"B={B:4d} monolithic: {B / t_mono:6.1f} missions/s "
+              f"({t_mono * 1e3:7.1f} ms/pass, delivered {d_mono:.3f})")
+
+        # --- two-phase host-re-dispatch ---
+        run_two_phase(items, targets, robot0, esdf, icr, cfg)  # warm
+        ts, tp_plan, tp_push = [], [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            errs, dels, t_plan, t_push = run_two_phase(
+                items, targets, robot0, esdf, icr, cfg)
+            ts.append(time.perf_counter() - t0)
+            tp_plan.append(t_plan)
+            tp_push.append(t_push)
+        t_two = float(np.median(ts))
+        d_two = float(np.asarray(dels).mean())
+        print(f"B={B:4d} two-phase:  {B / t_two:6.1f} missions/s "
+              f"({t_two * 1e3:7.1f} ms/pass, delivered {d_two:.3f}; "
+              f"plan {np.median(tp_plan) * 1e3:.0f} ms, "
+              f"push {np.median(tp_push) * 1e3:.0f} ms)")
+
+
+if __name__ == "__main__":
+    main()
