@@ -96,9 +96,9 @@ def two_phase_leg_programs(esdf, icr, cfg):
     return plan_fleet, push_fleet
 
 
-def run_two_phase(items, targets, robot0, esdf, icr, cfg, seed=0):
+def run_two_phase(items, targets, robot0, programs, seed=0):
     B = items.shape[0]
-    plan_fleet, push_fleet = two_phase_leg_programs(esdf, icr, cfg)
+    plan_fleet, push_fleet = programs
     robot = robot0
     obj_pos = [items[:, j] for j in range(K)]
     errs, dels = [], []
@@ -144,9 +144,13 @@ def main():
         res = fleet(items, targets, robot0)
         jax.block_until_ready(res.object_err)       # compile+warm
         ts = []
-        for _ in range(3):
+        for it in range(3):
+            # perturb the start pose per rep: identical (program, input)
+            # pairs can be served from a platform-side result cache on
+            # the tunneled chip, which zeroes the measurement
+            r0 = robot0.at[:, 0].add(1e-4 * (it + 1))
             t0 = time.perf_counter()
-            res = fleet(items, targets, robot0)
+            res = fleet(items, targets, r0)
             jax.block_until_ready(res.object_err)
             ts.append(time.perf_counter() - t0)
         t_mono = float(np.median(ts))
@@ -154,13 +158,15 @@ def main():
         print(f"B={B:4d} monolithic: {B / t_mono:6.1f} missions/s "
               f"({t_mono * 1e3:7.1f} ms/pass, delivered {d_mono:.3f})")
 
-        # --- two-phase host-re-dispatch ---
-        run_two_phase(items, targets, robot0, esdf, icr, cfg)  # warm
+        # --- two-phase host-re-dispatch (programs compiled ONCE) ---
+        programs = two_phase_leg_programs(esdf, icr, cfg)
+        run_two_phase(items, targets, robot0, programs)  # warm/compile
         ts, tp_plan, tp_push = [], [], []
-        for _ in range(3):
+        for it in range(3):
+            r0 = robot0.at[:, 0].add(1e-4 * (it + 1))
             t0 = time.perf_counter()
             errs, dels, t_plan, t_push = run_two_phase(
-                items, targets, robot0, esdf, icr, cfg)
+                items, targets, r0, programs)
             ts.append(time.perf_counter() - t0)
             tp_plan.append(t_plan)
             tp_push.append(t_push)

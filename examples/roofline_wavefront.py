@@ -23,7 +23,7 @@ import numpy as np
 
 from alore_legged_manipulator_tpu.ops.esdf import esdf_from_occupancy
 from alore_legged_manipulator_tpu.ops.wavefront import (
-    extract_path, octile_distance_field)
+    extract_path, octile_distance_field, wavefront_path)
 from alore_legged_manipulator_tpu.planner.frontend import FrontendConfig
 
 
@@ -59,6 +59,17 @@ def main():
 
         return field_only, full
 
+    @jax.jit
+    def full_turns(s_cells, g_cells):
+        # round 5: packed kernel + turn-compressed descent
+        # (extract_path_turns), bit-identical paths
+        def one(sc, gc):
+            dist, path, n = wavefront_path(blocked, gc, sc, 256,
+                                           impl="pallas")
+            return dist[sc[0], sc[1]], jnp.sum(n)
+        d, n = jax.vmap(one)(s_cells, g_cells)
+        return jnp.sum(d), jnp.sum(n)
+
     def timeit(fn, *args, reps=4):
         jax.block_until_ready(fn(*args))
         ts = []
@@ -69,7 +80,8 @@ def main():
         return float(np.median(ts))
 
     hdr = (f"{'B':>6} {'xla field/s':>12} {'pallas field/s':>14} "
-           f"{'xla full/s':>12} {'pallas full/s':>14} {'extract ms':>11}")
+           f"{'xla full/s':>12} {'pallas full/s':>14} {'extract ms':>11} "
+           f"{'turns full/s':>13}")
     print(hdr)
     for B in sizes:
         s = rng.uniform([1.0, 1.0], [3.0, 8.5], (B, 2))
@@ -83,9 +95,10 @@ def main():
             dt_f = timeit(f_only, g_cells)
             dt_full = timeit(full, s_cells, g_cells)
             row += [B / dt_f, B / dt_full, (dt_full - dt_f) * 1e3]
+        dt_turns = timeit(full_turns, s_cells, g_cells)
         print(f"{row[0]:>6} {row[1]:>12.0f} {row[4]:>14.0f} "
               f"{row[2]:>12.0f} {row[5]:>14.0f} "
-              f"{row[6]:>11.1f}")
+              f"{row[6]:>11.1f} {B / dt_turns:>13.0f}")
 
 
 if __name__ == "__main__":
