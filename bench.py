@@ -73,9 +73,15 @@ def main():
 
     iters = 8
     times = []
-    for _ in range(iters):
+    for it in range(iters):
+        # perturb per rep: the tunneled platform can serve a repeated
+        # (program, input) pair from a result cache, which would record
+        # dispatch time as compute (ROOFLINE.md round-5 measurement
+        # hazard); 1e-6 jitter forces real execution without touching
+        # the fixed-iteration solver's work
+        xe = x_est + jnp.float32(1e-6 * (it + 1))
         t0 = time.perf_counter()
-        float(chained(x_traj, u_traj, x_est, ref_x, ref_u))  # host sync
+        float(chained(x_traj, u_traj, xe, ref_x, ref_u))  # host sync
         times.append(time.perf_counter() - t0)
 
     med = float(np.median(times)) / K
@@ -140,9 +146,10 @@ def bench_nmpc_latency():
 
     float(chained(x_traj, u_traj))          # compile
     per_step = []
-    for _ in range(int(os.environ.get("BENCH_NMPC_LAT_CALLS", "12"))):
+    for it in range(int(os.environ.get("BENCH_NMPC_LAT_CALLS", "12"))):
+        xt = x_traj + jnp.float32(1e-6 * (it + 1))   # defeat result cache
         t0 = time.perf_counter()
-        float(chained(x_traj, u_traj))
+        float(chained(xt, u_traj))
         per_step.append((time.perf_counter() - t0) / K)
     lat_ms = np.asarray(per_step) * 1e3
     p50 = float(np.percentile(lat_ms, 50))
@@ -205,9 +212,13 @@ def bench_wavefront():
 
     jax.block_until_ready(full(s_cells, g_cells))
     ts = []
-    for _ in range(4):
+    for it in range(4):
+        # integer cells cannot be jittered; rolling the batch keeps the
+        # workload identical while defeating any result cache
+        s2 = jnp.roll(s_cells, it, axis=0)
+        g2 = jnp.roll(g_cells, it, axis=0)
         t0 = time.perf_counter()
-        jax.block_until_ready(full(s_cells, g_cells))
+        jax.block_until_ready(full(s2, g2))
         ts.append(time.perf_counter() - t0)
     paths_per_s = B / float(np.median(ts))
     print(json.dumps({
@@ -282,9 +293,10 @@ def bench_backend():
 
     float(fleet(goals)[0])          # compile + warm
     times = []
-    for _ in range(4):
+    for it in range(4):
+        g2 = goals + jnp.asarray(1e-6 * (it + 1), dtype)  # defeat cache
         t0 = time.perf_counter()
-        float(fleet(goals)[0])
+        float(fleet(g2)[0])
         times.append(time.perf_counter() - t0)
     plans_per_s = B / float(np.median(times))
 
@@ -326,9 +338,10 @@ def bench_backend():
     float(chained(goals[0]))        # compile
     lat = []
     for gi in range(n_goals):
-        for _ in range(4):
+        for it in range(4):
+            g2 = goals[gi] + jnp.asarray(1e-6 * (it + 1), dtype)
             t0 = time.perf_counter()
-            float(chained(goals[gi]))
+            float(chained(g2))
             lat.append((time.perf_counter() - t0) / K)
     lat_ms = np.asarray(lat) * 1e3
     budget = 20.0                   # plans/s the 0.05 s budget implies
@@ -396,9 +409,15 @@ def bench_mission():
     # (ADVICE r4: 2 iterations could not distinguish the 17.8-vs-14.6
     # doc/driver gap from run-to-run noise)
     times = []
-    for _ in range(int(os.environ.get("BENCH_MISSION_ITERS", "4"))):
+    for it in range(int(os.environ.get("BENCH_MISSION_ITERS", "4"))):
+        # 1e-6 m start jitter defeats the result cache without flipping
+        # any cm-margin delivery (a larger perturbation can change the
+        # miss PATTERN and compile a fresh correction-batch shape
+        # inside the timed region -- measured, ROOFLINE push-budget
+        # sweep note)
+        r0 = robot0.at[:, 0].add(1e-6 * (it + 1))
         t0 = time.perf_counter()
-        base = fleet(items, targets, robot0)
+        base = fleet(items, targets, r0)
         # reference FSM semantics: replan-until-delivered (README.md:28
         # headline is 32/32 objects, zero failures); each round bills
         # its own misses in mission_seconds_exact
